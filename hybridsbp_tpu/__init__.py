@@ -1,0 +1,25 @@
+"""hybridsbp_tpu — TPU-native hybridized SBP-SAT finite-difference framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference Julia code brittany-erickson/HybridSBP: 1D diagonal-norm SBP
+operators, curvilinear multiblock 2D SBP-SAT discretizations of
+variable-coefficient elliptic problems, a hybridized (trace/Schur) solver,
+rate-and-state friction physics, and the SEAS BP1 earthquake-cycle driver.
+
+Numerics default to float64 (required for high-order SBP convergence
+studies); set ``HYBRIDSBP_X64=0`` to opt out before first import for
+pure-f32 TPU runs.  Hot paths accept an explicit dtype.
+"""
+import os
+
+if os.environ.get("HYBRIDSBP_X64", "1") != "0":
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+BC_DIRICHLET = 1
+BC_NEUMANN = 2
+BC_LOCKED_INTERFACE = 0
+BC_JUMP_INTERFACE = 7
