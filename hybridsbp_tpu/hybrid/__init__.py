@@ -1,0 +1,11 @@
+from .assemble import (  # noqa: F401
+    BlockStore,
+    assemble_lambda_matrix,
+    bcstarts,
+    block_store,
+    glo_lambda_operator,
+    local_global_operators,
+    local_to_global_rhs,
+)
+from .builder import build_block_operators, build_problem, corner_edges  # noqa: F401
+from .solve import HybridProblem  # noqa: F401

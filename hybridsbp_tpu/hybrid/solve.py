@@ -1,0 +1,96 @@
+"""The three global solve paths of the hybrid framework.
+
+Reference parity: square_circle.jl:368-394 —
+  :monolithic      full KKT [blkdiag(M) FbarT'; FbarT diag(D)]
+  :trace           Schur complement on the trace variables (the default)
+  :displacements   eliminated-lambda SPD system C = M - FbarT' D^{-1} FbarT
+
+``HybridProblem`` bundles everything a driver needs after local-operator
+construction.  The device-side (batched/sharded CG) path lives in
+``hybridsbp_tpu.tpu``; this module is the setup/validation/direct path.
+"""
+from dataclasses import dataclass
+from typing import Dict
+
+import numpy as np
+import scipy.linalg as la
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from .assemble import (
+    assemble_lambda_matrix,
+    local_global_operators,
+    local_to_global_rhs,
+)
+
+
+@dataclass
+class HybridProblem:
+    lops: Dict
+    store: "BlockStore"
+    FbarT: sp.spmatrix
+    D: np.ndarray
+    vstarts: np.ndarray
+    FToLstarts: np.ndarray
+    EToF: np.ndarray
+    FToB: np.ndarray
+    B: sp.spmatrix = None          # assembled Schur complement
+    _B_factor: object = None
+
+    @classmethod
+    def build(cls, lops, mesh_conn, factorization=None):
+        """mesh_conn = (EToF, FToB, FToE, FToLF, EToO, EToS)."""
+        EToF, FToB, FToE, FToLF, EToO, EToS = mesh_conn
+        kw = {} if factorization is None else {"factorization": factorization}
+        store, FbarT, D, vstarts, FToLstarts = local_global_operators(
+            lops, FToB, FToE, FToLF, EToO, EToS, **kw)
+        prob = cls(lops=lops, store=store, FbarT=FbarT, D=D, vstarts=vstarts,
+                   FToLstarts=FToLstarts, EToF=EToF, FToB=FToB)
+        prob.B = assemble_lambda_matrix(FToLstarts, vstarts, EToF, FToB,
+                                        store, D, FbarT)
+        if prob.B.shape[0]:
+            prob._B_factor = la.cho_factor(prob.B.toarray())
+        return prob
+
+    # ---- solves ---------------------------------------------------------
+    def solve(self, g, gdelta, method="trace"):
+        """Solve the coupled system; returns (u, lam)."""
+        if method == "trace":
+            blam, _ = local_to_global_rhs(g, gdelta, self.store, self.FbarT)
+            lam = (la.cho_solve(self._B_factor, blam)
+                   if blam.size else np.zeros(0))
+            rhs = g - self.FbarT.T @ lam
+            u = np.zeros_like(g)
+            vs = self.vstarts
+            for e, fac in enumerate(self.store.factors):
+                u[vs[e]:vs[e + 1]] = fac.solve(rhs[vs[e]:vs[e + 1]])
+            return u, lam
+        if method == "monolithic":
+            Mblk = sp.block_diag([self.lops[e].M for e in range(len(self.lops))],
+                                 format="csr")
+            A = sp.bmat([[Mblk, self.FbarT.T],
+                         [self.FbarT, sp.diags(self.D)]]
+                        if self.D.size else [[Mblk, None], [None, None]])
+            if self.D.size:
+                ulam = spla.spsolve(A.tocsc(), np.concatenate([g, gdelta]))
+                return ulam[:g.size], ulam[g.size:]
+            return spla.spsolve(Mblk.tocsc(), g), np.zeros(0)
+        if method == "displacements":
+            Mblk = sp.block_diag([self.lops[e].M for e in range(len(self.lops))],
+                                 format="csc")
+            if self.D.size:
+                C = Mblk - self.FbarT.T @ sp.diags(1.0 / self.D) @ self.FbarT
+                u = spla.spsolve(C.tocsc(),
+                                 g - self.FbarT.T @ (gdelta / self.D))
+                lam = (gdelta - self.FbarT @ u) / self.D
+            else:
+                u, lam = spla.spsolve(Mblk, g), np.zeros(0)
+            return u, lam
+        raise ValueError(f"unknown method {method!r}")
+
+    # ---- helpers --------------------------------------------------------
+    def scatter_face(self, target, f, values, e, lf, EToO):
+        """Accumulate face-ordered values into a global trace array with
+        the orientation convention of gloλoperator."""
+        rng = slice(self.FToLstarts[f], self.FToLstarts[f + 1])
+        target[rng] += values if EToO[lf, e] else values[::-1]
