@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Two-material circle-in-square MMS convergence study.
+
+The canonical end-to-end pipeline of the framework (reference parity:
+square_circle.jl): a manufactured solution with a prescribed slip *jump*
+across the circle r=1, discretized on the 56-block curved mesh, solved by
+one of the three hybrid methods, with energy-norm solution error and
+fault-traction error reported over refinement levels (expected rates ~ p).
+
+Usage: python drivers/square_circle.py [--p 6] [--levels 4] [--N0 17]
+                                       [--method trace]
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hybridsbp_tpu import BC_DIRICHLET, BC_JUMP_INTERFACE, BC_NEUMANN  # noqa: E402
+from hybridsbp_tpu.hybrid import build_problem  # noqa: E402
+from hybridsbp_tpu.hybrid.assemble import bcstarts  # noqa: E402
+from hybridsbp_tpu.mesh import read_inp_2d  # noqa: E402
+from hybridsbp_tpu.ops2d import computetraction, locbcarray, locsourcearray  # noqa: E402
+
+MESH = os.path.join(os.path.dirname(__file__), "..", "meshes",
+                    "square_circle.inp")
+C = np.e / (1 + np.e)
+
+
+# ---- manufactured solution (square_circle.jl:100-169) ----------------------
+def _polar(x, y):
+    return np.sqrt(x**2 + y**2), np.arctan2(y, x)
+
+
+def vex(x, y, dom):
+    r, th = _polar(x, y)
+    if dom == 1:  # inside the circle
+        return C * (1 - np.exp(-r**2)) * r * np.sin(th)
+    return (r - 1) ** 2 * np.cos(th) + (r - 1) * np.sin(th)
+
+
+def vex_x(x, y, dom):
+    r, th = _polar(x, y)
+    if dom == 1:
+        dv_dr = C * (2 * r**2 * np.exp(-r**2) + 1 - np.exp(-r**2)) * np.sin(th)
+        dv_dth = C * (1 - np.exp(-r**2)) * r * np.cos(th)
+    else:
+        dv_dr = 2 * (r - 1) * np.cos(th) + np.sin(th)
+        dv_dth = -((r - 1) ** 2) * np.sin(th) + (r - 1) * np.cos(th)
+    return dv_dr * np.cos(th) + dv_dth * (-np.sin(th) / r)
+
+
+def vex_y(x, y, dom):
+    r, th = _polar(x, y)
+    if dom == 1:
+        dv_dr = C * (2 * r**2 * np.exp(-r**2) + 1 - np.exp(-r**2)) * np.sin(th)
+        dv_dth = C * (1 - np.exp(-r**2)) * r * np.cos(th)
+    else:
+        dv_dr = 2 * (r - 1) * np.cos(th) + np.sin(th)
+        dv_dth = -((r - 1) ** 2) * np.sin(th) + (r - 1) * np.cos(th)
+    return dv_dr * np.sin(th) + dv_dth * (np.cos(th) / r)
+
+
+def polar_laplace(x, y, dom):
+    r, th = _polar(x, y)
+    if dom == 1:
+        u_r = C * (2 * r**2 * np.exp(-r**2) + 1 - np.exp(-r**2)) * np.sin(th)
+        u_rr = C * np.exp(-r**2) * (6 * r - 4 * r**3) * np.sin(th)
+        return u_rr + u_r / r - (C / r**2) * (1 - np.exp(-r**2)) * r * np.sin(th)
+    return (2 * np.cos(th)
+            + (2 * (r - 1) * np.cos(th) + np.sin(th)) / r
+            + (-((r - 1) ** 2) * np.cos(th) - (r - 1) * np.sin(th)) / r**2)
+
+
+# ---- driver ----------------------------------------------------------------
+def load_mesh():
+    bc_map = [BC_DIRICHLET, BC_DIRICHLET, BC_NEUMANN, BC_NEUMANN,
+              BC_JUMP_INTERFACE]
+    verts, EToV, EToF, FToB, EToDomain = read_inp_2d(MESH, bc_map=bc_map)
+    # snap near-circle vertices exactly onto the circle (sc:27-33)
+    rad = np.hypot(verts[0], verts[1])
+    snap = np.abs(rad - 1) < 1e-5
+    ang = np.arctan2(verts[1, snap], verts[0, snap])
+    verts[0, snap] = np.cos(ang)
+    verts[1, snap] = np.sin(ang)
+    return verts, EToV, EToF, FToB, EToDomain
+
+
+def make_edge_override(verts, EToV, EToF, FToB):
+    """Install circular-arc parametrizations on jump faces (sc:244-274)."""
+    def override(e, ex, exa, ey, eya):
+        xs = verts[0, EToV[:, e]]
+        ys = verts[1, EToV[:, e]]
+        for lf in (0, 1):
+            if FToB[EToF[lf, e]] == BC_JUMP_INTERFACE:
+                raise NotImplementedError(f"curved face {lf} not supported")
+        if FToB[EToF[2, e]] == BC_JUMP_INTERFACE:
+            Q1, Q2 = np.arctan2(ys[0], xs[0]), np.arctan2(ys[1], xs[1])
+            if not (-np.pi / 2 < Q1 - Q2 < np.pi / 2):
+                Q2 -= np.sign(Q2) * 2 * np.pi
+            b = (Q2 - Q1) / 2
+            ex[2] = lambda a: np.cos(Q1 * (1 - a) / 2 + Q2 * (1 + a) / 2)
+            ey[2] = lambda a: np.sin(Q1 * (1 - a) / 2 + Q2 * (1 + a) / 2)
+            exa[2] = lambda a: -b * np.sin(Q1 * (1 - a) / 2 + Q2 * (1 + a) / 2)
+            eya[2] = lambda a: +b * np.cos(Q1 * (1 - a) / 2 + Q2 * (1 + a) / 2)
+        if FToB[EToF[3, e]] == BC_JUMP_INTERFACE:
+            Q3, Q4 = np.arctan2(ys[2], xs[2]), np.arctan2(ys[3], xs[3])
+            if not (-np.pi / 2 < Q3 - Q4 < np.pi / 2):
+                raise NotImplementedError("face-4 angle correction")
+            b = (Q4 - Q3) / 2
+            ex[3] = lambda a: np.cos(Q3 * (1 - a) / 2 + Q4 * (1 + a) / 2)
+            ey[3] = lambda a: np.sin(Q3 * (1 - a) / 2 + Q4 * (1 + a) / 2)
+            exa[3] = lambda a: -b * np.sin(Q3 * (1 - a) / 2 + Q4 * (1 + a) / 2)
+            eya[3] = lambda a: +b * np.cos(Q3 * (1 - a) / 2 + Q4 * (1 + a) / 2)
+    return override
+
+
+def run(p=6, N0=17, levels=4, method="trace", verbose=True):
+    verts, EToV, EToF, FToB, EToDomain = load_mesh()
+    nelems, nfaces = EToV.shape[1], len(FToB)
+    override = make_edge_override(verts, EToV, EToF, FToB)
+
+    eps, tau_eps = [], []
+    for lvl in range(levels):
+        N = np.full(nelems, N0 * 2**lvl)
+        prob, (FToE, FToLF, EToO, EToS) = build_problem(
+            p, verts, EToV, EToF, FToB, N, N, edge_override=override)
+        lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
+        FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
+
+        # slip jump data on the fault faces (minus-side ordering)
+        delta = np.zeros(int(FTods[-1]))
+        for f in range(nfaces):
+            if FToB[f] == BC_JUMP_INTERFACE:
+                e1, e2 = FToE[:, f]
+                lf1 = FToLF[0, f]
+                xf = lops[e1].facecoord[0][lf1]
+                yf = lops[e1].facecoord[1][lf1]
+                delta[FTods[f]:FTods[f + 1]] = (
+                    vex(xf, yf, EToDomain[e2]) - vex(xf, yf, EToDomain[e1]))
+
+        def in_jump(lf, x, y, e):
+            f = EToF[lf, e]
+            d = delta[FTods[f]:FTods[f + 1]]
+            if EToS[lf, e] == 0:
+                assert EToO[lf, e]
+                return -d
+            return d if EToO[lf, e] else d[::-1]
+
+        g = np.zeros(int(vstarts[-1]))
+        gdelta = np.zeros(int(FToLs[-1]))
+        for e in range(nelems):
+            dom = EToDomain[e]
+            ge, gde = locbcarray(
+                lops[e], lops[e].bctype,
+                lambda lf, x, y, dom=dom: vex(x, y, dom),
+                lambda lf, x, y, nx, ny, dom=dom: (nx * vex_x(x, y, dom)
+                                                   + ny * vex_y(x, y, dom)),
+                lambda lf, x, y, e=e: in_jump(lf, x, y, e))
+            ge += locsourcearray(
+                lops[e], lambda x, y, dom=dom: -polar_laplace(x, y, dom))
+            g[vstarts[e]:vstarts[e + 1]] = ge
+            for lf in range(4):
+                if gde[lf] is not None:
+                    prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf, EToO)
+
+        u, lam = prob.solve(g, gdelta, method=method)
+
+        # energy-norm error
+        err2 = 0.0
+        for e in range(nelems):
+            lop = lops[e]
+            x, y = lop.coord
+            du = u[vstarts[e]:vstarts[e + 1]] - vex(x.ravel(), y.ravel(),
+                                                    EToDomain[e])
+            err2 += du @ (lop.JH * du)
+
+        # traction error on the fault
+        terr2 = 0.0
+        for f in range(nfaces):
+            if FToB[f] != BC_JUMP_INTERFACE:
+                continue
+            e1, lf1 = FToE[0, f], FToLF[0, f]
+            lop = lops[e1]
+            xf = lop.facecoord[0][lf1]
+            yf = lop.facecoord[1][lf1]
+            tex = (lop.nx[lf1] * vex_x(xf, yf, EToDomain[e1])
+                   + lop.ny[lf1] * vex_y(xf, yf, EToDomain[e1]))
+            tau = computetraction(
+                lop, lf1, u[vstarts[e1]:vstarts[e1 + 1]],
+                lam[FToLs[f]:FToLs[f + 1]], delta[FTods[f]:FTods[f + 1]])
+            dt = tau - tex
+            terr2 += dt @ (lop.Hf[lf1] * lop.sJ[lf1] * dt)
+
+        eps.append(np.sqrt(err2))
+        tau_eps.append(np.sqrt(terr2))
+        if verbose:
+            print(f"level {lvl + 1}: N={N[0]}  energy err {eps[-1]:.6e}  "
+                  f"traction err {tau_eps[-1]:.6e}")
+
+    eps, tau_eps = np.array(eps), np.array(tau_eps)
+    rates = np.log2(eps[:-1] / eps[1:])
+    trates = np.log2(tau_eps[:-1] / tau_eps[1:])
+    if verbose:
+        print("energy-norm rates:  ", rates)
+        print("traction rates:     ", trates)
+    return eps, tau_eps, rates, trates
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--p", type=int, default=6)
+    ap.add_argument("--N0", type=int, default=17)
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--method", default="trace",
+                    choices=["trace", "monolithic", "displacements"])
+    a = ap.parse_args()
+    run(p=a.p, N0=a.N0, levels=a.levels, method=a.method)

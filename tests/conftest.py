@@ -2,14 +2,24 @@
 
 Multi-chip sharding is validated on a virtual CPU mesh
 (``xla_force_host_platform_device_count=8``); the real-TPU path is
-exercised by ``bench.py`` and the driver's graft entry.  Env vars must be
-set before jax is imported anywhere.
+exercised by ``bench.py`` and the driver's graft entry.
+
+NOTE: in this environment the axon TPU plugin force-appends itself to
+``jax_platforms`` regardless of the JAX_PLATFORMS env var, so we must
+override via jax.config *after* import (before any backend is created) —
+otherwise jax compute silently tunnels to the remote TPU and every test
+compile pays the tunnel latency.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("HYBRIDSBP_X64", "1")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
