@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""SEAS BP1 earthquake-cycle driver.
+
+Runs the full quasi-dynamic cycle simulation (reference parity:
+seas/BP1/BP1.jl) with the device-resident reduced hot loop and prints a
+summary of the slip-rate history; optionally dumps station time series
+and a slip-vs-depth plot.
+
+Usage: python drivers/bp1.py [--years 1000] [--N 200] [--p 2]
+                             [--out bp1_history.npz] [--plot bp1.png]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hybridsbp_tpu.seas import bp1  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--years", type=float, default=1000.0)
+    ap.add_argument("--N", type=int, default=200)
+    ap.add_argument("--p", type=int, default=2)
+    ap.add_argument("--el", type=float, default=1e13)
+    ap.add_argument("--max-steps", type=int, default=200_000)
+    ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--plot", default=None)
+    a = ap.parse_args()
+
+    par = bp1.BP1Params(N=a.N, p=a.p, sim_years=a.years, el=a.el)
+    t0 = time.time()
+    prob = bp1.setup(par)
+    print(f"setup: N={a.N} ({(a.N + 1) ** 2} volume DOF), "
+          f"reduced operator K: {prob.K.shape}, {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    prob, sol = bp1.run(par, prob=prob, max_steps=a.max_steps,
+                        save_every=a.save_every)
+    wall = time.time() - t0
+    nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
+    print(f"integrated {float(sol.t_final) / bp1.YEAR_SECONDS:.1f} years in "
+          f"{wall:.1f}s wall: {nacc} accepted / {nrej} rejected steps "
+          f"({1e3 * wall / max(nacc + nrej, 1):.2f} ms/step)")
+
+    ts = np.asarray(sol.ts)
+    valid = np.isfinite(ts)
+    lv = np.asarray(sol.save["log10_vmax"])[valid]
+    print(f"max slip rate over run: 10^{lv.max():.2f} m/s; "
+          f"final max slip {np.asarray(sol.save['delta'])[valid][-1].max():.3f} m")
+    # event count: excursions above 1e-3 m/s (seismic threshold)
+    seismic = lv > -3.0
+    events = int(np.sum(seismic[1:] & ~seismic[:-1]))
+    print(f"seismic events (Vmax > 1e-3 m/s): {events}")
+
+    if a.out:
+        np.savez(a.out, t=ts[valid],
+                 **{k: np.asarray(v)[valid] for k, v in sol.save.items()})
+        print(f"wrote {a.out}")
+    if a.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(2, 1, figsize=(8, 8))
+        tyr = ts[valid] / bp1.YEAR_SECONDS
+        ax[0].plot(tyr, lv)
+        ax[0].set(xlabel="t (years)", ylabel="log10 max V (m/s)")
+        d = np.asarray(sol.save["delta"])[valid]
+        for i in range(d.shape[1]):
+            ax[1].plot(tyr, d[:, i])
+        ax[1].set(xlabel="t (years)", ylabel="slip at stations (m)")
+        fig.savefig(a.plot, dpi=120)
+        print(f"wrote {a.plot}")
+
+
+if __name__ == "__main__":
+    main()

@@ -12,10 +12,16 @@ pure-f32 TPU runs.  Hot paths accept an explicit dtype.
 """
 import os
 
-if os.environ.get("HYBRIDSBP_X64", "1") != "0":
-    import jax
+import jax
 
+if os.environ.get("HYBRIDSBP_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
+
+# In this image the axon TPU plugin force-appends itself to jax_platforms,
+# overriding the JAX_PLATFORMS env var; honor an explicit platform request
+# through jax.config (effective while no backend has been created yet).
+if os.environ.get("HYBRIDSBP_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["HYBRIDSBP_PLATFORM"])
 
 __version__ = "0.1.0"
 
