@@ -34,6 +34,10 @@ class HybridProblem:
     FToLstarts: np.ndarray
     EToF: np.ndarray
     FToB: np.ndarray
+    FToE: np.ndarray = None
+    FToLF: np.ndarray = None
+    EToO: np.ndarray = None
+    EToS: np.ndarray = None
     B: sp.spmatrix = None          # assembled Schur complement
     _B_factor: object = None
 
@@ -45,7 +49,8 @@ class HybridProblem:
         store, FbarT, D, vstarts, FToLstarts = local_global_operators(
             lops, FToB, FToE, FToLF, EToO, EToS, **kw)
         prob = cls(lops=lops, store=store, FbarT=FbarT, D=D, vstarts=vstarts,
-                   FToLstarts=FToLstarts, EToF=EToF, FToB=FToB)
+                   FToLstarts=FToLstarts, EToF=EToF, FToB=FToB,
+                   FToE=FToE, FToLF=FToLF, EToO=EToO, EToS=EToS)
         prob.B = assemble_lambda_matrix(FToLstarts, vstarts, EToF, FToB,
                                         store, D, FbarT)
         if prob.B.shape[0]:

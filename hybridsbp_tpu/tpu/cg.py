@@ -1,0 +1,64 @@
+"""Preconditioned conjugate gradients (pure JAX, jit/vmap/shard_map safe).
+
+The iterative device-side counterpart of the host sparse factorizations:
+all hybrid-solver systems are SPD (M~ per block, the trace Schur
+complement B, the eliminated system C), so CG with a cheap preconditioner
+is the TPU-native solve.  Fixed-iteration-bound ``lax.while_loop`` keeps
+it compilable; the matvec is any traceable callable (DIA stencil apply,
+trace matvec with collectives, ...).
+"""
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    resnorm: jnp.ndarray        # final |r| / |b|
+    converged: jnp.ndarray
+
+
+def _dot(a, b):
+    return jnp.vdot(a.ravel(), b.ravel())
+
+
+def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
+       precond: Optional[Callable] = None) -> CGResult:
+    """Solve A x = b with (preconditioned) CG.
+
+    ``matvec(x)`` and ``precond(r)`` operate on arrays of b's shape (any
+    rank — fields stay in their natural (Ns+1, Nr+1) or block-batched
+    layout; no flattening needed).
+    """
+    M = precond if precond is not None else (lambda r: r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    bnorm = jnp.sqrt(jnp.real(_dot(b, b)))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    r0 = b - matvec(x0)
+    z0 = M(r0)
+    gamma0 = jnp.real(_dot(r0, z0))
+
+    def cond(st):
+        x, r, z, p, gamma, k = st
+        rn = jnp.sqrt(jnp.real(_dot(r, r)))
+        return (rn > tol * bnorm) & (k < maxiter)
+
+    def body(st):
+        x, r, z, p, gamma, k = st
+        Ap = matvec(p)
+        alpha = gamma / jnp.real(_dot(p, Ap))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        gamma_new = jnp.real(_dot(r, z))
+        beta = gamma_new / gamma
+        p = z + beta * p
+        return (x, r, z, p, gamma_new, k + 1)
+
+    st = (x0, r0, z0, z0, gamma0, jnp.asarray(0))
+    x, r, z, p, gamma, k = jax.lax.while_loop(cond, body, st)
+    rn = jnp.sqrt(jnp.real(_dot(r, r))) / bnorm
+    return CGResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)

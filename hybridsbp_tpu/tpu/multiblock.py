@@ -1,0 +1,247 @@
+"""Batched + sharded multiblock hybrid solver (the device/ICI path).
+
+The reference's inter-block coupling is one sparse trace operator inside a
+single address space (SURVEY §5.8).  Here blocks become a leading batch
+axis: per-block operators are DIA stencils (vmapped), and the only
+cross-block data motion is the exchange of face traces — implemented with
+an ``all_gather`` of the small per-block face-trace tensor over the
+device mesh's ``block`` axis (ICI), exactly the collective the hybrid
+formulation calls for.
+
+Solved system: the eliminated-displacement SPD form (square_circle.jl:389-394)
+
+    C u = (M - Fbar' D^{-1} Fbar) u = g - Fbar' D^{-1} g_delta
+
+by preconditioned CG whose matvec is: local DIA apply + face-trace
+gather/combine/scatter.  Orientation flips across mismatched faces are
+static index reversals.
+
+Parallelism mapping (this framework's analogue of dp/tp/...):
+  - block axis sharded over the mesh = domain decomposition (the dp-like
+    axis; the only parallel axis the math exposes at block granularity)
+  - within-block spatial sharding of the s axis (sp/tp-like) composes on
+    top via the same DIA halo structure (max |ds| halo) — see
+    ``shard_map`` notes in parallel/.
+"""
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import BC_JUMP_INTERFACE, BC_LOCKED_INTERFACE
+from ..ops1d import vd2_tables
+from .cg import cg
+from .stencil import DiaOperator, dia_apply
+
+
+class FaceOps(NamedTuple):
+    """Dense layer-restricted face->volume maps F_e[lf] for all blocks.
+
+    T[lf] has shape (E, nlayers, A, L): for each block, the coupling from
+    the L face-trace points into the `nlayers` volume layers (each of
+    extent A along the face direction).  layers[lf] are the static volume
+    layer positions (r-indices for west/east, s-indices for south/north).
+    """
+    T: Tuple[jnp.ndarray, ...]
+    layers: Tuple[Tuple[int, ...], ...]
+
+
+class BlockedHybrid(NamedTuple):
+    """Everything the device multiblock solve needs (static metadata as
+    numpy; field data as jnp arrays with leading block axis E)."""
+    coefs: jnp.ndarray            # (E, noff, Nsp, Nrp) DIA planes
+    offsets: Tuple[Tuple[int, int], ...]
+    faces: FaceOps
+    Dinv: jnp.ndarray             # (nfaces, L): 1/D per interior face, 0 else
+    FToE: np.ndarray              # (2, nfaces) static
+    FToLF: np.ndarray
+    EToF: np.ndarray              # (4, E)
+    flip: np.ndarray              # (4, E) bool: plus-side orientation flip
+    interior: np.ndarray          # (nfaces,) bool
+    JH: jnp.ndarray               # (E, Nsp, Nrp) quadrature (for norms)
+
+    @property
+    def grid_shape(self):
+        return self.coefs.shape[2:]
+
+
+def _face_layer_sets(p, Nr, Ns):
+    nBS = len(vd2_tables(p)[1])
+    return (tuple(range(nBS)),                       # west: r-layers
+            tuple(range(Nr - nBS + 1, Nr + 1)),      # east
+            tuple(range(nBS)),                       # south: s-layers
+            tuple(range(Ns - nBS + 1, Ns + 1)))      # north
+
+
+def build_blocked(prob, dtype=jnp.float64) -> BlockedHybrid:
+    """Extract the device-form problem from a host HybridProblem.
+
+    Requires uniform block sizes (all drivers use Nr=Ns=N per level).
+    """
+    from .stencil import to_dia
+
+    lops = prob.lops
+    E = len(lops)
+    l0 = lops[0]
+    p, Nr, Ns = l0.p, l0.Nr, l0.Ns
+    Nrp, Nsp = Nr + 1, Ns + 1
+    assert all(lops[e].Nr == Nr and lops[e].Ns == Ns for e in range(E)), \
+        "device multiblock path requires uniform block sizes"
+    L = Nrp
+    assert Nrp == Nsp, "uniform N assumed for the stacked face tensors"
+
+    # --- stacked DIA operators (union of offsets across blocks)
+    dias = [to_dia(lops[e].M, Nrp, Nsp, dtype=dtype) for e in range(E)]
+    all_offs = sorted({o for d in dias for o in d.offsets})
+    noff = len(all_offs)
+    coefs = np.zeros((E, noff, Nsp, Nrp))
+    for e, d in enumerate(dias):
+        idx = {o: k for k, o in enumerate(all_offs)}
+        for k, o in enumerate(d.offsets):
+            coefs[e, idx[o]] = np.asarray(d.coefs[k])
+
+    # --- dense layer-restricted face maps
+    layer_sets = _face_layer_sets(p, Nr, Ns)
+    T = []
+    for lf in range(4):
+        layers = layer_sets[lf]
+        lay_pos = {v: i for i, v in enumerate(layers)}
+        A = Nsp if lf < 2 else Nrp
+        Te = np.zeros((E, len(layers), A, L))
+        for e in range(E):
+            F = lops[e].F[lf].tocoo()
+            jj, ii = F.row // Nrp, F.row % Nrp
+            if lf < 2:
+                lidx = np.array([lay_pos[i] for i in ii])
+                along = jj
+            else:
+                lidx = np.array([lay_pos[j] for j in jj])
+                along = ii
+            np.add.at(Te[e], (lidx, along, F.col), F.data)
+        T.append(jnp.asarray(Te, dtype=dtype))
+
+    # --- interior-face trace diagonal
+    nfaces = len(prob.FToB)
+    interior = np.array([
+        b == BC_LOCKED_INTERFACE or b >= BC_JUMP_INTERFACE
+        for b in prob.FToB])
+    Dinv = np.zeros((nfaces, L))
+    for f in range(nfaces):
+        if interior[f]:
+            s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+            Dinv[f] = 1.0 / prob.D[s0:s1]
+
+    # --- connectivity metadata (static): flip[lf, e] marks faces whose
+    # element ordering is reversed w.r.t. the global face ordering
+    flip = ~np.asarray(prob.EToO, dtype=bool)
+
+    JH = np.stack([np.asarray(lops[e].JH).reshape(Nsp, Nrp)
+                   for e in range(E)])
+
+    return BlockedHybrid(
+        coefs=jnp.asarray(coefs, dtype=dtype), offsets=tuple(all_offs),
+        faces=FaceOps(T=tuple(T), layers=layer_sets),
+        Dinv=jnp.asarray(Dinv, dtype=dtype),
+        FToE=np.asarray(prob.FToE), FToLF=np.asarray(prob.FToLF),
+        EToF=np.asarray(prob.EToF),
+        flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# matvec pieces
+# ---------------------------------------------------------------------------
+def _dia_apply_batched(bp: BlockedHybrid, u):
+    """Local part: per-block DIA stencil apply. u: (E, Nsp, Nrp)."""
+    op = DiaOperator(coefs=bp.coefs[0], offsets=bp.offsets)  # shape source
+
+    def one(coefs_e, u_e):
+        return dia_apply(DiaOperator(coefs=coefs_e, offsets=bp.offsets), u_e)
+
+    return jax.vmap(one)(bp.coefs, u)
+
+
+def block_traces(bp: BlockedHybrid, u):
+    """Per-block face traces t[e, lf, :] = F_e[lf]^T u_e (element-local
+    face ordering).  u: (E, Nsp, Nrp) -> (E, 4, L)."""
+    outs = []
+    for lf in range(4):
+        layers = list(bp.faces.layers[lf])
+        if lf < 2:
+            sub = u[:, :, layers].transpose(0, 2, 1)      # (E, nlay, A=Nsp)
+        else:
+            sub = u[:, layers, :]                          # (E, nlay, A=Nrp)
+        outs.append(jnp.einsum("elak,ela->ek", bp.faces.T[lf], sub))
+    return jnp.stack(outs, axis=1)
+
+
+def face_scatter(bp: BlockedHybrid, w_faces, e_offset, E_local):
+    """Adjoint: per-block volume contribution sum_lf F_e[lf] @ w(e,lf).
+
+    w_faces: (nfaces, L) interior-face values (already D^{-1}-scaled and
+    zero on boundary faces).  e_offset/E_local select the local block
+    range (for the sharded path).  Returns (E_local, Nsp, Nrp).
+    """
+    Nsp, Nrp = bp.grid_shape
+    EToF = bp.EToF[:, e_offset:e_offset + E_local]
+    flip = bp.flip[:, e_offset:e_offset + E_local]
+    out = jnp.zeros((E_local, Nsp, Nrp), dtype=w_faces.dtype)
+    for lf in range(4):
+        w = w_faces[EToF[lf], :]                           # (E_local, L)
+        w = jnp.where(jnp.asarray(flip[lf])[:, None], w[:, ::-1], w)
+        T = bp.faces.T[lf][e_offset:e_offset + E_local]    # (E,nlay,A,L)
+        vals = jnp.einsum("elak,ek->ela", T, w)
+        layers = list(bp.faces.layers[lf])
+        if lf < 2:
+            out = out.at[:, :, layers].add(vals.transpose(0, 2, 1))
+        else:
+            out = out.at[:, layers, :].add(vals)
+    return out
+
+
+def combine_traces(bp: BlockedHybrid, traces):
+    """Global-face combination: (Fbar u)_f = t_minus + orient(t_plus),
+    scaled by D^{-1}; zero on boundary faces.  traces: (E, 4, L) ->
+    (nfaces, L)."""
+    FToE, FToLF = bp.FToE, bp.FToLF
+    nfaces = FToE.shape[1]
+    em, fm = FToE[0], FToLF[0]
+    ep, fp = FToE[1].copy(), FToLF[1].copy()
+    has_plus = ep >= 0
+    ep[~has_plus] = 0
+    fp[~has_plus] = 0
+    t_m = traces[em, fm]                                   # (nfaces, L)
+    t_p = traces[ep, fp]
+    pflip = bp.flip[fp, ep]                                # plus-side flips
+    t_p = jnp.where(jnp.asarray(pflip)[:, None], t_p[:, ::-1], t_p)
+    t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
+    t = t_m + t_p
+    mask = jnp.asarray(bp.interior)[:, None]
+    return jnp.where(mask, t, 0.0) * bp.Dinv
+
+
+def displacement_matvec(bp: BlockedHybrid, u):
+    """C u = M u - Fbar' D^{-1} Fbar u  (single-process batched form)."""
+    y = _dia_apply_batched(bp, u)
+    w = combine_traces(bp, block_traces(bp, u))
+    return y - face_scatter(bp, w, 0, u.shape[0])
+
+
+def displacement_rhs(bp: BlockedHybrid, g, gdelta_faces):
+    """RHS g - Fbar' D^{-1} g_delta, with g: (E, Nsp, Nrp) and
+    gdelta_faces: (nfaces, L) (zero on boundary faces)."""
+    w = gdelta_faces * bp.Dinv
+    return g - face_scatter(bp, w, 0, g.shape[0])
+
+
+def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
+                        maxiter=2000):
+    """Jacobi-preconditioned CG on the eliminated SPD system (batched)."""
+    diag = None
+    for k, (ds, dr) in enumerate(bp.offsets):
+        if ds == 0 and dr == 0:
+            diag = bp.coefs[:, k]
+    b = displacement_rhs(bp, g, gdelta_faces)
+    res = cg(lambda u: displacement_matvec(bp, u), b,
+             tol=tol, maxiter=maxiter, precond=lambda r: r / diag)
+    return res

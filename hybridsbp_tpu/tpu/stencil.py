@@ -1,0 +1,82 @@
+"""Device-side matrix-free application of the block operator M~.
+
+The assembled SPD operator of one block (ops2d.local_op) is a 2D stencil
+matrix: a bounded set of logical offsets (dr, ds) carry nonzeros (interior
+narrow stencils + boundary closures + SAT face terms).  We extract it once
+into **generalized-diagonal (DIA) form** — for each offset a dense
+(Ns+1, Nr+1) coefficient plane — and apply it as a fused sequence of
+shift-multiply-adds:
+
+    (M u)[j, i] = sum_d  C_d[j, i] * u[j + ds_d, i + dr_d]
+
+This is the TPU-idiomatic replacement for the reference's CHOLMOD
+factor/backsolve pipeline (SURVEY §7): it is exactly the sparse matvec,
+it vectorizes over a leading block axis (vmap / shard_map), its HBM
+traffic is (noffsets+2) x field size, and XLA fuses the whole sum into
+one elementwise kernel.  Used as the CG matvec for iterative block
+solves and for the sharded multiblock path.
+"""
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DiaOperator(NamedTuple):
+    """DIA-form operator: coefficient planes per logical offset.
+
+    coefs:   (noff, Nsp, Nrp) — coefficient plane per offset
+    offsets: (noff, 2) static numpy int array of (ds, dr)
+    """
+    coefs: jnp.ndarray
+    offsets: Tuple[Tuple[int, int], ...]
+
+    @property
+    def shape(self):
+        return self.coefs.shape[1:]
+
+
+def to_dia(M_sparse, Nrp, Nsp, dtype=jnp.float64) -> DiaOperator:
+    """Extract the (ds, dr)-offset diagonal planes of an assembled sparse
+    block operator (volume index = j * Nrp + i, r fastest)."""
+    M = M_sparse.tocoo()
+    ri, rj = M.row % Nrp, M.row // Nrp
+    ci, cj = M.col % Nrp, M.col // Nrp
+    dr, ds = ci - ri, cj - rj
+    keys = ds.astype(np.int64) * (4 * Nrp) + dr
+    uniq, inv = np.unique(keys, return_inverse=True)
+    noff = len(uniq)
+    coefs = np.zeros((noff, Nsp, Nrp))
+    np.add.at(coefs, (inv, rj, ri), M.data)
+    offs = []
+    for k in uniq:
+        drr = int((k + 2 * Nrp) % (4 * Nrp)) - 2 * Nrp
+        dss = int((k - drr) // (4 * Nrp))
+        offs.append((dss, drr))
+    return DiaOperator(coefs=jnp.asarray(coefs, dtype=dtype),
+                       offsets=tuple(offs))
+
+
+def dia_apply(op: DiaOperator, u: jnp.ndarray) -> jnp.ndarray:
+    """Apply the DIA operator to a (..., Nsp, Nrp) field (vmappable)."""
+    Nsp, Nrp = op.shape
+    S = max(abs(ds) for ds, _ in op.offsets)
+    R = max(abs(dr) for _, dr in op.offsets)
+    pad = [(0, 0)] * (u.ndim - 2) + [(S, S), (R, R)]
+    up = jnp.pad(u, pad)
+    out = jnp.zeros_like(u)
+    for k, (ds, dr) in enumerate(op.offsets):
+        shifted = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(up, S + ds, S + ds + Nsp, axis=-2),
+            R + dr, R + dr + Nrp, axis=-1)
+        out = out + op.coefs[k] * shifted
+    return out
+
+
+def dia_diagonal(op: DiaOperator) -> jnp.ndarray:
+    """Main diagonal (for Jacobi preconditioning)."""
+    for k, (ds, dr) in enumerate(op.offsets):
+        if ds == 0 and dr == 0:
+            return op.coefs[k]
+    raise ValueError("operator has no main diagonal")

@@ -1,0 +1,121 @@
+"""Device-path gates: DIA stencil apply == sparse matvec, CG == direct
+solve, batched multiblock matvec == dense eliminated system, and the
+full batched CG solve matches the host hybrid solver."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE, BC_NEUMANN
+from hybridsbp_tpu.hybrid import build_problem
+from hybridsbp_tpu.mesh import create_metrics
+from hybridsbp_tpu.ops2d import locbcarray_mod, locoperator, locsourcearray
+from hybridsbp_tpu.tpu import (
+    build_blocked,
+    cg,
+    dia_apply,
+    displacement_matvec,
+    solve_displacements,
+    to_dia,
+)
+from hybridsbp_tpu.tpu.multiblock import block_traces, combine_traces
+
+VERTS = np.array([[-1.0, 0.0, 1.0, -1.0, 0.0, 1.0],
+                  [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]])
+ETOV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
+
+
+def _ftob():
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_LOCKED_INTERFACE
+    return FToB
+
+
+@pytest.mark.parametrize("p", [2, 4, 6])
+def test_dia_apply_matches_sparse(p):
+    N = 3 * p + 5
+    lop = locoperator(p, N, N, create_metrics(p, N, N),
+                      (BC_DIRICHLET, BC_NEUMANN, BC_NEUMANN, BC_DIRICHLET))
+    op = to_dia(lop.M, N + 1, N + 1)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((N + 1, N + 1))
+    got = np.asarray(dia_apply(op, jnp.asarray(u)))
+    want = (lop.M @ u.ravel()).reshape(N + 1, N + 1)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_cg_matches_direct():
+    p, N = 4, 17
+    lop = locoperator(p, N, N)
+    op = to_dia(lop.M, N + 1, N + 1)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal((N + 1, N + 1))
+    from hybridsbp_tpu.tpu import dia_diagonal
+    d = dia_diagonal(op)
+    res = cg(lambda u: dia_apply(op, u), jnp.asarray(b), tol=1e-12,
+             maxiter=4000, precond=lambda r: r / d)
+    assert bool(res.converged), f"resnorm {res.resnorm}"
+    want = spla.spsolve(lop.M, b.ravel()).reshape(N + 1, N + 1)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-6, atol=1e-8)
+
+
+def _two_block(p=2, N=12):
+    Narr = np.full(2, N)
+    prob, conn = build_problem(p, VERTS, ETOV, ETOF, _ftob(), Narr, Narr)
+    return prob
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_blocked_matvec_matches_dense(p):
+    prob = _two_block(p=p)
+    bp = build_blocked(prob)
+    E = 2
+    N1 = prob.lops[0].Nr + 1
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal((E, N1, N1))
+
+    Mblk = sp.block_diag([prob.lops[0].M, prob.lops[1].M]).tocsr()
+    Fd = prob.FbarT
+    C = Mblk - Fd.T @ sp.diags(1.0 / prob.D) @ Fd
+    want = (C @ u.reshape(-1)).reshape(E, N1, N1)
+    got = np.asarray(displacement_matvec(bp, jnp.asarray(u)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+    # trace pipeline alone matches FbarT @ u (interior faces)
+    w = np.asarray(combine_traces(bp, block_traces(bp, jnp.asarray(u))))
+    fb = Fd @ u.reshape(-1)
+    f_int = np.where(bp.interior)[0]
+    for f in f_int:
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        np.testing.assert_allclose(w[f] * prob.D[s0:s1], fb[s0:s1],
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_blocked_solve_matches_host():
+    p, N = 2, 16
+    prob = _two_block(p=p, N=N)
+    bp = build_blocked(prob)
+    uex = lambda x, y: np.sin(np.pi * x) * np.cosh(y) + x * y
+    ux = lambda x, y: np.pi * np.cos(np.pi * x) * np.cosh(y) + y
+    uy = lambda x, y: np.sin(np.pi * x) * np.sinh(y) + x
+    f = lambda x, y: (np.pi**2 - 1) * np.sin(np.pi * x) * np.cosh(y)
+
+    g = np.zeros(int(prob.vstarts[-1]))
+    for e in range(2):
+        lop = prob.lops[e]
+        ge = locbcarray_mod(
+            lop, lop.bctype, lambda lf, x, y: uex(x, y),
+            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
+        ge += locsourcearray(lop, f)
+        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+
+    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
+                           method="displacements")
+    gb = jnp.asarray(g.reshape(2, N + 1, N + 1))
+    gd = jnp.zeros_like(bp.Dinv)
+    res = solve_displacements(bp, gb, gd, tol=1e-12, maxiter=5000)
+    assert bool(res.converged), f"CG resnorm {float(res.resnorm)}"
+    np.testing.assert_allclose(np.asarray(res.x).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
