@@ -1,0 +1,158 @@
+"""Multi-chip block-sharded hybrid solve (shard_map over a device Mesh).
+
+The mesh blocks are the framework's parallel axis (SURVEY §5.8): per-block
+DIA stencils and face tensors are sharded along the leading ``E`` axis of
+a 1D ``jax.sharding.Mesh(('block',))``; the only cross-chip communication
+is an ``all_gather`` of the per-block face traces (E x 4 x L — tiny
+compared to volume data) once per CG matvec, riding ICI.  The trace
+combination and the correction scatter are local after the gather.
+
+Blocks are padded with decoupled identity blocks when E is not divisible
+by the device count, so every shard has equal extent (static shapes).
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import BC_DIRICHLET
+from ..tpu.cg import cg
+from ..tpu.multiblock import BlockedHybrid
+from ..tpu.stencil import DiaOperator, dia_apply
+
+
+def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
+    """Append decoupled identity blocks so the block axis has extent E_pad."""
+    E = bp.coefs.shape[0]
+    if E_pad == E:
+        return bp
+    assert E_pad > E
+    extra = E_pad - E
+    noff = bp.coefs.shape[1]
+    Nsp, Nrp = bp.grid_shape
+    diag_k = bp.offsets.index((0, 0))
+    pad_coefs = np.zeros((extra, noff, Nsp, Nrp))
+    pad_coefs[:, diag_k] = 1.0                       # identity operator
+    coefs = jnp.concatenate([bp.coefs, jnp.asarray(pad_coefs)], axis=0)
+    T = tuple(jnp.concatenate(
+        [t, jnp.zeros((extra,) + t.shape[1:], dtype=t.dtype)], axis=0)
+        for t in bp.faces.T)
+    # dummy blocks point at face 0 but their T is zero, so no coupling;
+    # their flip flags are false
+    EToF = np.concatenate([bp.EToF, np.zeros((4, extra), dtype=np.int64)],
+                          axis=1)
+    flip = np.concatenate([bp.flip, np.zeros((4, extra), dtype=bool)], axis=1)
+    JH = jnp.concatenate(
+        [bp.JH, jnp.ones((extra, Nsp, Nrp), dtype=bp.JH.dtype)], axis=0)
+    return bp._replace(coefs=coefs, faces=bp.faces._replace(T=T),
+                       EToF=EToF, flip=flip, JH=JH)
+
+
+class ShardedSolver(NamedTuple):
+    mesh: Mesh
+    bp: BlockedHybrid          # padded
+    E: int                     # original (unpadded) block count
+    solve: callable            # (g_padded, gdelta_faces, tol) -> CGResult
+
+
+def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
+                        axis="block") -> ShardedSolver:
+    ndev = mesh.shape[axis]
+    E = bp.coefs.shape[0]
+    E_pad = ((E + ndev - 1) // ndev) * ndev
+    bpp = pad_blocks(bp, E_pad)
+    offsets = bpp.offsets
+    layers = bpp.faces.layers
+    nfaces = bpp.Dinv.shape[0]
+    L = bpp.Dinv.shape[1]
+
+    # replicated global-combination metadata (static numpy)
+    FToE, FToLF = bpp.FToE, bpp.FToLF
+    em, fm = FToE[0], FToLF[0]
+    ep, fp = FToE[1].copy(), FToLF[1].copy()
+    has_plus = ep >= 0
+    ep[~has_plus], fp[~has_plus] = 0, 0
+    pflip = bpp.flip[fp, ep] & has_plus
+    interior = bpp.interior
+
+    EToF_t = jnp.asarray(bpp.EToF.T)                 # (E_pad, 4)
+    flip_t = jnp.asarray(bpp.flip.T)                 # (E_pad, 4)
+
+    def local_traces(u, T):
+        outs = []
+        for lf in range(4):
+            lay = list(layers[lf])
+            sub = (u[:, :, lay].transpose(0, 2, 1) if lf < 2
+                   else u[:, lay, :])
+            outs.append(jnp.einsum("elak,ela->ek", T[lf], sub))
+        return jnp.stack(outs, axis=1)               # (E_loc, 4, L)
+
+    def scatter(w, T, etof_loc, flip_loc, shape):
+        out = jnp.zeros(shape, dtype=w.dtype)
+        for lf in range(4):
+            wf = w[etof_loc[:, lf], :]
+            wf = jnp.where(flip_loc[:, lf][:, None], wf[:, ::-1], wf)
+            vals = jnp.einsum("elak,ek->ela", T[lf], wf)
+            lay = list(layers[lf])
+            if lf < 2:
+                out = out.at[:, :, lay].add(vals.transpose(0, 2, 1))
+            else:
+                out = out.at[:, lay, :].add(vals)
+        return out
+
+    def combine(t_all):
+        t_m = t_all[em, fm]
+        t_p = t_all[ep, fp]
+        t_p = jnp.where(jnp.asarray(pflip)[:, None], t_p[:, ::-1], t_p)
+        t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
+        t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
+        return t * bpp.Dinv
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in range(4)),
+                  P(axis), P(axis)),
+        out_specs=P(axis))
+    def matvec_sm(u, coefs, T, etof_loc, flip_loc):
+        y = jax.vmap(lambda c, ue: dia_apply(
+            DiaOperator(coefs=c, offsets=offsets), ue))(coefs, u)
+        t_loc = local_traces(u, T)
+        t_all = jax.lax.all_gather(t_loc, axis, tiled=True)   # (E_pad,4,L)
+        w = combine(t_all)
+        return y - scatter(w, T, etof_loc, flip_loc, u.shape)
+
+    diag_k = offsets.index((0, 0))
+    diag = bpp.coefs[:, diag_k]
+
+    block_sharding = NamedSharding(mesh, P(axis))
+
+    constrain = partial(jax.lax.with_sharding_constraint,
+                        shardings=block_sharding)
+
+    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
+    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
+        """g: (E_pad, Nsp, Nrp) (zeros on padded blocks);
+        gdelta_faces: (nfaces, L)."""
+        g = constrain(g)
+        w0 = gdelta_faces * bpp.Dinv
+        coefs = constrain(bpp.coefs)
+        T = tuple(constrain(t) for t in bpp.faces.T)
+        etof = constrain(EToF_t)
+        flps = constrain(flip_t)
+
+        corr = jax.shard_map(
+            lambda w, Tl, el, fl, sh_u: scatter(w, Tl, el, fl, sh_u.shape),
+            mesh=mesh,
+            in_specs=(P(), tuple(P(axis) for _ in range(4)), P(axis),
+                      P(axis), P(axis)),
+            out_specs=P(axis))(w0, T, etof, flps, g)
+        b = g - corr
+
+        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps), b,
+                  tol=tol, maxiter=cg_maxiter,
+                  precond=lambda r: r / diag)
+
+    return ShardedSolver(mesh=mesh, bp=bpp, E=E, solve=solve)

@@ -124,7 +124,9 @@ class BP1Problem:
         return -self.W1 @ (np.asarray(delta) / 2) - (t * self.par.Vp / 2) * self.w2
 
 
-def setup(par: BP1Params = BP1Params()) -> BP1Problem:
+def setup(par: BP1Params = BP1Params(), dtype=None) -> BP1Problem:
+    """Host-side setup (float64 assembly); ``dtype`` casts the device-side
+    reduced operators (float32 for the TPU serving path)."""
     xt, yt = tan_stretch_maps(par)
     metrics = create_metrics(par.p, par.N, par.N, xt, yt)
     lop = locoperator(par.p, par.N, par.N, metrics, LFTOB)
@@ -155,22 +157,27 @@ def setup(par: BP1Params = BP1Params()) -> BP1Problem:
         - par.RSf0 / par.RSb)
     psi0 = par.RSf0 + par.RSb * np.log(par.RSV0 * theta / par.RSDc)
 
+    dt = dtype or jnp.float64
     return BP1Problem(
         par=par, lop=lop, factor=factor, yf=yf,
-        K=jnp.asarray(K), k2=jnp.asarray(k2),
-        tau1=jnp.asarray(lop.tau[0]), sJ1=jnp.asarray(lop.sJ[0]),
-        RSa=jnp.asarray(RSa), tau_z0=tau_z0, psi0=psi0,
+        K=jnp.asarray(K, dtype=dt), k2=jnp.asarray(k2, dtype=dt),
+        tau1=jnp.asarray(lop.tau[0], dtype=dt),
+        sJ1=jnp.asarray(lop.sJ[0], dtype=dt),
+        RSa=jnp.asarray(RSa, dtype=dt), tau_z0=tau_z0, psi0=psi0,
         W1=W1, w2=w2)
 
 
-def make_odefun(prob: BP1Problem):
+def make_odefun(prob: BP1Problem, newton_tol=None):
     """The jittable BP1 right-hand side (odefun.jl:8-121).
 
     State y = [psi; delta] (2(N+1),).  Returns (dy, ok) for the
-    integrator's rejection protocol.
+    integrator's rejection protocol.  ``newton_tol`` defaults to 1e-9 in
+    float64 and 3e-5 in float32 (the bf16/f32 serving path).
     """
     par = prob.par
     K, k2 = prob.K, prob.k2
+    if newton_tol is None:
+        newton_tol = 1e-9 if K.dtype == jnp.float64 else 3e-5
     tau1, sJ1, RSa = prob.tau1, prob.sJ1, prob.RSa
     mu, eta, sigma_n = par.mu_shear, par.eta, par.sigma_n
     V0, b, Dc, f0, Vp = par.RSV0, par.RSb, par.RSDc, par.RSf0, par.Vp
@@ -193,7 +200,8 @@ def make_odefun(prob: BP1Problem):
         def one(psi_i, tau_i, a_i, VR_i):
             f = lambda V: rateandstate(V, psi_i, sigma_n, tau_i, eta, a_i, V0)
             return newtbndv(f, -VR_i, VR_i, jnp.zeros_like(VR_i),
-                            ftol=1e-9, atolx=1e-9, rtolx=1e-9)
+                            ftol=newton_tol, atolx=newton_tol,
+                            rtolx=newton_tol)
 
         V, fval, iters = jax.vmap(one)(psi, tau_n, RSa, VR)
         newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)

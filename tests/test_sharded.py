@@ -1,0 +1,56 @@
+"""Multi-chip path gate: the shard_map block-sharded CG solve on a
+virtual 8-device CPU mesh reproduces the host hybrid solve."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE
+from hybridsbp_tpu.hybrid import build_problem
+from hybridsbp_tpu.ops2d import locbcarray_mod, locsourcearray
+from hybridsbp_tpu.parallel import make_sharded_solver
+from hybridsbp_tpu.tpu import build_blocked
+
+VERTS = np.array([[-1.0, 0.0, 1.0, -1.0, 0.0, 1.0],
+                  [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]])
+ETOV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
+
+
+def test_sharded_solve_matches_host():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    p, N = 2, 12
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_LOCKED_INTERFACE
+    Narr = np.full(2, N)
+    prob, _ = build_problem(p, VERTS, ETOV, ETOF, FToB, Narr, Narr)
+    bp = build_blocked(prob)
+
+    uex = lambda x, y: np.sin(np.pi * x) * np.cosh(y) + x * y
+    ux = lambda x, y: np.pi * np.cos(np.pi * x) * np.cosh(y) + y
+    uy = lambda x, y: np.sin(np.pi * x) * np.sinh(y) + x
+    f = lambda x, y: (np.pi**2 - 1) * np.sin(np.pi * x) * np.cosh(y)
+    g = np.zeros(int(prob.vstarts[-1]))
+    for e in range(2):
+        lop = prob.lops[e]
+        ge = locbcarray_mod(
+            lop, lop.bctype, lambda lf, x, y: uex(x, y),
+            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
+        ge += locsourcearray(lop, f)
+        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
+                           method="displacements")
+
+    mesh = Mesh(np.array(jax.devices()), ("block",))
+    solver = make_sharded_solver(bp, mesh)
+    E_pad = solver.bp.coefs.shape[0]
+    assert E_pad % 8 == 0
+    g_pad = np.zeros((E_pad, N + 1, N + 1))
+    g_pad[:2] = g.reshape(2, N + 1, N + 1)
+    res = solver.solve(jnp.asarray(g_pad), jnp.zeros_like(solver.bp.Dinv),
+                       tol=1e-12)
+    assert bool(res.converged), f"resnorm {float(res.resnorm)}"
+    np.testing.assert_allclose(np.asarray(res.x[:2]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+    # padded identity blocks stay exactly zero
+    np.testing.assert_allclose(np.asarray(res.x[2:]), 0.0, atol=1e-12)

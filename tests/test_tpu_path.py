@@ -119,3 +119,21 @@ def test_blocked_solve_matches_host():
     assert bool(res.converged), f"CG resnorm {float(res.resnorm)}"
     np.testing.assert_allclose(np.asarray(res.x).ravel(), u_host,
                                rtol=1e-6, atol=1e-8)
+
+
+def test_pallas_stencil_interpret_matches_sparse():
+    """The Pallas VMEM-staged kernel (interpret mode on CPU) equals the
+    sparse matvec."""
+    from hybridsbp_tpu.tpu.pallas_stencil import dia_apply_batched
+    p, N, E = 2, 10, 3
+    lop = locoperator(p, N, N, create_metrics(p, N, N),
+                      (BC_DIRICHLET, BC_NEUMANN, BC_NEUMANN, BC_DIRICHLET))
+    op = to_dia(lop.M, N + 1, N + 1)
+    rng = np.random.default_rng(9)
+    u = rng.standard_normal((E, N + 1, N + 1))
+    coefs = jnp.broadcast_to(op.coefs[None], (E,) + op.coefs.shape)
+    got = np.asarray(dia_apply_batched(jnp.asarray(coefs), op.offsets,
+                                       jnp.asarray(u), interpret=True))
+    want = np.stack([(lop.M @ u[e].ravel()).reshape(N + 1, N + 1)
+                     for e in range(E)])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
