@@ -117,54 +117,71 @@ def make_edge_override(verts, EToV, EToF, FToB):
     return override
 
 
-def run(p=6, N0=17, levels=4, method="trace", verbose=True):
-    verts, EToV, EToF, FToB, EToDomain = load_mesh()
+def assemble_level(p, N_per_block, mesh_data=None):
+    """Build the hybrid problem + MMS RHS for one refinement level.
+
+    Returns (prob, g, gdelta, delta, FTods, EToDomain, conn).
+    """
+    if mesh_data is None:
+        mesh_data = load_mesh()
+    verts, EToV, EToF, FToB, EToDomain = mesh_data
     nelems, nfaces = EToV.shape[1], len(FToB)
     override = make_edge_override(verts, EToV, EToF, FToB)
+    N = np.full(nelems, N_per_block)
+    prob, (FToE, FToLF, EToO, EToS) = build_problem(
+        p, verts, EToV, EToF, FToB, N, N, edge_override=override)
+    lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
+    FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
+
+    # slip jump data on the fault faces (minus-side ordering)
+    delta = np.zeros(int(FTods[-1]))
+    for f in range(nfaces):
+        if FToB[f] == BC_JUMP_INTERFACE:
+            e1, e2 = FToE[:, f]
+            lf1 = FToLF[0, f]
+            xf = lops[e1].facecoord[0][lf1]
+            yf = lops[e1].facecoord[1][lf1]
+            delta[FTods[f]:FTods[f + 1]] = (
+                vex(xf, yf, EToDomain[e2]) - vex(xf, yf, EToDomain[e1]))
+
+    def in_jump(lf, x, y, e):
+        f = EToF[lf, e]
+        d = delta[FTods[f]:FTods[f + 1]]
+        if EToS[lf, e] == 0:
+            assert EToO[lf, e]
+            return -d
+        return d if EToO[lf, e] else d[::-1]
+
+    g = np.zeros(int(vstarts[-1]))
+    gdelta = np.zeros(int(FToLs[-1]))
+    for e in range(nelems):
+        dom = EToDomain[e]
+        ge, gde = locbcarray(
+            lops[e], lops[e].bctype,
+            lambda lf, x, y, dom=dom: vex(x, y, dom),
+            lambda lf, x, y, nx, ny, dom=dom: (nx * vex_x(x, y, dom)
+                                               + ny * vex_y(x, y, dom)),
+            lambda lf, x, y, e=e: in_jump(lf, x, y, e))
+        ge += locsourcearray(
+            lops[e], lambda x, y, dom=dom: -polar_laplace(x, y, dom))
+        g[vstarts[e]:vstarts[e + 1]] = ge
+        for lf in range(4):
+            if gde[lf] is not None:
+                prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf, EToO)
+    return prob, g, gdelta, delta, FTods, EToDomain, (FToE, FToLF, EToO, EToS)
+
+
+def run(p=6, N0=17, levels=4, method="trace", verbose=True):
+    mesh_data = load_mesh()
+    verts, EToV, EToF, FToB, EToDomain = mesh_data
+    nelems, nfaces = EToV.shape[1], len(FToB)
 
     eps, tau_eps = [], []
     for lvl in range(levels):
-        N = np.full(nelems, N0 * 2**lvl)
-        prob, (FToE, FToLF, EToO, EToS) = build_problem(
-            p, verts, EToV, EToF, FToB, N, N, edge_override=override)
+        prob, g, gdelta, delta, FTods, EToDomain, conn = assemble_level(
+            p, N0 * 2**lvl, mesh_data)
+        FToE, FToLF, EToO, EToS = conn
         lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
-        FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
-
-        # slip jump data on the fault faces (minus-side ordering)
-        delta = np.zeros(int(FTods[-1]))
-        for f in range(nfaces):
-            if FToB[f] == BC_JUMP_INTERFACE:
-                e1, e2 = FToE[:, f]
-                lf1 = FToLF[0, f]
-                xf = lops[e1].facecoord[0][lf1]
-                yf = lops[e1].facecoord[1][lf1]
-                delta[FTods[f]:FTods[f + 1]] = (
-                    vex(xf, yf, EToDomain[e2]) - vex(xf, yf, EToDomain[e1]))
-
-        def in_jump(lf, x, y, e):
-            f = EToF[lf, e]
-            d = delta[FTods[f]:FTods[f + 1]]
-            if EToS[lf, e] == 0:
-                assert EToO[lf, e]
-                return -d
-            return d if EToO[lf, e] else d[::-1]
-
-        g = np.zeros(int(vstarts[-1]))
-        gdelta = np.zeros(int(FToLs[-1]))
-        for e in range(nelems):
-            dom = EToDomain[e]
-            ge, gde = locbcarray(
-                lops[e], lops[e].bctype,
-                lambda lf, x, y, dom=dom: vex(x, y, dom),
-                lambda lf, x, y, nx, ny, dom=dom: (nx * vex_x(x, y, dom)
-                                                   + ny * vex_y(x, y, dom)),
-                lambda lf, x, y, e=e: in_jump(lf, x, y, e))
-            ge += locsourcearray(
-                lops[e], lambda x, y, dom=dom: -polar_laplace(x, y, dom))
-            g[vstarts[e]:vstarts[e + 1]] = ge
-            for lf in range(4):
-                if gde[lf] is not None:
-                    prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf, EToO)
 
         u, lam = prob.solve(g, gdelta, method=method)
 
@@ -197,7 +214,8 @@ def run(p=6, N0=17, levels=4, method="trace", verbose=True):
         eps.append(np.sqrt(err2))
         tau_eps.append(np.sqrt(terr2))
         if verbose:
-            print(f"level {lvl + 1}: N={N[0]}  energy err {eps[-1]:.6e}  "
+            print(f"level {lvl + 1}: N={N0 * 2**lvl}  "
+                  f"energy err {eps[-1]:.6e}  "
                   f"traction err {tau_eps[-1]:.6e}")
 
     eps, tau_eps = np.array(eps), np.array(tau_eps)

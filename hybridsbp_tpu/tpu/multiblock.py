@@ -152,13 +152,15 @@ def build_blocked(prob, dtype=jnp.float64) -> BlockedHybrid:
 # matvec pieces
 # ---------------------------------------------------------------------------
 def _dia_apply_batched(bp: BlockedHybrid, u):
-    """Local part: per-block DIA stencil apply. u: (E, Nsp, Nrp)."""
-    op = DiaOperator(coefs=bp.coefs[0], offsets=bp.offsets)  # shape source
+    """Local part: per-block DIA stencil apply. u: (E, Nsp, Nrp).
 
-    def one(coefs_e, u_e):
-        return dia_apply(DiaOperator(coefs=coefs_e, offsets=bp.offsets), u_e)
+    Routes through the Pallas VMEM kernel on TPU f32; falls back to the
+    XLA fused form elsewhere (CPU tests, f64 validation runs)."""
+    from .pallas_stencil import dia_apply_batched as _apply
 
-    return jax.vmap(one)(bp.coefs, u)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and u.dtype in (jnp.float32, jnp.bfloat16))
+    return _apply(bp.coefs, bp.offsets, u, use_pallas=use_pallas)
 
 
 def block_traces(bp: BlockedHybrid, u):
@@ -232,6 +234,24 @@ def displacement_rhs(bp: BlockedHybrid, g, gdelta_faces):
     gdelta_faces: (nfaces, L) (zero on boundary faces)."""
     w = gdelta_faces * bp.Dinv
     return g - face_scatter(bp, w, 0, g.shape[0])
+
+
+def blocked_rhs_from_host(prob, g, gdelta):
+    """Convert the host assembly's stacked (g, gdelta) vectors into the
+    blocked-field layout: g -> (E, Nsp, Nrp), gdelta -> (nfaces, L)
+    (zero-padded on boundary faces)."""
+    E = len(prob.lops)
+    Nrp = prob.lops[0].Nr + 1
+    Nsp = prob.lops[0].Ns + 1
+    gb = np.asarray(g).reshape(E, Nsp, Nrp)
+    nfaces = len(prob.FToB)
+    L = Nrp
+    gd = np.zeros((nfaces, L))
+    for f in range(nfaces):
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        if s1 > s0:
+            gd[f, :s1 - s0] = np.asarray(gdelta[s0:s1])
+    return jnp.asarray(gb), jnp.asarray(gd)
 
 
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,

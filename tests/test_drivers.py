@@ -1,0 +1,55 @@
+"""End-to-end driver gates (fast configurations of the reference's
+analysis scripts)."""
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "drivers"))
+
+import square_circle  # noqa: E402
+from flower import run as flower_run  # noqa: E402
+
+from hybridsbp_tpu.tpu import build_blocked, solve_displacements  # noqa: E402
+from hybridsbp_tpu.tpu.multiblock import blocked_rhs_from_host  # noqa: E402
+
+
+def test_square_circle_mms_p2():
+    """The canonical MMS converges at rate ~2 for p=2 (sc:427)."""
+    eps, teps, rates, trates = square_circle.run(p=2, N0=8, levels=2,
+                                                 verbose=False)
+    assert rates[-1] > 1.6, f"rates {rates}"
+    assert trates[-1] > 1.0, f"traction rates {trates}"
+
+
+def test_square_circle_methods_agree():
+    mesh_data = square_circle.load_mesh()
+    prob, g, gd, delta, FTods, EToDomain, conn = \
+        square_circle.assemble_level(2, 8, mesh_data)
+    u_t, lam_t = prob.solve(g, gd, method="trace")
+    u_d, lam_d = prob.solve(g, gd, method="displacements")
+    np.testing.assert_allclose(u_t, u_d, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(lam_t, lam_d, rtol=1e-7, atol=1e-9)
+
+
+def test_square_circle_device_path_matches_host():
+    """The 56-block curved-mesh problem solved end-to-end by the batched
+    device CG (DIA stencils + face-trace coupling) matches the host
+    direct solve — the full TPU compute path on the real geometry."""
+    mesh_data = square_circle.load_mesh()
+    prob, g, gd, delta, FTods, EToDomain, conn = \
+        square_circle.assemble_level(2, 8, mesh_data)
+    u_host, _ = prob.solve(g, gd, method="displacements")
+
+    bp = build_blocked(prob)
+    gb, gdf = blocked_rhs_from_host(prob, g, gd)
+    res = solve_displacements(bp, gb, gdf, tol=1e-11, maxiter=20000)
+    assert bool(res.converged), f"CG resnorm {float(res.resnorm)}"
+    np.testing.assert_allclose(np.asarray(res.x).ravel(), u_host,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_flower_fault_network():
+    _, _, _, worst = flower_run(N=8, verbose=False)
+    assert worst < 0.05, f"fault jump error {worst}"
