@@ -224,11 +224,13 @@ def initial_state(prob: BP1Problem):
 
 
 def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
-        save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None):
+        save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None,
+        t0=0.0, y0=None):
     """Full earthquake-cycle simulation.
 
     Returns (prob, solution) where solution.save holds per-step station
     histories: log10 max slip rate, slip/state/traction at station depths.
+    Pass (t0, y0) from :func:`load_checkpoint` to resume a run.
     """
     if prob is None:
         prob = setup(par)
@@ -258,7 +260,8 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
             "V": V[stations],
         }
 
-    sol = solve_tsit5(rhs, initial_state(prob), 0.0,
+    y_init = initial_state(prob) if y0 is None else jnp.asarray(y0)
+    sol = solve_tsit5(rhs, y_init, t0,
                       par.sim_years * YEAR_SECONDS, YEAR_SECONDS,
                       rtol=rtol, atol=atol, max_steps=max_steps,
                       save_fn=save_fn, save_every=save_every)

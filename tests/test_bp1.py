@@ -93,3 +93,47 @@ def test_checkpoint_roundtrip(tmp_path):
     assert t2 == 123.0
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y))
     assert par2.N == 8 and par2.sim_years == 1.0
+
+
+def test_resume_continues_run():
+    """Checkpoint/resume: a run split at t=T matches physics continuity
+    (slip monotone, state finite)."""
+    par = bp1.BP1Params(N=16, sim_years=4.0, el=10.0)
+    prob = bp1.setup(par)
+    prob1, sol1 = bp1.run(par, prob=prob, max_steps=5000)
+    t_mid = float(sol1.t_final) / 2
+    # resume from the final state of a half-length run
+    par_half = bp1.BP1Params(N=16, sim_years=2.0, el=10.0)
+    _, sol_a = bp1.run(par_half, prob=prob, max_steps=5000)
+    par_rest = bp1.BP1Params(N=16, sim_years=4.0, el=10.0)
+    _, sol_b = bp1.run(par_rest, prob=prob, max_steps=5000,
+                       t0=float(sol_a.t_final), y0=sol_a.y_final)
+    assert bool(sol_b.stats.success)
+    y_split = np.asarray(sol_b.y_final)
+    y_full = np.asarray(sol1.y_final)
+    # both reach t=4yr with consistent slip (integration paths differ
+    # slightly; creeping solution is smooth)
+    np.testing.assert_allclose(y_split, y_full, rtol=1e-3, atol=1e-6)
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(_os.environ.get("HYBRIDSBP_SLOW_TESTS") != "1",
+                     reason="full-cycle run (set HYBRIDSBP_SLOW_TESTS=1)")
+def test_full_cycle_events():
+    """1000-year reference-resolution cycle: seismic events occur and
+    cumulative slip tracks plate motion."""
+    par = bp1.BP1Params(N=200, sim_years=1000.0)
+    prob, sol = bp1.run(par)
+    assert bool(sol.stats.success)
+    ts = np.asarray(sol.ts)
+    valid = np.isfinite(ts)
+    lv = np.asarray(sol.save["log10_vmax"])[valid]
+    seismic = lv > -3.0
+    events = int(np.sum(seismic[1:] & ~seismic[:-1]))
+    assert 3 <= events <= 20, f"unexpected event count {events}"
+    total_slip = np.asarray(sol.y_final)[par.N + 1:].max()
+    plate = par.Vp * 1000 * bp1.YEAR_SECONDS
+    assert 0.5 * plate < total_slip < 1.5 * plate
