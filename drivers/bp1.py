@@ -29,48 +29,72 @@ def main():
     ap.add_argument("--el", type=float, default=1e13)
     ap.add_argument("--max-steps", type=int, default=200_000)
     ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--chunk-steps", type=int, default=0,
+                    help="bound each device launch to this many steps "
+                         "(recommended on remote/tunneled accelerators)")
+    ap.add_argument("--dtype", default="float64",
+                    choices=["float64", "float32"])
+    ap.add_argument("--ckpt", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--plot", default=None)
     a = ap.parse_args()
 
+    import jax.numpy as jnp
+    dtype = jnp.float32 if a.dtype == "float32" else jnp.float64
     par = bp1.BP1Params(N=a.N, p=a.p, sim_years=a.years, el=a.el)
     t0 = time.time()
-    prob = bp1.setup(par)
+    prob = bp1.setup(par, dtype=dtype)
     print(f"setup: N={a.N} ({(a.N + 1) ** 2} volume DOF), "
-          f"reduced operator K: {prob.K.shape}, {time.time() - t0:.1f}s")
+          f"reduced operator K: {prob.K.shape} {a.dtype}, "
+          f"{time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
-    prob, sol = bp1.run(par, prob=prob, max_steps=a.max_steps,
-                        save_every=a.save_every)
-    wall = time.time() - t0
-    nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
-    print(f"integrated {float(sol.t_final) / bp1.YEAR_SECONDS:.1f} years in "
-          f"{wall:.1f}s wall: {nacc} accepted / {nrej} rejected steps "
-          f"({1e3 * wall / max(nacc + nrej, 1):.2f} ms/step)")
+    if a.chunk_steps:
+        prob, hist, stats = bp1.run_chunked(
+            par, prob=prob, chunk_steps=a.chunk_steps,
+            save_every=a.save_every, checkpoint_path=a.ckpt)
+        wall = time.time() - t0
+        nacc, nrej = stats["naccept"], stats["nreject"]
+        print(f"integrated {stats['t_final'] / bp1.YEAR_SECONDS:.1f} years "
+              f"in {wall:.1f}s wall ({stats['chunks']} chunks): "
+              f"{nacc} accepted / {nrej} rejected "
+              f"({1e3 * wall / max(nacc + nrej, 1):.2f} ms/step)")
+        ts, valid = hist["t"], slice(None)
+        saved = hist
+    else:
+        prob, sol = bp1.run(par, prob=prob, max_steps=a.max_steps,
+                            save_every=a.save_every)
+        wall = time.time() - t0
+        nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
+        print(f"integrated {float(sol.t_final) / bp1.YEAR_SECONDS:.1f} years "
+              f"in {wall:.1f}s wall: {nacc} accepted / {nrej} rejected steps "
+              f"({1e3 * wall / max(nacc + nrej, 1):.2f} ms/step)")
+        ts = np.asarray(sol.ts)
+        valid = np.isfinite(ts)
+        saved = {k: np.asarray(v) for k, v in sol.save.items()}
 
-    ts = np.asarray(sol.ts)
-    valid = np.isfinite(ts)
-    lv = np.asarray(sol.save["log10_vmax"])[valid]
+    lv = np.asarray(saved["log10_vmax"])[valid]
     print(f"max slip rate over run: 10^{lv.max():.2f} m/s; "
-          f"final max slip {np.asarray(sol.save['delta'])[valid][-1].max():.3f} m")
+          f"final max slip {np.asarray(saved['delta'])[valid][-1].max():.3f} m")
     # event count: excursions above 1e-3 m/s (seismic threshold)
     seismic = lv > -3.0
     events = int(np.sum(seismic[1:] & ~seismic[:-1]))
     print(f"seismic events (Vmax > 1e-3 m/s): {events}")
 
     if a.out:
-        np.savez(a.out, t=ts[valid],
-                 **{k: np.asarray(v)[valid] for k, v in sol.save.items()})
+        np.savez(a.out, t=np.asarray(ts)[valid],
+                 **{k: np.asarray(v)[valid] for k, v in saved.items()
+                    if k != "t"})
         print(f"wrote {a.out}")
     if a.plot:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots(2, 1, figsize=(8, 8))
-        tyr = ts[valid] / bp1.YEAR_SECONDS
+        tyr = np.asarray(ts)[valid] / bp1.YEAR_SECONDS
         ax[0].plot(tyr, lv)
         ax[0].set(xlabel="t (years)", ylabel="log10 max V (m/s)")
-        d = np.asarray(sol.save["delta"])[valid]
+        d = np.asarray(saved["delta"])[valid]
         for i in range(d.shape[1]):
             ax[1].plot(tyr, d[:, i])
         ax[1].set(xlabel="t (years)", ylabel="slip at stations (m)")

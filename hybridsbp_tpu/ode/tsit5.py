@@ -55,6 +55,7 @@ class Tsit5Solution(NamedTuple):
     y_final: jnp.ndarray
     t_final: jnp.ndarray
     stats: SolveStats
+    dt_final: jnp.ndarray = None   # controller step size (for resuming)
 
     @property
     def nsteps(self):
@@ -82,6 +83,10 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
     preallocated buffers (NaN-padded past the end).
     """
     y0 = jnp.asarray(y0)
+    # Time must carry more precision than the state: BP1 spans 3e10 s
+    # with event steps of ~1e-2 s, so t/dt live in float64 whenever x64
+    # is enabled even if the state is float32 (the serving path).
+    tdtype = jnp.float64 if jax.config.jax_enable_x64 else y0.dtype
 
     def eval_rhs(t, y):
         out = rhs(t, y, args)
@@ -100,7 +105,7 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
                                dtype=jnp.result_type(x, jnp.float32)), proto)
     else:
         bufs = None
-    ts_buf = jnp.full((nsave,), jnp.nan, dtype=y0.dtype)
+    ts_buf = jnp.full((nsave,), jnp.nan, dtype=tdtype)
 
     def write(bufs, ts_buf, idx, t, y):
         ts_buf = ts_buf.at[idx].set(t)
@@ -122,15 +127,16 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
         t, y, dt, k1, err_prev, nacc, nrej, nfe, isave, bufs, ts_buf, alive = c
         dt = jnp.minimum(dt, t1 - t)
 
+        dty = dt.astype(y.dtype)
         ks = [k1]
         ok_all = jnp.asarray(True)
         for i in range(1, 7):
-            yi = y + dt * sum(_A[i][j] * ks[j] for j in range(i))
+            yi = y + dty * sum(_A[i][j] * ks[j] for j in range(i))
             ki, oki = eval_rhs(t + _C[i] * dt, yi)
             ks.append(ki)
             ok_all = ok_all & oki
-        y1 = y + dt * sum(_B[j] * ks[j] for j in range(6))  # B[6] = 0
-        err = dt * sum(_BTILDE[j] * ks[j] for j in range(7))
+        y1 = y + dty * sum(_B[j] * ks[j] for j in range(6))  # B[6] = 0
+        err = dty * sum(_BTILDE[j] * ks[j] for j in range(7))
         enorm = _inf_norm_err(err, y, y1, rtol, atol)
         enorm = jnp.where(ok_all & jnp.all(jnp.isfinite(y1)), enorm, jnp.inf)
 
@@ -165,8 +171,9 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
         return (t_new, y_new, dt_next, k1_new, err_prev_new,
                 nacc2, nrej2, nfe + 6, isave2, bufs2, ts2, alive2)
 
-    init = (jnp.asarray(t0, dtype=y0.dtype), y0,
-            jnp.asarray(dt0, dtype=y0.dtype), k1_0, jnp.asarray(1.0, y0.dtype),
+    init = (jnp.asarray(t0, dtype=tdtype), y0,
+            jnp.asarray(dt0, dtype=tdtype), k1_0,
+            jnp.asarray(1.0, dtype=tdtype),
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(1), jnp.asarray(0),
             bufs, ts_buf, ok0)
     t, y, dt, k1, ep, nacc, nrej, nfe, isave, bufs, ts_buf, alive = \
@@ -175,4 +182,4 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
     stats = SolveStats(naccept=nacc, nreject=nrej, nfe=nfe,
                        success=(t >= t1))
     return Tsit5Solution(ts=ts_buf, save=bufs, y_final=y, t_final=t,
-                         stats=stats)
+                         stats=stats, dt_final=dt)

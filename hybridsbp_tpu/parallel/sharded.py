@@ -47,8 +47,23 @@ def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
     flip = np.concatenate([bp.flip, np.zeros((4, extra), dtype=bool)], axis=1)
     JH = jnp.concatenate(
         [bp.JH, jnp.ones((extra, Nsp, Nrp), dtype=bp.JH.dtype)], axis=0)
+    fd = bp.fd
+    if fd is not None:
+        from ..tpu.fastdiag import FastDiag
+        dt = fd.Qr.dtype
+        eye_r = jnp.broadcast_to(jnp.eye(Nrp, dtype=dt), (extra, Nrp, Nrp))
+        eye_s = jnp.broadcast_to(jnp.eye(Nsp, dtype=dt), (extra, Nsp, Nsp))
+        fd = FastDiag(
+            Qr=jnp.concatenate([fd.Qr, eye_r]),
+            Qs=jnp.concatenate([fd.Qs, eye_s]),
+            lam_r=jnp.concatenate(
+                [fd.lam_r, jnp.full((extra, Nrp), 0.5, dtype=dt)]),
+            lam_s=jnp.concatenate(
+                [fd.lam_s, jnp.full((extra, Nsp), 0.5, dtype=dt)]),
+            s_inv=jnp.concatenate(
+                [fd.s_inv, jnp.ones((extra, Nsp, Nrp), dtype=dt)]))
     return bp._replace(coefs=coefs, faces=bp.faces._replace(T=T),
-                       EToF=EToF, flip=flip, JH=JH)
+                       EToF=EToF, flip=flip, JH=JH, fd=fd)
 
 
 class ShardedSolver(NamedTuple):
@@ -128,6 +143,14 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
 
     diag_k = offsets.index((0, 0))
     diag = bpp.coefs[:, diag_k]
+    if bpp.fd is not None:
+        from ..tpu.fastdiag import fastdiag_apply
+
+        def precond(r):
+            return jax.vmap(fastdiag_apply)(bpp.fd, r)
+    else:
+        def precond(r):
+            return r / diag
 
     block_sharding = NamedSharding(mesh, P(axis))
 
@@ -154,7 +177,6 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         b = g - corr
 
         return cg(lambda u: matvec_sm(u, coefs, T, etof, flps), b,
-                  tol=tol, maxiter=cg_maxiter,
-                  precond=lambda r: r / diag)
+                  tol=tol, maxiter=cg_maxiter, precond=precond)
 
     return ShardedSolver(mesh=mesh, bp=bpp, E=E, solve=solve)

@@ -188,8 +188,11 @@ def make_odefun(prob: BP1Problem, newton_tol=None):
         psi = y[:n]
         delta = y[n:]
 
-        # fault traction via the reduced elliptic solve (exact)
-        hf = -(K @ (delta / 2)) - (t * Vp / 2) * k2
+        # fault traction via the reduced elliptic solve (exact); time may
+        # arrive in f64 (integrator precision) — the physics runs in the
+        # state dtype, and t only enters through the smooth loading term
+        t_phys = jnp.asarray(t * Vp / 2).astype(K.dtype)
+        hf = -(K @ (delta / 2)) - t_phys * k2
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
         tau_n = dtau + tau_z0
         tau_ok = jnp.all(jnp.isfinite(tau_n))
@@ -225,7 +228,7 @@ def initial_state(prob: BP1Problem):
 
 def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
         save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None,
-        t0=0.0, y0=None):
+        t0=0.0, y0=None, dt0=YEAR_SECONDS):
     """Full earthquake-cycle simulation.
 
     Returns (prob, solution) where solution.save holds per-step station
@@ -248,7 +251,7 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
 
     def save_fn(t, y, args):
         psi, delta = y[:n], y[n:]
-        hf = -(K @ (delta / 2)) - (t * Vp / 2) * k2
+        hf = -(K @ (delta / 2)) - jnp.asarray(t * Vp / 2).astype(K.dtype) * k2
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
         dy, _ = rhs(t, y, args)
         V = dy[n:]
@@ -262,10 +265,51 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
 
     y_init = initial_state(prob) if y0 is None else jnp.asarray(y0)
     sol = solve_tsit5(rhs, y_init, t0,
-                      par.sim_years * YEAR_SECONDS, YEAR_SECONDS,
+                      par.sim_years * YEAR_SECONDS, dt0,
                       rtol=rtol, atol=atol, max_steps=max_steps,
                       save_fn=save_fn, save_every=save_every)
     return prob, sol
+
+
+def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
+                max_chunks=200, checkpoint_path=None, dtype=None,
+                prob: Optional[BP1Problem] = None, **kw):
+    """Chunked cycle simulation: the device while_loop is bounded to
+    ``chunk_steps`` per launch and resumed from (t, y, dt) on the host.
+
+    Needed on remote/tunneled accelerators where a single multi-minute
+    XLA execution can hit worker limits, and it gives natural checkpoint
+    boundaries (``checkpoint_path`` saves state each chunk).  Returns
+    (prob, history dict with stitched station time series, stats dict).
+    """
+    if prob is None:
+        prob = setup(par, dtype=dtype)
+    t_end = par.sim_years * YEAR_SECONDS
+    t, y, dt0 = 0.0, None, YEAR_SECONDS
+    ts_all, save_all = [], []
+    nacc = nrej = 0
+    for chunk in range(max_chunks):
+        prob, sol = run(par, prob=prob, max_steps=chunk_steps,
+                        t0=t, y0=y, dt0=dt0, **kw)
+        dt0 = float(sol.dt_final)
+        ts = np.asarray(sol.ts)
+        valid = np.isfinite(ts)
+        ts_all.append(ts[valid])
+        save_all.append({k: np.asarray(v)[valid]
+                         for k, v in sol.save.items()})
+        nacc += int(sol.stats.naccept)
+        nrej += int(sol.stats.nreject)
+        t, y = float(sol.t_final), sol.y_final
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, t, y, par)
+        if t >= t_end:
+            break
+    history = {"t": np.concatenate(ts_all)}
+    for k in save_all[0]:
+        history[k] = np.concatenate([s[k] for s in save_all])
+    stats = {"naccept": nacc, "nreject": nrej, "chunks": chunk + 1,
+             "t_final": t, "success": t >= t_end, "y_final": np.asarray(y)}
+    return prob, history, stats
 
 
 # ---- checkpoint / resume (aux subsystem; the reference has none) -----------

@@ -60,6 +60,7 @@ class BlockedHybrid(NamedTuple):
     flip: np.ndarray              # (4, E) bool: plus-side orientation flip
     interior: np.ndarray          # (nfaces,) bool
     JH: jnp.ndarray               # (E, Nsp, Nrp) quadrature (for norms)
+    fd: object = None             # stacked FastDiag (block preconditioner)
 
     @property
     def grid_shape(self):
@@ -74,11 +75,12 @@ def _face_layer_sets(p, Nr, Ns):
             tuple(range(Ns - nBS + 1, Ns + 1)))      # north
 
 
-def build_blocked(prob, dtype=jnp.float64) -> BlockedHybrid:
+def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
     Requires uniform block sizes (all drivers use Nr=Ns=N per level).
     """
+    from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
 
     lops = prob.lops
@@ -139,13 +141,20 @@ def build_blocked(prob, dtype=jnp.float64) -> BlockedHybrid:
     JH = np.stack([np.asarray(lops[e].JH).reshape(Nsp, Nrp)
                    for e in range(E)])
 
+    fd = None
+    if with_fastdiag:
+        fds = [build_fastdiag(lops[e], dtype=dtype) for e in range(E)]
+        fd = FastDiag(*(jnp.stack([getattr(f, name) for f in fds])
+                        for name in FastDiag._fields))
+
     return BlockedHybrid(
         coefs=jnp.asarray(coefs, dtype=dtype), offsets=tuple(all_offs),
         faces=FaceOps(T=tuple(T), layers=layer_sets),
         Dinv=jnp.asarray(Dinv, dtype=dtype),
         FToE=np.asarray(prob.FToE), FToLF=np.asarray(prob.FToLF),
         EToF=np.asarray(prob.EToF),
-        flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype))
+        flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype),
+        fd=fd)
 
 
 # ---------------------------------------------------------------------------
@@ -255,13 +264,23 @@ def blocked_rhs_from_host(prob, g, gdelta):
 
 
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
-                        maxiter=2000):
-    """Jacobi-preconditioned CG on the eliminated SPD system (batched)."""
-    diag = None
-    for k, (ds, dr) in enumerate(bp.offsets):
-        if ds == 0 and dr == 0:
-            diag = bp.coefs[:, k]
+                        maxiter=2000, precond="auto"):
+    """CG on the eliminated SPD system (batched), block-preconditioned by
+    the fast-diagonalization solve when available (precond='fastdiag'),
+    else point Jacobi."""
+    if precond == "auto":
+        precond = "fastdiag" if bp.fd is not None else "jacobi"
+    if precond == "fastdiag":
+        from .fastdiag import fastdiag_apply
+        fd = bp.fd
+        M = lambda r: jax.vmap(fastdiag_apply)(fd, r)
+    else:
+        diag = None
+        for k, (ds, dr) in enumerate(bp.offsets):
+            if ds == 0 and dr == 0:
+                diag = bp.coefs[:, k]
+        M = lambda r: r / diag
     b = displacement_rhs(bp, g, gdelta_faces)
     res = cg(lambda u: displacement_matvec(bp, u), b,
-             tol=tol, maxiter=maxiter, precond=lambda r: r / diag)
+             tol=tol, maxiter=maxiter, precond=M)
     return res
