@@ -1,1 +1,2 @@
 from .sharded import ShardedSolver, make_sharded_solver, pad_blocks  # noqa: F401
+from .spatial import dia_apply_spatial, halo_exchange_s, make_spatial_apply  # noqa: F401

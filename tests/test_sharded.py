@@ -54,3 +54,23 @@ def test_sharded_solve_matches_host():
                                rtol=1e-6, atol=1e-8)
     # padded identity blocks stay exactly zero
     np.testing.assert_allclose(np.asarray(res.x[2:]), 0.0, atol=1e-12)
+
+
+def test_spatial_sharded_apply_matches_dense():
+    """Within-block s-axis sharding with ppermute halo exchange equals
+    the unsharded DIA apply."""
+    from hybridsbp_tpu.ops2d import locoperator
+    from hybridsbp_tpu.mesh import create_metrics
+    from hybridsbp_tpu.parallel import make_spatial_apply
+    from hybridsbp_tpu.tpu import dia_apply, to_dia
+
+    p, Nr, Ns = 4, 12, 47          # Nsp = 48 -> 6 rows per device
+    lop = locoperator(p, Nr, Ns, create_metrics(p, Nr, Ns))
+    op = to_dia(lop.M, Nr + 1, Ns + 1)
+    mesh = Mesh(np.array(jax.devices()), ("space",))
+    f = make_spatial_apply(op, mesh)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((Ns + 1, Nr + 1)))
+    got = np.asarray(f(u))
+    want = np.asarray(dia_apply(op, u))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
