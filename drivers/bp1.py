@@ -21,6 +21,35 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from hybridsbp_tpu.seas import bp1  # noqa: E402
 
 
+def plot_slip_profiles(t, delta_full, log10_vmax, yf, path,
+                       inter_dt_yr=10.0, co_dt_s=1.0):
+    """Classic SEAS slip-vs-depth figure (the plot_slip analogue,
+    BP1.jl:167-185): blue profiles every ``inter_dt_yr`` years during
+    interseismic creep, red profiles every ``co_dt_s`` seconds during
+    seismic episodes (Vmax > 1e-3 m/s)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    seismic = log10_vmax > -3.0
+    fig, ax = plt.subplots(figsize=(7, 8))
+    next_inter = 0.0
+    next_co = -np.inf
+    for i in range(len(t)):
+        if seismic[i]:
+            if t[i] >= next_co:
+                ax.plot(delta_full[i], -yf, "r-", lw=0.5)
+                next_co = t[i] + co_dt_s
+            next_inter = t[i]  # resume interseismic cadence after event
+        elif t[i] >= next_inter:
+            ax.plot(delta_full[i], -yf, "b-", lw=0.6)
+            next_inter = t[i] + inter_dt_yr * bp1.YEAR_SECONDS
+    ax.set(xlabel="slip (m)", ylabel="depth (km)",
+           title="cumulative slip profiles (blue: 10 yr, red: 1 s)")
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--years", type=float, default=1000.0)
@@ -37,6 +66,9 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--plot", default=None)
+    ap.add_argument("--slip-plot", default=None,
+                    help="write the slip-vs-depth profile figure "
+                         "(records full fault profiles)")
     a = ap.parse_args()
 
     import jax.numpy as jnp
@@ -49,10 +81,12 @@ def main():
           f"{time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
+    profiles = bool(a.slip_plot)
     if a.chunk_steps:
         prob, hist, stats = bp1.run_chunked(
             par, prob=prob, chunk_steps=a.chunk_steps,
-            save_every=a.save_every, checkpoint_path=a.ckpt)
+            save_every=a.save_every, checkpoint_path=a.ckpt,
+            save_profiles=profiles)
         wall = time.time() - t0
         nacc, nrej = stats["naccept"], stats["nreject"]
         print(f"integrated {stats['t_final'] / bp1.YEAR_SECONDS:.1f} years "
@@ -63,7 +97,7 @@ def main():
         saved = hist
     else:
         prob, sol = bp1.run(par, prob=prob, max_steps=a.max_steps,
-                            save_every=a.save_every)
+                            save_every=a.save_every, save_profiles=profiles)
         wall = time.time() - t0
         nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
         print(f"integrated {float(sol.t_final) / bp1.YEAR_SECONDS:.1f} years "
@@ -100,6 +134,11 @@ def main():
         ax[1].set(xlabel="t (years)", ylabel="slip at stations (m)")
         fig.savefig(a.plot, dpi=120)
         print(f"wrote {a.plot}")
+    if a.slip_plot:
+        plot_slip_profiles(np.asarray(ts)[valid],
+                           np.asarray(saved["delta_full"])[valid],
+                           lv, prob.yf, a.slip_plot)
+        print(f"wrote {a.slip_plot}")
 
 
 if __name__ == "__main__":

@@ -4,7 +4,7 @@ same defaults, overridable from CLI args or dicts)."""
 import argparse
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+ 
 
 
 @dataclass

@@ -7,7 +7,6 @@ circle/flower fault arcs).
 """
 from typing import Callable, Dict, Optional
 
-import numpy as np
 
 from ..mesh import connectivityarrays, create_metrics, transfinite_blend
 from ..ops2d import locoperator

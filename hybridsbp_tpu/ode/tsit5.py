@@ -12,7 +12,7 @@ The whole solve is one ``lax.while_loop`` — O(10^5) steps run on device
 with no host round-trips.  Tableau coefficients are from Tsitouras,
 Comput. Math. Appl. 62 (2011) 770-775.
 """
-from dataclasses import dataclass
+
 from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 

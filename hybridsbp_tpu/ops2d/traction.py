@@ -3,7 +3,6 @@
 Reference parity: ``computetraction`` (global_curved.jl:638-645) and
 ``computetraction_mod`` (:627-634).
 """
-import numpy as np
 
 
 def computetraction(lop, lf, u, lam, delta):

@@ -18,10 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import BC_DIRICHLET
+
 from ..tpu.cg import cg
 from ..tpu.multiblock import BlockedHybrid
-from ..tpu.stencil import DiaOperator, dia_apply
+
 
 
 def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:

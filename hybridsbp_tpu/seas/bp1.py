@@ -29,7 +29,6 @@ what makes the whole 1000-year cycle run as a single jitted
 ``lax.while_loop`` on device.
 """
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Optional
 
 import jax
@@ -40,8 +39,7 @@ import scipy.sparse.linalg as spla
 from .. import BC_DIRICHLET, BC_NEUMANN
 from ..mesh import create_metrics
 from ..ode import solve_tsit5
-from ..ops2d import locbcarray_mod, locoperator
-from ..ops2d.traction import computetraction_mod
+from ..ops2d import locoperator
 from ..physics.rateandstate import rateandstate, newtbndv
 
 YEAR_SECONDS = 31556926.0
@@ -228,7 +226,7 @@ def initial_state(prob: BP1Problem):
 
 def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
         save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None,
-        t0=0.0, y0=None, dt0=YEAR_SECONDS):
+        t0=0.0, y0=None, dt0=YEAR_SECONDS, save_profiles=False):
     """Full earthquake-cycle simulation.
 
     Returns (prob, solution) where solution.save holds per-step station
@@ -255,13 +253,16 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
         dy, _ = rhs(t, y, args)
         V = dy[n:]
-        return {
+        out = {
             "log10_vmax": jnp.log10(jnp.max(jnp.abs(V)) + 1e-40),
             "delta": delta[stations],
             "psi": psi[stations],
             "tau": (dtau + tau_z0)[stations],
             "V": V[stations],
         }
+        if save_profiles:
+            out["delta_full"] = delta
+        return out
 
     y_init = initial_state(prob) if y0 is None else jnp.asarray(y0)
     sol = solve_tsit5(rhs, y_init, t0,

@@ -3,7 +3,6 @@ analysis scripts)."""
 import os
 import sys
 
-import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "drivers"))

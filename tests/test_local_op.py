@@ -11,12 +11,11 @@
 """
 import numpy as np
 import pytest
-import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 from hybridsbp_tpu import BC_DIRICHLET, BC_NEUMANN
 from hybridsbp_tpu.mesh import create_metrics
-from hybridsbp_tpu.ops1d import build_d1, build_d2
+from hybridsbp_tpu.ops1d import build_d2
 from hybridsbp_tpu.ops2d import (
     computetraction_mod,
     locbcarray_mod,

@@ -1,8 +1,6 @@
 """Gates for the Tsit5 integrator and rate-and-state Newton solver."""
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from hybridsbp_tpu.ode import solve_tsit5
 from hybridsbp_tpu.physics import newtbndv, rateandstate, solve_slip_rates

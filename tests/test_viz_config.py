@@ -1,9 +1,8 @@
 """Viz + config + profiling smoke gates."""
 import os
 
-import numpy as np
 
-from hybridsbp_tpu.config import MMSConfig, SolverConfig
+from hybridsbp_tpu.config import MMSConfig
 from hybridsbp_tpu.mesh import read_inp_2d
 from hybridsbp_tpu.ops2d import locoperator
 from hybridsbp_tpu.utils import reset_timings, timer, timings
