@@ -73,13 +73,12 @@ class HybridProblem:
         if method == "monolithic":
             Mblk = sp.block_diag([self.lops[e].M for e in range(len(self.lops))],
                                  format="csr")
+            if not self.D.size:      # no interior faces: block-diagonal
+                return spla.spsolve(Mblk.tocsc(), g), np.zeros(0)
             A = sp.bmat([[Mblk, self.FbarT.T],
-                         [self.FbarT, sp.diags(self.D)]]
-                        if self.D.size else [[Mblk, None], [None, None]])
-            if self.D.size:
-                ulam = spla.spsolve(A.tocsc(), np.concatenate([g, gdelta]))
-                return ulam[:g.size], ulam[g.size:]
-            return spla.spsolve(Mblk.tocsc(), g), np.zeros(0)
+                         [self.FbarT, sp.diags(self.D)]])
+            ulam = spla.spsolve(A.tocsc(), np.concatenate([g, gdelta]))
+            return ulam[:g.size], ulam[g.size:]
         if method == "displacements":
             Mblk = sp.block_diag([self.lops[e].M for e in range(len(self.lops))],
                                  format="csc")
