@@ -84,7 +84,7 @@ def main():
     profiles = bool(a.slip_plot)
     if a.chunk_steps:
         prob, hist, stats = bp1.run_chunked(
-            par, prob=prob, chunk_steps=a.chunk_steps,
+            par, prob=prob, chunk_steps=a.chunk_steps, progress=True,
             save_every=a.save_every, checkpoint_path=a.ckpt,
             save_profiles=profiles)
         wall = time.time() - t0

@@ -224,17 +224,11 @@ def initial_state(prob: BP1Problem):
     return jnp.asarray(y0)
 
 
-def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
-        save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None,
-        t0=0.0, y0=None, dt0=YEAR_SECONDS, save_profiles=False):
-    """Full earthquake-cycle simulation.
-
-    Returns (prob, solution) where solution.save holds per-step station
-    histories: log10 max slip rate, slip/state/traction at station depths.
-    Pass (t0, y0) from :func:`load_checkpoint` to resume a run.
-    """
-    if prob is None:
-        prob = setup(par)
+def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False):
+    """Build (rhs, save_fn) once per problem.  Reusing the same function
+    objects across run() calls keeps the jit cache warm (each new closure
+    would otherwise recompile the whole while_loop — costly on a
+    tunneled TPU)."""
     par = prob.par
     n = par.N + 1
     if stations is None:
@@ -243,7 +237,6 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
                              for d in depths])
     stations = jnp.asarray(stations)
     rhs = make_odefun(prob)
-
     K, k2, tau1, sJ1 = prob.K, prob.k2, prob.tau1, prob.sJ1
     mu, Vp, tau_z0 = par.mu_shear, par.Vp, prob.tau_z0
 
@@ -264,6 +257,25 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
             out["delta_full"] = delta
         return out
 
+    return rhs, save_fn
+
+
+def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
+        save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None,
+        t0=0.0, y0=None, dt0=YEAR_SECONDS, save_profiles=False, _fns=None):
+    """Full earthquake-cycle simulation.
+
+    Returns (prob, solution) where solution.save holds per-step station
+    histories: log10 max slip rate, slip/state/traction at station depths.
+    Pass (t0, y0) from :func:`load_checkpoint` to resume a run.
+    """
+    if prob is None:
+        prob = setup(par)
+    par = prob.par
+    if _fns is None:
+        _fns = make_solver_fns(prob, stations=stations,
+                               save_profiles=save_profiles)
+    rhs, save_fn = _fns
     y_init = initial_state(prob) if y0 is None else jnp.asarray(y0)
     sol = solve_tsit5(rhs, y_init, t0,
                       par.sim_years * YEAR_SECONDS, dt0,
@@ -274,7 +286,7 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
 
 def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
                 max_chunks=200, checkpoint_path=None, dtype=None,
-                prob: Optional[BP1Problem] = None, **kw):
+                prob: Optional[BP1Problem] = None, progress=False, **kw):
     """Chunked cycle simulation: the device while_loop is bounded to
     ``chunk_steps`` per launch and resumed from (t, y, dt) on the host.
 
@@ -285,13 +297,16 @@ def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
     """
     if prob is None:
         prob = setup(par, dtype=dtype)
+    fns = make_solver_fns(prob, stations=kw.pop("stations", None),
+                          save_profiles=kw.get("save_profiles", False))
     t_end = par.sim_years * YEAR_SECONDS
     t, y, dt0 = 0.0, None, YEAR_SECONDS
     ts_all, save_all = [], []
     nacc = nrej = 0
+    t_prev = -1.0
     for chunk in range(max_chunks):
         prob, sol = run(par, prob=prob, max_steps=chunk_steps,
-                        t0=t, y0=y, dt0=dt0, **kw)
+                        t0=t, y0=y, dt0=dt0, _fns=fns, **kw)
         dt0 = float(sol.dt_final)
         ts = np.asarray(sol.ts)
         valid = np.isfinite(ts)
@@ -301,10 +316,18 @@ def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
         nacc += int(sol.stats.naccept)
         nrej += int(sol.stats.nreject)
         t, y = float(sol.t_final), sol.y_final
+        if progress:
+            print(f"  chunk {chunk + 1}: t = {t / YEAR_SECONDS:.1f} yr "
+                  f"({nacc} acc / {nrej} rej)", flush=True)
         if checkpoint_path:
             save_checkpoint(checkpoint_path, t, y, par)
         if t >= t_end:
             break
+        if t <= t_prev and int(sol.stats.naccept) == 0:
+            raise RuntimeError(
+                f"integration stalled at t={t / YEAR_SECONDS:.3f} yr "
+                f"(dt={dt0:.3e}s): step size collapsed")
+        t_prev = t
     history = {"t": np.concatenate(ts_all)}
     for k in save_all[0]:
         history[k] = np.concatenate([s[k] for s in save_all])
