@@ -53,8 +53,12 @@ class HybridProblem:
                    FToE=FToE, FToLF=FToLF, EToO=EToO, EToS=EToS)
         prob.B = assemble_lambda_matrix(FToLstarts, vstarts, EToF, FToB,
                                         store, D, FbarT)
-        if prob.B.shape[0]:
-            prob._B_factor = la.cho_factor(prob.B.toarray())
+        lamNp = prob.B.shape[0]
+        if lamNp:
+            if lamNp <= 4000:        # small trace systems: dense Cholesky
+                prob._B_factor = ("dense", la.cho_factor(prob.B.toarray()))
+            else:                    # large: sparse LU of the SPD B
+                prob._B_factor = ("sparse", spla.splu(prob.B.tocsc()))
         return prob
 
     # ---- solves ---------------------------------------------------------
@@ -62,8 +66,12 @@ class HybridProblem:
         """Solve the coupled system; returns (u, lam)."""
         if method == "trace":
             blam, _ = local_to_global_rhs(g, gdelta, self.store, self.FbarT)
-            lam = (la.cho_solve(self._B_factor, blam)
-                   if blam.size else np.zeros(0))
+            if not blam.size:
+                lam = np.zeros(0)
+            elif self._B_factor[0] == "dense":
+                lam = la.cho_solve(self._B_factor[1], blam)
+            else:
+                lam = self._B_factor[1].solve(blam)
             rhs = g - self.FbarT.T @ lam
             u = np.zeros_like(g)
             vs = self.vstarts

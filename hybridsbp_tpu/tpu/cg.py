@@ -21,7 +21,9 @@ class CGResult(NamedTuple):
 
 
 def _dot(a, b):
-    return jnp.vdot(a.ravel(), b.ravel())
+    # elementwise-multiply + full reduction (no reshape: keeps GSPMD
+    # shardings intact so sharded operands reduce with one psum)
+    return jnp.sum(a * b)
 
 
 def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
