@@ -17,10 +17,29 @@ def rateandstate(V, psi, sigma_n, phi, eta, a, V0):
 
     g(V) = sigma_n * a * asinh(V * Y) + eta*V - phi,
     Y = exp(psi/a) / (2 V0).
+
+    Evaluated in log space: psi/a reaches ~85 in BP1, so the literal
+    Y = exp(psi/a)/(2 V0) ~ 1e42 overflows float32.  With w = psi/a and
+    u = V/(2 V0),
+
+        asinh(u e^w) = sign(u) * (w + log(|u| + sqrt(e^{-2w} + u^2)))
+        d/dV asinh(u e^w) = 1 / (2 V0 sqrt(e^{-2w} + u^2)),
+
+    which is exact in infinite precision and stable in f32/f64 for the
+    whole BP1 range (e^{-2w} underflows gracefully to 0).
     """
-    Y = jnp.exp(psi / a) / (2.0 * V0)
-    f = a * jnp.arcsinh(V * Y)
-    dfdV = a * Y / jnp.sqrt(1.0 + (V * Y) ** 2)
+    w = psi / a
+    u = V / (2.0 * V0)
+    au = jnp.abs(u)
+    # clamp the e^{-2w} underflow (w ~ 60-90 in BP1): keeps dg/dV finite
+    # in f32 so Newton can move off V = 0 (invisible for |u| >> 1e-18)
+    root = jnp.sqrt(jnp.exp(jnp.maximum(-2.0 * w, -80.0)) + u * u)
+    asinh_uy = jnp.sign(u) * (w + jnp.log(au + root))
+    # u == 0: asinh(0) = 0 (the formula gives w + log(e^{-w}) = 0, but
+    # guard the underflowed-log(0) corner explicitly)
+    asinh_uy = jnp.where(u == 0, 0.0, asinh_uy)
+    f = a * asinh_uy
+    dfdV = a / (2.0 * V0 * root)
     g = sigma_n * f + eta * V - phi
     dgdV = sigma_n * dfdV + eta
     return g, dgdV
@@ -69,6 +88,16 @@ def newtbndv(func, xL, xR, x, ftol=1e-6, maxiter=500, minchange=0.0,
     xf = jnp.where(no_bracket, jnp.nan, xf)
     ff = jnp.where(no_bracket, jnp.nan, ff)
     return xf, ff, jnp.where(failed, -iters - 1, iters)
+
+
+def slip_rate_estimate(psi, tau, sigma_n, a, V0, clip_exp=80.0):
+    """Analytic slip rate of the non-regularized strength balance,
+    V = 2 V0 sinh(tau/(sigma_n a)) e^{-psi/a}, evaluated in log space
+    (odefun.jl:87's Vex).  An excellent Newton warm start: radiation
+    damping makes it an upper-ish estimate, and it is f32-stable."""
+    e1 = jnp.clip(tau / (sigma_n * a) - psi / a, -clip_exp, clip_exp)
+    e2 = jnp.clip(-tau / (sigma_n * a) - psi / a, -clip_exp, clip_exp)
+    return V0 * (jnp.exp(e1) - jnp.exp(e2))
 
 
 def solve_slip_rates(psi, tau, eta, sigma_n, a, V0, V_init=None,
