@@ -19,8 +19,10 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-# Tsitouras 5(4) tableau
-_C = jnp.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+# Tsitouras 5(4) tableau — plain Python floats (weakly typed) so the
+# stage arithmetic follows the state dtype instead of promoting f32
+# states to f64 when x64 is enabled for the time variables
+_C = (0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
 _A = [
     [],
     [0.161],
@@ -33,13 +35,13 @@ _A = [
     [0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
      -3.290069515436081, 2.324710524099774],
 ]
-_B = jnp.array([0.09646076681806523, 0.01, 0.4798896504144996,
-                1.379008574103742, -3.290069515436081, 2.324710524099774, 0.0])
+_B = (0.09646076681806523, 0.01, 0.4798896504144996,
+      1.379008574103742, -3.290069515436081, 2.324710524099774, 0.0)
 # b - bhat (error weights)
-_BTILDE = jnp.array([-0.00178001105222577714, -0.0008164344596567469,
-                     0.007880878010261995, -0.1447110071732629,
-                     0.5823571654525552, -0.45808210592918697,
-                     0.015151515151515152])
+_BTILDE = (-0.00178001105222577714, -0.0008164344596567469,
+           0.007880878010261995, -0.1447110071732629,
+           0.5823571654525552, -0.45808210592918697,
+           0.015151515151515152)
 
 
 class SolveStats(NamedTuple):
