@@ -1,1 +1,7 @@
-from .rateandstate import newtbndv, rateandstate, solve_slip_rates  # noqa: F401
+from .rateandstate import (  # noqa: F401
+    newtbndv,
+    newtbndv_fixed,
+    rateandstate,
+    slip_rate_estimate,
+    solve_slip_rates,
+)

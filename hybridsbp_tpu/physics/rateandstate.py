@@ -90,6 +90,49 @@ def newtbndv(func, xL, xR, x, ftol=1e-6, maxiter=500, minchange=0.0,
     return xf, ff, jnp.where(failed, -iters - 1, iters)
 
 
+def newtbndv_fixed(func, xL, xR, x, iters=25, ftol=1e-6, atolx=1e-4,
+                   rtolx=1e-4):
+    """Fixed-iteration bracketed Newton (fori_loop), batched-friendly.
+
+    Same safeguarded iteration as :func:`newtbndv`, but with a static
+    iteration count: under vmap a data-dependent while_loop runs to the
+    worst node anyway, and the static form compiles to a much simpler
+    program (important inside the BP1 outer while_loop on TPU).  With
+    the analytic warm start ~10 iterations converge; returns
+    ``(x, f, iters_pos_or_neg)`` with the same failure protocol.
+    """
+    fL, _ = func(xL)
+    fR, _ = func(xR)
+    no_bracket = fL * fR > 0
+
+    def body(_, st):
+        x, xL, xR, fL, fR, f, df, conv = st
+        dx = -f / df
+        xn = x + dx
+        bad = (xn < xL) | (xn > xR)
+        xn = jnp.where(bad, (xR + xL) / 2, xn)
+        dx = jnp.where(bad, (xR - xL) / 2, dx)
+        fn, dfn = func(xn)
+        same = fn * fL > 0
+        st_new = (xn,
+                  jnp.where(same, xn, xL), jnp.where(same, xR, xn),
+                  jnp.where(same, fn, fL), jnp.where(same, fR, fn),
+                  fn, dfn,
+                  conv | ((jnp.abs(fn) < ftol)
+                          & (jnp.abs(dx) < atolx + rtolx
+                             * (jnp.abs(dx) + jnp.abs(xn)))))
+        # freeze once converged
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(conv, old, new), st_new, st)
+
+    f0, df0 = func(x)
+    st = (x, xL, xR, fL, fR, f0, df0, jnp.asarray(False))
+    x, xL, xR, fL, fR, f, df, conv = jax.lax.fori_loop(0, iters, body, st)
+    ok = conv & ~no_bracket
+    x = jnp.where(no_bracket, jnp.nan, x)
+    return x, f, jnp.where(ok, iters, -iters)
+
+
 def slip_rate_estimate(psi, tau, sigma_n, a, V0, clip_exp=80.0):
     """Analytic slip rate of the non-regularized strength balance,
     V = 2 V0 sinh(tau/(sigma_n a)) e^{-psi/a}, evaluated in log space

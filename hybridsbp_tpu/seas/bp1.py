@@ -40,7 +40,11 @@ from .. import BC_DIRICHLET, BC_NEUMANN
 from ..mesh import create_metrics
 from ..ode import solve_tsit5
 from ..ops2d import locoperator
-from ..physics.rateandstate import newtbndv, rateandstate, slip_rate_estimate
+from ..physics.rateandstate import (
+    newtbndv_fixed,
+    rateandstate,
+    slip_rate_estimate,
+)
 
 YEAR_SECONDS = 31556926.0
 
@@ -165,12 +169,14 @@ def setup(par: BP1Params = BP1Params(), dtype=None) -> BP1Problem:
         W1=W1, w2=w2)
 
 
-def make_odefun(prob: BP1Problem, newton_tol=None):
+def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30):
     """The jittable BP1 right-hand side (odefun.jl:8-121).
 
     State y = [psi; delta] (2(N+1),).  Returns (dy, ok) for the
     integrator's rejection protocol.  ``newton_tol`` defaults to 1e-9 in
-    float64 and 3e-5 in float32 (the bf16/f32 serving path).
+    float64 and 3e-5 in float32 (the bf16/f32 serving path).  The slip
+    Newton runs a fixed ``newton_iters`` sweep (warm-started; lockstep
+    across fault nodes).
     """
     par = prob.par
     K, k2 = prob.K, prob.k2
@@ -203,9 +209,9 @@ def make_odefun(prob: BP1Problem, newton_tol=None):
 
         def one(psi_i, tau_i, a_i, VR_i, x0_i):
             f = lambda V: rateandstate(V, psi_i, sigma_n, tau_i, eta, a_i, V0)
-            return newtbndv(f, -VR_i, VR_i, x0_i,
-                            ftol=newton_tol, atolx=newton_tol,
-                            rtolx=newton_tol)
+            return newtbndv_fixed(f, -VR_i, VR_i, x0_i, iters=newton_iters,
+                                  ftol=newton_tol, atolx=newton_tol,
+                                  rtolx=newton_tol)
 
         V, fval, iters = jax.vmap(one)(psi, tau_n, RSa, VR, V_guess)
         newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)
