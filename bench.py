@@ -17,9 +17,31 @@ Prints exactly one JSON line.
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("HYBRIDSBP_X64", "0")   # f32 serving path
+
+
+def _probe_backend():
+    """The axon TPU worker can wedge (hangs any XLA call).  Probe it in a
+    subprocess with a timeout; fall back to CPU if unresponsive."""
+    if os.environ.get("HYBRIDSBP_PLATFORM"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import os; os.environ['HYBRIDSBP_X64']='0';"
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.ones(8))))"],
+            timeout=180, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        os.environ["HYBRIDSBP_PLATFORM"] = "cpu"
+        print("# TPU backend unresponsive; benching on CPU", file=sys.stderr)
+
+
+_probe_backend()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
