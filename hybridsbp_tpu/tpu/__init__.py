@@ -1,4 +1,4 @@
-from .cg import CGResult, cg  # noqa: F401
+from .cg import CGResult, cg, cg_solve  # noqa: F401
 from .stencil import DiaOperator, dia_apply, dia_diagonal, to_dia  # noqa: F401
 from .multiblock import (  # noqa: F401
     BlockedHybrid,

@@ -64,3 +64,20 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
     x, r, z, p, gamma, k = jax.lax.while_loop(cond, body, st)
     rn = jnp.sqrt(jnp.real(_dot(r, r))) / bnorm
     return CGResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)
+
+
+def cg_solve(matvec: Callable, b, *, tol=1e-10, maxiter=500,
+             precond: Optional[Callable] = None):
+    """Differentiable SPD solve: x = A^{-1} b with implicit gradients.
+
+    Wraps CG in ``lax.custom_linear_solve(symmetric=True)`` so reverse-
+    and forward-mode derivatives re-use the same (preconditioned) CG on
+    the transposed system instead of differentiating through the
+    iteration — the adjoint-state method for free.  Enables
+    gradient-based inversion (e.g. d(misfit)/d(boundary data) through
+    the hybrid elliptic solve).
+    """
+    def solve(mv, bb):
+        return cg(mv, bb, tol=tol, maxiter=maxiter, precond=precond).x
+
+    return jax.lax.custom_linear_solve(matvec, b, solve, symmetric=True)

@@ -234,3 +234,29 @@ def test_iterative_refinement_f32_to_f64():
     assert err < 1e-9, f"refined solution err {err}, norms {norms}"
     # refinement actually reduced the residual
     assert float(norms[-1]) < 1e-6 * float(norms[0])
+
+
+def test_cg_solve_implicit_gradients():
+    """Gradients flow through the SPD solve by the adjoint method:
+    d/db sum(A^{-1} b) = A^{-1} 1, and grads w.r.t. operator data match
+    finite differences."""
+    import jax
+    from hybridsbp_tpu.tpu import cg_solve
+
+    p, N = 2, 10
+    lop = locoperator(p, N, N)
+    op = to_dia(lop.M, N + 1, N + 1)
+    rng = np.random.default_rng(12)
+    b = jnp.asarray(rng.standard_normal((N + 1, N + 1)))
+
+    f = lambda bb: jnp.sum(cg_solve(lambda u: dia_apply(op, u), bb,
+                                    tol=1e-12, maxiter=2000))
+    g = jax.grad(f)(b)
+    want = spla.spsolve(lop.M, np.ones((N + 1) ** 2)).reshape(N + 1, N + 1)
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6, atol=1e-8)
+
+    # forward-mode too
+    tang = jnp.asarray(rng.standard_normal(b.shape))
+    _, jvp = jax.jvp(f, (b,), (tang,))
+    np.testing.assert_allclose(float(jvp), float(jnp.sum(g * tang)),
+                               rtol=1e-8)
