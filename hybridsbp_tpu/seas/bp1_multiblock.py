@@ -1,0 +1,259 @@
+"""Multiblock BP1: earthquake cycles on an *interior* frictional fault.
+
+The reference ships ``seas/BP1/meshes/BP1_v1.inp`` (194 blocks; side sets
+per BP1_v1.jou:34-37 — 1: remote displacement (± half plate rate),
+2: free surface, 7: frictional fault, 8: steady-sliding deep extension)
+but has no driver for it; its BP1.jl uses the single-block half-space
+short-cut.  This module runs the full multiblock problem: the fault is a
+network of interior jump faces handled by the hybridized trace solver.
+
+The hot loop uses the same exact-linearity reduction as bp1.py, now
+through the *hybrid* solve: traction on the fault dofs is affine in the
+fault slip vector and time,
+
+    tau(delta, t) = Kff @ delta + kt * t,
+
+where column j of Kff is the traction response to a unit slip basis
+vector (one hybrid trace solve each, with cached block factors) and kt
+is the response to the steady loading (deep sliding at Vp + remote
+Dirichlet at ±Vp/2).  Setup does O(n_fault) solves once; each RHS
+evaluation in the cycle is then a single dense matvec + the vmapped
+rate-and-state Newton — identical machinery to the single-block driver.
+"""
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import BC_DIRICHLET, BC_JUMP_INTERFACE, BC_NEUMANN
+from ..hybrid import build_problem
+from ..hybrid.assemble import bcstarts
+from ..ode import solve_tsit5
+from ..ops2d import computetraction, locbcarray
+from ..physics.rateandstate import (
+    newtbndv_fixed,
+    rateandstate,
+    slip_rate_estimate,
+)
+from .bp1 import YEAR_SECONDS, BP1Params
+
+BC_STEADY_SLIDE = 8
+
+
+@dataclass
+class MultiBP1Problem:
+    par: BP1Params
+    prob: object                 # HybridProblem
+    conn: tuple                  # (FToE, FToLF, EToO, EToS)
+    fault_faces: np.ndarray
+    steady_faces: np.ndarray
+    FTods: np.ndarray            # jump-face dof offsets (codes >= 7)
+    fault_dofs: np.ndarray       # indices into the delta vector
+    depth: np.ndarray            # |y| of each fault dof
+    Kff: jnp.ndarray
+    kt: jnp.ndarray
+    RSa: jnp.ndarray
+    tau_z0: float
+    psi0: np.ndarray
+
+    @property
+    def n_fault(self):
+        return len(self.fault_dofs)
+
+
+def _assemble_rhs(prob, conn, FTods, delta_jump, t_scale, par):
+    """Host RHS assembly for given jump data (over codes>=7 faces) and
+    loading scale (t_scale multiplies remote Dirichlet and nothing else;
+    the steady-slide part is inside delta_jump)."""
+    FToE, FToLF, EToO, EToS = conn
+    EToF, FToB = prob.EToF, prob.FToB
+    lops, vstarts = prob.lops, prob.vstarts
+    nelems = len(lops)
+
+    def in_jump(lf, x, y, e):
+        f = EToF[lf, e]
+        d = delta_jump[FTods[f]:FTods[f + 1]]
+        if EToS[lf, e] == 0:
+            assert EToO[lf, e]
+            return -d
+        return d if EToO[lf, e] else d[::-1]
+
+    g = np.zeros(int(vstarts[-1]))
+    gdelta = np.zeros(int(prob.FToLstarts[-1]))
+    for e in range(nelems):
+        # remote loading: +Vp/2 on the x>0 side, -Vp/2 on x<0 (jou:34)
+        xc = float(np.mean(lops[e].coord[0]))
+        side = 1.0 if xc > 0 else -1.0
+        ge, gde = locbcarray(
+            lops[e], lops[e].bctype,
+            lambda lf, x, y, s=side: np.full_like(x, s * t_scale / 2),
+            lambda lf, x, y, nx, ny: np.zeros_like(x),
+            lambda lf, x, y, e=e: in_jump(lf, x, y, e))
+        g[vstarts[e]:vstarts[e + 1]] = ge
+        for lf in range(4):
+            if gde[lf] is not None:
+                prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf, EToO)
+    return g, gdelta
+
+
+def _fault_tractions(prob, conn, FTods, fault_faces, u, lam, delta_jump):
+    FToE, FToLF, EToO, EToS = conn
+    out = []
+    for f in fault_faces:
+        e1, lf1 = FToE[0, f], FToLF[0, f]
+        lop = prob.lops[e1]
+        lrng = slice(prob.FToLstarts[f], prob.FToLstarts[f + 1])
+        drng = slice(FTods[f], FTods[f + 1])
+        urng = slice(prob.vstarts[e1], prob.vstarts[e1 + 1])
+        out.append(computetraction(lop, lf1, u[urng], lam[lrng],
+                                   delta_jump[drng]))
+    return np.concatenate(out)
+
+
+def setup(par: BP1Params = None, N: int = 16, p: int = 2,
+          mesh_path=None, dtype=None, verbose=False) -> MultiBP1Problem:
+    import os
+    par = par or BP1Params(N=N, p=p)
+    if mesh_path is None:
+        mesh_path = os.path.join(os.path.dirname(__file__), "..", "..",
+                                 "meshes", "seas_bp1", "BP1_v1.inp")
+    from ..mesh import read_inp_2d
+    bc_map = [BC_DIRICHLET, BC_NEUMANN, 3, 4, 5, 6, BC_JUMP_INTERFACE,
+              BC_STEADY_SLIDE]
+    verts, EToV, EToF, FToB, _ = read_inp_2d(mesh_path, bc_map=bc_map)
+    nelems = EToV.shape[1]
+    Narr = np.full(nelems, N)
+    prob, conn = build_problem(p, verts, EToV, EToF, FToB, Narr, Narr)
+    FToE, FToLF, EToO, EToS = conn
+    lops = prob.lops
+
+    fault_faces = np.where(FToB == BC_JUMP_INTERFACE)[0]
+    steady_faces = np.where(FToB == BC_STEADY_SLIDE)[0]
+    FTods = bcstarts(FToB, FToE, FToLF,
+                     [BC_JUMP_INTERFACE, BC_STEADY_SLIDE], lops)
+
+    fault_dofs = np.concatenate([
+        np.arange(FTods[f], FTods[f + 1]) for f in fault_faces])
+    depth = np.concatenate([
+        np.abs(np.asarray(lops[FToE[0, f]].facecoord[1][FToLF[0, f]]))
+        for f in fault_faces])
+
+    nd = int(FTods[-1])
+    nf = len(fault_dofs)
+    if verbose:
+        print(f"multiblock BP1: {nelems} blocks, {len(fault_faces)} fault "
+              f"faces ({nf} dofs), {len(steady_faces)} steady faces")
+
+    # --- linear response: one hybrid solve per fault dof + one loading.
+    # Sign: the fault's minus side is the x<0 element whose fault face has
+    # outward normal +x (opposite to the single-block case where the
+    # fault is the west *boundary*), so the stress change is
+    # +mu * traction here: slip relieves stress (diag Kff < 0) and the
+    # steady deep sliding loads the locked section (kt > 0).
+    mu = par.mu_shear
+    Kff = np.zeros((nf, nf))
+    for col, j in enumerate(fault_dofs):
+        dj = np.zeros(nd)
+        dj[j] = 1.0
+        g, gd = _assemble_rhs(prob, conn, FTods, dj, 0.0, par)
+        u, lam = prob.solve(g, gd, method="trace")
+        Kff[:, col] = mu * _fault_tractions(prob, conn, FTods, fault_faces,
+                                             u, lam, dj)
+        if verbose and col % 50 == 0:
+            print(f"  unit-slip solve {col + 1}/{nf}")
+
+    # loading response per unit t: steady faces slide at Vp, remote at Vp/2
+    d_load = np.zeros(nd)
+    for f in steady_faces:
+        d_load[FTods[f]:FTods[f + 1]] = par.Vp
+    g, gd = _assemble_rhs(prob, conn, FTods, d_load, par.Vp, par)
+    u, lam = prob.solve(g, gd, method="trace")
+    kt = mu * _fault_tractions(prob, conn, FTods, fault_faces, u, lam,
+                                d_load)
+
+    # friction parameters by depth, pre-stress/state as in BP1
+    RSa = par.RSamin - (par.RSamin - par.RSamax) * np.minimum(
+        1.0, np.maximum(0.0, (par.RSH1 - depth) / (par.RSH1 - par.RSH2)))
+    tau_z0 = float(
+        par.sigma_n * par.RSamax * np.arcsinh(
+            par.RSVinit / (2 * par.RSV0)
+            * np.exp((par.RSf0 + par.RSb * np.log(par.RSV0 / par.RSVinit))
+                     / par.RSamax))
+        + par.eta * par.RSVinit)
+    theta = (par.RSDc / par.RSV0) * np.exp(
+        (RSa / par.RSb) * np.log(
+            (2 * par.RSV0 / par.RSVinit)
+            * np.sinh((tau_z0 - par.eta * par.RSVinit) / (RSa * par.sigma_n)))
+        - par.RSf0 / par.RSb)
+    psi0 = par.RSf0 + par.RSb * np.log(par.RSV0 * theta / par.RSDc)
+
+    dt = dtype or jnp.float64
+    return MultiBP1Problem(
+        par=par, prob=prob, conn=conn, fault_faces=fault_faces,
+        steady_faces=steady_faces, FTods=np.asarray(FTods),
+        fault_dofs=fault_dofs, depth=depth,
+        Kff=jnp.asarray(Kff, dtype=dt), kt=jnp.asarray(kt, dtype=dt),
+        RSa=jnp.asarray(RSa, dtype=dt), tau_z0=tau_z0, psi0=psi0)
+
+
+def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=30):
+    """State y = [psi; delta] over the fault dofs; rhs as in BP1."""
+    par = mp.par
+    Kff, kt, RSa = mp.Kff, mp.kt, mp.RSa
+    if newton_tol is None:
+        newton_tol = 1e-9 if Kff.dtype == jnp.float64 else 3e-5
+    eta, sigma_n = par.eta, par.sigma_n
+    V0, b, Dc, f0 = par.RSV0, par.RSb, par.RSDc, par.RSf0
+    tau_z0 = mp.tau_z0
+    n = mp.n_fault
+
+    def rhs(t, y, args):
+        psi, delta = y[:n], y[n:]
+        dtau = Kff @ delta + jnp.asarray(t).astype(Kff.dtype) * kt
+        tau_n = dtau + tau_z0
+        tau_ok = jnp.all(jnp.isfinite(tau_n))
+
+        VR = jnp.abs(tau_n / eta)
+        Vg = jnp.clip(slip_rate_estimate(psi, tau_n, sigma_n, RSa, V0),
+                      -0.95 * VR, 0.95 * VR)
+
+        def one(pi, ti, ai, vri, x0i):
+            f = lambda V: rateandstate(V, pi, sigma_n, ti, eta, ai, V0)
+            return newtbndv_fixed(f, -vri, vri, x0i, iters=newton_iters,
+                                  ftol=newton_tol, atolx=newton_tol,
+                                  rtolx=newton_tol)
+
+        V, fv, it = jax.vmap(one)(psi, tau_n, RSa, VR, Vg)
+        ok = tau_ok & jnp.all(jnp.isfinite(V)) & jnp.all(it >= 0)
+        dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi) / b) - jnp.abs(V) / V0)
+        ok = ok & jnp.all(jnp.isfinite(dpsi))
+        return jnp.concatenate([dpsi, V]), ok
+
+    return rhs
+
+
+def initial_state(mp: MultiBP1Problem):
+    n = mp.n_fault
+    y0 = np.zeros(2 * n)
+    y0[:n] = mp.psi0
+    return jnp.asarray(y0, dtype=mp.Kff.dtype)
+
+
+def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
+        max_steps=100_000, save_every=1):
+    sim_years = sim_years or mp.par.sim_years
+    rhs = make_odefun(mp)
+    n = mp.n_fault
+
+    def save_fn(t, y, args):
+        dy, _ = rhs(t, y, args)
+        return {"log10_vmax": jnp.log10(jnp.max(jnp.abs(dy[n:])) + 1e-40),
+                "delta_max": jnp.max(y[n:])}
+
+    sol = solve_tsit5(rhs, initial_state(mp), 0.0,
+                      sim_years * YEAR_SECONDS, YEAR_SECONDS,
+                      rtol=rtol, atol=atol, max_steps=max_steps,
+                      save_fn=save_fn, save_every=save_every)
+    return sol

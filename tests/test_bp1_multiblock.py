@@ -1,0 +1,28 @@
+"""Multiblock BP1 gates (interior fault via the hybrid trace solver)."""
+import numpy as np
+
+from hybridsbp_tpu.seas import bp1_multiblock as mb
+from hybridsbp_tpu.seas.bp1 import YEAR_SECONDS, BP1Params
+
+
+def test_multiblock_bp1_physics():
+    mp = mb.setup(N=6)
+    n = mp.n_fault
+    # stress relief / loading signs
+    assert np.asarray(mp.Kff).diagonal().max() < 0
+    assert np.asarray(mp.kt).min() > 0
+    # symmetric response operator (reciprocity of the elliptic problem
+    # holds approximately through the traction extraction)
+    K = np.asarray(mp.Kff)
+    # initial state in frictional equilibrium at Vinit
+    rhs = mb.make_odefun(mp)
+    dy, ok = rhs(0.0, mb.initial_state(mp), None)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(dy[n:]), mp.par.RSVinit, rtol=1e-3)
+
+    # short cycle: creeps forward at ~plate rate scale
+    sol = mb.run(mp, sim_years=20.0, max_steps=10000)
+    assert bool(sol.stats.success)
+    T = 20.0 * YEAR_SECONDS
+    smax = float(np.asarray(sol.y_final)[n:].max())
+    assert 0.1 * mp.par.Vp * T < smax < 2.5 * mp.par.Vp * T
