@@ -191,6 +191,12 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30):
     def rhs(t, y, args):
         psi = y[:n]
         delta = y[n:]
+        # per-member friction overrides for ensemble runs
+        if isinstance(args, dict):
+            a_arr = args.get("RSa", RSa)
+            tz0_ = args.get("tau_z0", tau_z0)
+        else:
+            a_arr, tz0_ = RSa, tau_z0
 
         # fault traction via the reduced elliptic solve (exact); time may
         # arrive in f64 (integrator precision) — the physics runs in the
@@ -198,13 +204,13 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30):
         t_phys = jnp.asarray(t * Vp / 2).astype(K.dtype)
         hf = -(K @ (delta / 2)) - t_phys * k2
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
-        tau_n = dtau + tau_z0
+        tau_n = dtau + tz0_
         tau_ok = jnp.all(jnp.isfinite(tau_n))
 
         # per-node bracketed Newton for slip rate (odefun.jl:80-85),
         # warm-started from the analytic log-space estimate
         VR = jnp.abs(tau_n / eta)
-        V_guess = slip_rate_estimate(psi, tau_n, sigma_n, RSa, V0)
+        V_guess = slip_rate_estimate(psi, tau_n, sigma_n, a_arr, V0)
         V_guess = jnp.clip(V_guess, -0.95 * VR, 0.95 * VR)
 
         def one(psi_i, tau_i, a_i, VR_i, x0_i):
@@ -213,7 +219,9 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30):
                                   ftol=newton_tol, atolx=newton_tol,
                                   rtolx=newton_tol)
 
-        V, fval, iters = jax.vmap(one)(psi, tau_n, RSa, VR, V_guess)
+        V, fval, iters = jax.vmap(one)(psi, tau_n,
+                                       jnp.broadcast_to(a_arr, psi.shape),
+                                       VR, V_guess)
         newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)
 
         dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi) / b) - jnp.abs(V) / V0)
@@ -292,6 +300,55 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
                       rtol=rtol, atol=atol, max_steps=max_steps,
                       save_fn=save_fn, save_every=save_every)
     return prob, sol
+
+
+def run_ensemble(prob: BP1Problem, RSa_batch, *, tau_z0_batch=None,
+                 sim_years=None, rtol=1e-3, atol=1e-5, max_steps=50_000,
+                 save_every=1, stations=None):
+    """Vmapped ensemble of earthquake cycles over friction-parameter sets.
+
+    All M members share the precomputed reduced elliptic operator K (the
+    geometry), and differ in the rate-and-state ``a`` profile (and
+    optionally pre-stress).  The whole ensemble integrates as one
+    batched while_loop: K@delta becomes an (M, n) x (n, n) MXU matmul
+    and the Newton runs across M*n nodes in lockstep — the TPU-native
+    way to run parameter studies/UQ sweeps that the reference could only
+    do one sequential cycle at a time.
+
+    Each member carries its own adaptive (t, dt); the batched loop runs
+    until every member finishes.  Returns the vmapped Tsit5Solution
+    (leading axis M on every field).
+    """
+    par = prob.par
+    sim_years = sim_years or par.sim_years
+    rhs, save_fn = make_solver_fns(prob, stations=stations)
+    M, n = RSa_batch.shape
+    assert n == par.N + 1
+    RSa_batch = jnp.asarray(RSa_batch, dtype=prob.K.dtype)
+    if tau_z0_batch is None:
+        tau_z0_batch = jnp.full((M,), prob.tau_z0, dtype=prob.K.dtype)
+    else:
+        tau_z0_batch = jnp.asarray(tau_z0_batch, dtype=prob.K.dtype)
+
+    # per-member consistent initial state (stress balance at Vinit)
+    th = (par.RSDc / par.RSV0) * jnp.exp(
+        (RSa_batch / par.RSb) * jnp.log(
+            (2 * par.RSV0 / par.RSVinit)
+            * jnp.sinh((tau_z0_batch[:, None] - par.eta * par.RSVinit)
+                       / (RSa_batch * par.sigma_n)))
+        - par.RSf0 / par.RSb)
+    psi0 = par.RSf0 + par.RSb * jnp.log(par.RSV0 * th / par.RSDc)
+    y0 = jnp.concatenate(
+        [psi0, jnp.zeros_like(psi0)], axis=1).astype(prob.K.dtype)
+
+    def solve_one(y0_m, RSa_m, tz0_m):
+        return solve_tsit5(rhs, y0_m, 0.0, sim_years * YEAR_SECONDS,
+                           YEAR_SECONDS, args={"RSa": RSa_m,
+                                               "tau_z0": tz0_m},
+                           rtol=rtol, atol=atol, max_steps=max_steps,
+                           save_fn=save_fn, save_every=save_every)
+
+    return jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
 
 
 def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
