@@ -260,3 +260,30 @@ def test_cg_solve_implicit_gradients():
     _, jvp = jax.jvp(f, (b,), (tang,))
     np.testing.assert_allclose(float(jvp), float(jnp.sum(g * tang)),
                                rtol=1e-8)
+
+
+def test_bf16_inner_refinement():
+    """bf16 DIA matvec + fastdiag-CG inner solves, refined to f64: the
+    half-bandwidth serving path is numerically viable."""
+    from hybridsbp_tpu.tpu.fastdiag import build_fastdiag, fastdiag_apply
+    from hybridsbp_tpu.tpu.refine import iterative_refinement
+
+    p, N = 2, 24
+    lop = locoperator(p, N, N)
+    op64 = to_dia(lop.M, N + 1, N + 1)
+    op16 = to_dia(lop.M, N + 1, N + 1, dtype=jnp.bfloat16)
+    fd16 = build_fastdiag(lop, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((N + 1, N + 1))
+
+    def solve16(r):
+        return cg(lambda u: dia_apply(op16, u),
+                  jnp.asarray(r, jnp.bfloat16), tol=3e-2, maxiter=100,
+                  precond=lambda rr: fastdiag_apply(fd16, rr)).x
+
+    x, norms = iterative_refinement(solve16,
+                                    lambda u: dia_apply(op64, u),
+                                    jnp.asarray(b), sweeps=8)
+    want = spla.spsolve(lop.M, b.ravel()).reshape(N + 1, N + 1)
+    err = np.abs(np.asarray(x) - want).max() / np.abs(want).max()
+    assert err < 1e-12, f"bf16-refined err {err}"
