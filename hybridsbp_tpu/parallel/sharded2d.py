@@ -1,0 +1,175 @@
+"""2D-mesh hybrid solve: blocks x within-block spatial sharding.
+
+Composes the two parallel axes on a ``Mesh(('block', 'space'))``:
+
+- ``block``: domain decomposition (the dp-like axis) — per-block DIA
+  stencils, face tensors, and fields sharded on the leading E axis;
+  cross-block coupling via one all_gather of face traces per matvec.
+- ``space``: the s axis of every block sharded (sp/tp-like) — the
+  stencil uses a ppermute halo exchange; west/east face traces are
+  psum-reduced partial contractions; south/north faces live on the edge
+  space-shards (owner-computes with masked gathers/scatters).
+
+This is the full communication pattern of the hybridized method on a
+2D device grid: nearest-neighbor halos + tiny face collectives, all
+riding ICI.  Preconditioning is point-Jacobi here (the
+fast-diagonalization transform is dense along s; use the 1D block mesh
+when fastdiag preconditioning dominates).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..tpu.cg import cg
+from ..tpu.multiblock import BlockedHybrid
+from .sharded import pad_blocks
+from .spatial import halo_exchange_s
+
+
+def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
+                           block_axis="block", space_axis="space"):
+    nb = mesh.shape[block_axis]
+    ns = mesh.shape[space_axis]
+    E = bp.coefs.shape[0]
+    E_pad = ((E + nb - 1) // nb) * nb
+    bpp = pad_blocks(bp, E_pad)
+    offsets = bpp.offsets
+    layers = bpp.faces.layers
+    Nsp, Nrp = bpp.grid_shape
+    L = bpp.Dinv.shape[1]
+    if Nsp % ns != 0:
+        raise ValueError(f"s extent {Nsp} not divisible by {ns} devices")
+    S_loc = Nsp // ns
+    S_halo = max(abs(ds) for ds, _ in offsets)
+    if S_halo > S_loc:
+        raise ValueError(f"halo {S_halo} > local rows {S_loc}")
+
+    FToE, FToLF = bpp.FToE, bpp.FToLF
+    em, fm = FToE[0], FToLF[0]
+    ep, fp = FToE[1].copy(), FToLF[1].copy()
+    has_plus = ep >= 0
+    ep[~has_plus], fp[~has_plus] = 0, 0
+    pflip = bpp.flip[fp, ep] & has_plus
+    interior = bpp.interior
+
+    EToF_t = jnp.asarray(bpp.EToF.T)
+    flip_t = jnp.asarray(bpp.flip.T)
+
+    R_halo = max(abs(dr) for _, dr in offsets)
+
+    def dia_local(coefs_loc, u_loc):
+        """Per-block DIA apply with s-halo exchange; u_loc (E, S_loc, Nrp)."""
+        top, bot = halo_exchange_s(u_loc, S_halo, space_axis)
+        up = jnp.concatenate([top, u_loc, bot], axis=-2)
+        up = jnp.pad(up, ((0, 0), (0, 0), (R_halo, R_halo)))
+        out = jnp.zeros_like(u_loc)
+        for k, (ds, dr) in enumerate(offsets):
+            sh = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(up, S_halo + ds, S_halo + ds + S_loc,
+                                     axis=-2),
+                R_halo + dr, R_halo + dr + Nrp, axis=-1)
+            out = out + coefs_loc[:, k] * sh
+        return out
+
+    def traces_local(u_loc, T_we, T_sn):
+        """(E_loc, 4, L) face traces from the local s-rows (psum'd)."""
+        off = jax.lax.axis_index(space_axis) * S_loc
+        outs = []
+        for lf in (0, 1):
+            lay = list(layers[lf])                     # r-layers, full
+            sub = u_loc[:, :, lay].transpose(0, 2, 1)  # (E, nlay, S_loc)
+            outs.append(jnp.einsum("elak,ela->ek", T_we[lf], sub))
+        for i, lf in enumerate((2, 3)):
+            acc = jnp.zeros(u_loc.shape[:1] + (L,), dtype=u_loc.dtype)
+            for li, l_global in enumerate(layers[lf]):
+                owned = (l_global >= off) & (l_global < off + S_loc)
+                idx = jnp.clip(l_global - off, 0, S_loc - 1)
+                row = u_loc[:, idx, :] * owned          # (E, Nrp)
+                acc = acc + jnp.einsum("eak,ea->ek", T_sn[i][:, li], row)
+            outs.append(acc)
+        t = jnp.stack(outs, axis=1)
+        return jax.lax.psum(t, space_axis)
+
+    def scatter_local(w, T_we, T_sn, etof_loc, flip_loc, shape):
+        """sum_lf F[lf] @ w(face) restricted to the local s-rows."""
+        off = jax.lax.axis_index(space_axis) * S_loc
+        out = jnp.zeros(shape, dtype=w.dtype)
+        for lf in (0, 1):
+            wf = w[etof_loc[:, lf], :]
+            wf = jnp.where(flip_loc[:, lf][:, None], wf[:, ::-1], wf)
+            vals = jnp.einsum("elak,ek->ela", T_we[lf], wf)  # (E,nlay,S_loc)
+            lay = list(layers[lf])
+            out = out.at[:, :, lay].add(vals.transpose(0, 2, 1))
+        for i, lf in enumerate((2, 3)):
+            wf = w[etof_loc[:, lf], :]
+            wf = jnp.where(flip_loc[:, lf][:, None], wf[:, ::-1], wf)
+            for li, l_global in enumerate(layers[lf]):
+                owned = (l_global >= off) & (l_global < off + S_loc)
+                idx = jnp.clip(l_global - off, 0, S_loc - 1)
+                vals = jnp.einsum("eak,ek->ea", T_sn[i][:, li], wf) * owned
+                out = out.at[:, idx, :].add(vals)
+        return out
+
+    def combine(t_all):
+        t_m = t_all[em, fm]
+        t_p = t_all[ep, fp]
+        t_p = jnp.where(jnp.asarray(pflip)[:, None], t_p[:, ::-1], t_p)
+        t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
+        t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
+        return t * bpp.Dinv
+
+    # sharded face tensors: west/east sharded along the volume-row axis;
+    # south/north replicated (their layer rows live on edge shards)
+    spec_we = P(block_axis, None, space_axis, None)
+    spec_sn = P(block_axis, None, None, None)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(block_axis, space_axis, None),
+                  P(block_axis, None, space_axis, None),
+                  (spec_we, spec_we), (spec_sn, spec_sn),
+                  P(block_axis), P(block_axis)),
+        out_specs=P(block_axis, space_axis, None))
+    def matvec_sm(u, coefs, T_we, T_sn, etof_loc, flip_loc):
+        y = dia_local(coefs, u)
+        t_loc = traces_local(u, T_we, T_sn)
+        t_all = jax.lax.all_gather(t_loc, block_axis, tiled=True)
+        w = combine(t_all)
+        return y - scatter_local(w, T_we, T_sn, etof_loc, flip_loc, u.shape)
+
+    diag_k = offsets.index((0, 0))
+    diag = bpp.coefs[:, diag_k]
+
+    sh_u = NamedSharding(mesh, P(block_axis, space_axis, None))
+    sh_c = NamedSharding(mesh, P(block_axis, None, space_axis, None))
+    sh_e = NamedSharding(mesh, P(block_axis))
+
+    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
+    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
+        g = jax.lax.with_sharding_constraint(g, sh_u)
+        coefs = jax.lax.with_sharding_constraint(bpp.coefs, sh_c)
+        T_we = tuple(jax.lax.with_sharding_constraint(
+            bpp.faces.T[lf], NamedSharding(mesh, spec_we)) for lf in (0, 1))
+        T_sn = tuple(bpp.faces.T[lf] for lf in (2, 3))
+        etof = jax.lax.with_sharding_constraint(EToF_t, sh_e)
+        flps = jax.lax.with_sharding_constraint(flip_t, sh_e)
+
+        w0 = gdelta_faces * bpp.Dinv
+        corr = jax.shard_map(
+            lambda w, twe, tsn, el, fl, su: scatter_local(
+                w, twe, tsn, el, fl, su.shape),
+            mesh=mesh,
+            in_specs=(P(), (spec_we, spec_we), (spec_sn, spec_sn),
+                      P(block_axis), P(block_axis),
+                      P(block_axis, space_axis, None)),
+            out_specs=P(block_axis, space_axis, None))(
+                w0, T_we, T_sn, etof, flps, g)
+        b = g - corr
+        return cg(lambda u: matvec_sm(u, coefs, T_we, T_sn, etof, flps), b,
+                  tol=tol, maxiter=cg_maxiter,
+                  precond=lambda r: r / diag)
+
+    return bpp, solve

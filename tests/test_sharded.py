@@ -74,3 +74,47 @@ def test_spatial_sharded_apply_matches_dense():
     got = np.asarray(f(u))
     want = np.asarray(dia_apply(op, u))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_2d_mesh_block_and_space_sharding():
+    """Full 2D-mesh composition: 4 blocks over a (2 block x 4 space)
+    device grid, CG solve matches the host direct solve."""
+    from hybridsbp_tpu.parallel.sharded2d import make_sharded_solver_2d
+    from hybridsbp_tpu.ops2d import locbcarray_mod, locsourcearray
+
+    # 4-block strip mesh with locked interfaces
+    verts = np.array(
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    E = 4
+    ETOV4 = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
+    ETOF4 = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
+    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:4] = BC_LOCKED_INTERFACE
+    N = 47                      # Nsp = 48 -> 12 rows per space shard
+    Narr = np.full(E, N)
+    prob, _ = build_problem(2, verts, ETOV4, ETOF4, FToB, Narr, Narr)
+    bp = build_blocked(prob)
+
+    uex = lambda x, y: np.sin(x) * np.cosh(y)
+    ux = lambda x, y: np.cos(x) * np.cosh(y)
+    uy = lambda x, y: np.sin(x) * np.sinh(y)
+    g = np.zeros(int(prob.vstarts[-1]))
+    for e in range(E):
+        lop = prob.lops[e]
+        ge = locbcarray_mod(
+            lop, lop.bctype, lambda lf, x, y: uex(x, y),
+            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
+        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
+                           method="displacements")
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("block", "space"))
+    bpp, solve = make_sharded_solver_2d(bp, mesh)
+    E_pad = bpp.coefs.shape[0]
+    g_pad = np.zeros((E_pad, N + 1, N + 1))
+    g_pad[:E] = g.reshape(E, N + 1, N + 1)
+    res = solve(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv), tol=1e-11)
+    assert bool(res.converged), f"resnorm {float(res.resnorm)}"
+    np.testing.assert_allclose(np.asarray(res.x[:E]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
