@@ -19,10 +19,14 @@ import jax.numpy as jnp
 from .stencil import DiaOperator, dia_apply
 
 
-def _kernel(offsets, Nsp, Nrp, S, R, up_ref, coef_ref, out_ref):
+def _kernel(offsets, Nsp, Nrp, S, R, u_ref, coef_ref, out_ref):
+    # stage the halo-padded field in VMEM (cheap on-chip pad; avoids an
+    # HBM round-trip of a padded copy)
+    up = jnp.pad(u_ref[0], ((S, S), (R, R)))
     acc = jnp.zeros((Nsp, Nrp), dtype=out_ref.dtype)
     for k, (ds, dr) in enumerate(offsets):
-        shifted = up_ref[0, S + ds:S + ds + Nsp, R + dr:R + dr + Nrp]
+        shifted = jax.lax.slice(up, (S + ds, R + dr),
+                                (S + ds + Nsp, R + dr + Nrp))
         acc = acc + coef_ref[0, k] * shifted
     out_ref[0] = acc
 
@@ -36,13 +40,12 @@ def _dia_apply_pallas(coefs, u, offsets, interpret=False):
     E, noff, Nsp, Nrp = coefs.shape
     S = max(abs(ds) for ds, _ in offsets)
     R = max(abs(dr) for _, dr in offsets)
-    up = jnp.pad(u, ((0, 0), (S, S), (R, R)))
 
     return pl.pallas_call(
         partial(_kernel, offsets, Nsp, Nrp, S, R),
         grid=(E,),
         in_specs=[
-            pl.BlockSpec((1, Nsp + 2 * S, Nrp + 2 * R),
+            pl.BlockSpec((1, Nsp, Nrp),
                          lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, noff, Nsp, Nrp),
                          lambda e: (e, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -51,7 +54,7 @@ def _dia_apply_pallas(coefs, u, offsets, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, Nsp, Nrp), u.dtype),
         interpret=interpret,
-    )(up, coefs)
+    )(u, coefs)
 
 
 def dia_apply_batched(op_coefs, offsets, u, *, use_pallas=None,
