@@ -263,6 +263,16 @@ def blocked_rhs_from_host(prob, g, gdelta):
     return jnp.asarray(gb), jnp.asarray(gd)
 
 
+def recover_lambda(bp: BlockedHybrid, u, gdelta_faces):
+    """Trace variables from a displacement solve:
+    lambda_f = D^{-1}(g_delta - Fbar u) per interior face (square_circle's
+    eliminated-method recovery), as a (nfaces, L) array."""
+    fb = combine_traces(bp, block_traces(bp, u)) / jnp.where(
+        bp.Dinv == 0, 1.0, bp.Dinv)          # un-scale to raw Fbar u
+    lam = (gdelta_faces - fb) * bp.Dinv
+    return jnp.where(jnp.asarray(bp.interior)[:, None], lam, 0.0)
+
+
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
                         maxiter=2000, precond="auto"):
     """CG on the eliminated SPD system (batched), block-preconditioned by

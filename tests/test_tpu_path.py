@@ -287,3 +287,22 @@ def test_bf16_inner_refinement():
     want = spla.spsolve(lop.M, b.ravel()).reshape(N + 1, N + 1)
     err = np.abs(np.asarray(x) - want).max() / np.abs(want).max()
     assert err < 1e-12, f"bf16-refined err {err}"
+
+
+def test_recover_lambda_matches_host():
+    from hybridsbp_tpu.tpu.multiblock import blocked_rhs_from_host, recover_lambda
+    from hybridsbp_tpu.tpu import solve_displacements
+    p, N = 2, 12
+    prob = _two_block(p=p, N=N)
+    bp = build_blocked(prob)
+    rng = np.random.default_rng(8)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gd = rng.standard_normal(int(prob.FToLstarts[-1]))
+    u_host, lam_host = prob.solve(g, gd, method="displacements")
+    gb, gdf = blocked_rhs_from_host(prob, g, gd)
+    res = solve_displacements(bp, gb, gdf, tol=1e-12, maxiter=5000)
+    lam = np.asarray(recover_lambda(bp, res.x, gdf))
+    for f in np.where(bp.interior)[0]:
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        np.testing.assert_allclose(lam[f, :s1 - s0], lam_host[s0:s1],
+                                   rtol=1e-6, atol=1e-8)
