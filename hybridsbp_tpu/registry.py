@@ -1,0 +1,73 @@
+"""Problem registry — the framework's "model zoo".
+
+Maps problem names to their driver entry points so tools can enumerate
+and launch every supported configuration (the reference's five driver
+scripts plus the capabilities added here).
+"""
+from dataclasses import dataclass
+from typing import Callable, Dict
+
+
+@dataclass(frozen=True)
+class Problem:
+    name: str
+    description: str
+    run: Callable     # keyword-configurable entry returning results
+
+
+def _square_circle(**kw):
+    from drivers.square_circle import run
+    return run(**kw)
+
+
+def _bp1(**kw):
+    from .seas import bp1
+    par = bp1.BP1Params(**{k: v for k, v in kw.items()
+                           if k in bp1.BP1Params.__dataclass_fields__})
+    rest = {k: v for k, v in kw.items()
+            if k not in bp1.BP1Params.__dataclass_fields__}
+    return bp1.run_chunked(par, **rest)
+
+
+def _bp1_multiblock(**kw):
+    from .seas import bp1_multiblock as mb
+    mp = mb.setup(N=kw.pop("N", 16), p=kw.pop("p", 2))
+    return mp, mb.run(mp, **kw)
+
+
+def _flower(**kw):
+    from drivers.flower import run
+    return run(**kw)
+
+
+def _single_block(**kw):
+    from drivers.single_block import main
+    return main(**kw)
+
+
+REGISTRY: Dict[str, Problem] = {
+    p.name: p for p in [
+        Problem("square_circle",
+                "two-material circle-in-square MMS convergence study "
+                "(square_circle.jl)", _square_circle),
+        Problem("bp1",
+                "SEAS BP1 single-block earthquake cycle (seas/BP1/BP1.jl)",
+                _bp1),
+        Problem("bp1_multiblock",
+                "earthquake cycle on the interior-fault BP1_v1 multiblock "
+                "mesh (no reference driver exists)", _bp1_multiblock),
+        Problem("flower",
+                "flower fault-network hybrid solve (meshes/flower_v2.inp)",
+                _flower),
+        Problem("single_block",
+                "constant-solution smoke test (seas/BP1/single_block.jl)",
+                _single_block),
+    ]
+}
+
+
+def get(name: str) -> Problem:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown problem {name!r}; available: "
+                       f"{sorted(REGISTRY)}")
+    return REGISTRY[name]

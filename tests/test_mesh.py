@@ -144,3 +144,21 @@ def test_metrics_nonpositive_jacobian_raises():
     bad_x = lambda r, s: (-r, -np.ones_like(r), np.zeros_like(r))
     with pytest.raises(ValueError, match="Jacobian"):
         create_metrics(2, 4, 4, bad_x)
+
+
+def test_blend_corner_mismatch_raises():
+    from hybridsbp_tpu.mesh import transfinite_blend
+    e1 = lambda a: -1.0 + 0 * a
+    e2 = lambda a: 1.0 + 0 * a
+    e3 = lambda a: np.asarray(a, dtype=float)
+    e4 = lambda a: np.asarray(a, dtype=float) + 0.5   # corners inconsistent
+    z = lambda a: 0 * a
+    with pytest.raises(ValueError, match="corners"):
+        transfinite_blend(e1, e2, e3, e4, z, z, z, z, 0.0, 0.0)
+
+
+def test_inp_reader_errors(tmp_path):
+    bad = tmp_path / "bad.inp"
+    bad.write_text("*HEADING\nnothing here\n")
+    with pytest.raises(ValueError, match="ALLNODES"):
+        read_inp_2d(str(bad))

@@ -42,3 +42,14 @@ def test_timers():
         sum(range(1000))
     n, tot, mean = timings()["unit"]
     assert n == 1 and tot >= 0
+
+
+def test_registry_and_cli_listing(capsys):
+    from hybridsbp_tpu.registry import REGISTRY, get
+    assert {"square_circle", "bp1", "bp1_multiblock", "flower",
+            "single_block"} <= set(REGISTRY)
+    import pytest
+    with pytest.raises(KeyError):
+        get("nope")
+    from hybridsbp_tpu.__main__ import main
+    assert main(["list"]) == 0
