@@ -202,7 +202,11 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30):
         # arrive in f64 (integrator precision) — the physics runs in the
         # state dtype, and t only enters through the smooth loading term
         t_phys = jnp.asarray(t * Vp / 2).astype(K.dtype)
-        hf = -(K @ (delta / 2)) - t_phys * k2
+        # full-precision matmul: the TPU default (bf16 MXU passes) puts
+        # ~0.4% noise on the traction, which destroys the step-size
+        # controller's error estimate
+        hf = -jnp.matmul(K, delta / 2,
+                         precision=jax.lax.Precision.HIGHEST) - t_phys * k2
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
         tau_n = dtau + tz0_
         tau_ok = jnp.all(jnp.isfinite(tau_n))
@@ -259,7 +263,8 @@ def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False):
 
     def save_fn(t, y, args):
         psi, delta = y[:n], y[n:]
-        hf = -(K @ (delta / 2)) - jnp.asarray(t * Vp / 2).astype(K.dtype) * k2
+        hf = -jnp.matmul(K, delta / 2, precision=jax.lax.Precision.HIGHEST) \
+            - jnp.asarray(t * Vp / 2).astype(K.dtype) * k2
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
         dy, _ = rhs(t, y, args)
         V = dy[n:]

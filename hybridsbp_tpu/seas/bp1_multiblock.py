@@ -211,7 +211,8 @@ def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=30):
 
     def rhs(t, y, args):
         psi, delta = y[:n], y[n:]
-        dtau = Kff @ delta + jnp.asarray(t).astype(Kff.dtype) * kt
+        dtau = jnp.matmul(Kff, delta, precision=jax.lax.Precision.HIGHEST) \
+            + jnp.asarray(t).astype(Kff.dtype) * kt
         tau_n = dtau + tau_z0
         tau_ok = jnp.all(jnp.isfinite(tau_n))
 
