@@ -23,6 +23,18 @@ if os.environ.get("HYBRIDSBP_X64", "1") != "0":
 if os.environ.get("HYBRIDSBP_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["HYBRIDSBP_PLATFORM"])
 
+# Persistent compilation cache: repeated driver runs (and chunked TPU
+# launches) skip the multi-minute tunnel compiles.  Disable with
+# HYBRIDSBP_CACHE_DIR=0.
+_cache_dir = os.environ.get("HYBRIDSBP_CACHE_DIR",
+                            os.path.expanduser("~/.cache/hybridsbp_jax"))
+if _cache_dir and _cache_dir != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 __version__ = "0.1.0"
 
 BC_DIRICHLET = 1
