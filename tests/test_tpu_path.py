@@ -306,3 +306,44 @@ def test_recover_lambda_matches_host():
         s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
         np.testing.assert_allclose(lam[f, :s1 - s0], lam_host[s0:s1],
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_fastdiag_p6_curved():
+    """fastdiag remains an effective preconditioner at p=6 on a curved
+    block (31 stencil offsets, crs != 0)."""
+    from hybridsbp_tpu.tpu.fastdiag import build_fastdiag, fastdiag_apply
+
+    def xf(r, s):
+        R = 1.5 + 0.5 * r
+        th = np.pi / 4 * s
+        return R * np.cos(th), 0.5 * np.cos(th), -R * np.pi / 4 * np.sin(th)
+
+    def yf(r, s):
+        R = 1.5 + 0.5 * r
+        th = np.pi / 4 * s
+        return R * np.sin(th), 0.5 * np.sin(th), R * np.pi / 4 * np.cos(th)
+
+    p, N = 6, 26
+    m = create_metrics(p, N, N, xf, yf)
+    lop = locoperator(p, N, N, m)
+    op = to_dia(lop.M, N + 1, N + 1)
+    fd = build_fastdiag(lop)
+    rng = np.random.default_rng(21)
+    b = jnp.asarray(rng.standard_normal((N + 1, N + 1)))
+    res = cg(lambda u: dia_apply(op, u), b, tol=1e-10, maxiter=2000,
+             precond=lambda r: fastdiag_apply(fd, r))
+    assert bool(res.converged) and int(res.iters) < 200, \
+        f"iters {int(res.iters)}"
+    want = spla.spsolve(lop.M, np.asarray(b).ravel()).reshape(N + 1, N + 1)
+    np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-5, atol=1e-7)
+
+
+def test_reference_style_aliases():
+    from hybridsbp_tpu.ops1d import (
+        diagonal_sbp_D1, diagonal_sbp_D2, variable_diagonal_sbp_D2)
+    D, HI, H, r = diagonal_sbp_D1(4, 20)
+    assert D.shape == (21, 21)
+    out = diagonal_sbp_D2(4, 20)
+    assert len(out) == 6
+    out = variable_diagonal_sbp_D2(4, 20, 1.0)
+    assert len(out) == 7
