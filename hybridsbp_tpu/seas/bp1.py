@@ -126,18 +126,54 @@ class BP1Problem:
         return -self.W1 @ (np.asarray(delta) / 2) - (t * self.par.Vp / 2) * self.w2
 
 
-def setup(par: BP1Params = BP1Params(), dtype=None) -> BP1Problem:
-    """Host-side setup (float64 assembly); ``dtype`` casts the device-side
-    reduced operators (float32 for the TPU serving path)."""
+def setup(par: BP1Params = BP1Params(), dtype=None,
+          solver: str = "direct") -> BP1Problem:
+    """Setup; ``dtype`` casts the device-side reduced operators (float32
+    for the TPU serving path).
+
+    ``solver='direct'`` builds the reduced operators with a host sparse
+    factorization; ``solver='cg'`` solves the N+2 right-hand sides on
+    device with vmapped fastdiag-preconditioned CG + f64 refinement —
+    no sparse direct solve anywhere (the fully device-native path for
+    large N).
+    """
     xt, yt = tan_stretch_maps(par)
     metrics = create_metrics(par.p, par.N, par.N, xt, yt)
     lop = locoperator(par.p, par.N, par.N, metrics, LFTOB)
-    factor = spla.splu(lop.M.tocsc())
 
-    # reduced operators: W1 = M^{-1} F_fault, w2 = M^{-1} F_remote @ 1
     F1 = lop.F[0].toarray()
-    W1 = factor.solve(F1)
-    w2 = factor.solve(np.asarray(lop.F[1] @ np.ones(par.N + 1)))
+    rhs_all = np.concatenate(
+        [F1, np.asarray(lop.F[1] @ np.ones(par.N + 1))[:, None]], axis=1)
+    if solver == "direct":
+        factor = spla.splu(lop.M.tocsc())
+        sols = factor.solve(rhs_all)
+    elif solver == "cg":
+        import jax as _jax
+
+        from ..tpu import cg, dia_apply, to_dia
+        from ..tpu.fastdiag import build_fastdiag, fastdiag_apply
+
+        factor = None
+        op = to_dia(lop.M, par.N + 1, par.N + 1)
+        fd = build_fastdiag(lop)
+
+        def solve_one(b2d):
+            return cg(lambda u: dia_apply(op, u), b2d, tol=1e-11,
+                      maxiter=3000,
+                      precond=lambda r: fastdiag_apply(fd, r)).x
+
+        B = jnp.asarray(rhs_all.T.reshape(-1, par.N + 1, par.N + 1))
+        batch_solve = _jax.jit(_jax.vmap(solve_one))
+        X = batch_solve(B)
+        # one restarted-CG correction sweep pushes the stiffest columns
+        # (corner fault dofs on strongly stretched grids) past stagnation
+        R = B - _jax.vmap(lambda x: dia_apply(op, x))(X)
+        X = X + batch_solve(R)
+        sols = np.asarray(X).reshape(-1, (par.N + 1) ** 2).T
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+    W1 = sols[:, :-1]
+    w2 = sols[:, -1]
     HfI_FT1 = lop.HfI_FT[0]
     K = np.asarray(HfI_FT1 @ W1)
     k2 = np.asarray(HfI_FT1 @ w2)

@@ -51,12 +51,16 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
     def body(st):
         x, r, z, p, gamma, k = st
         Ap = matvec(p)
-        alpha = gamma / jnp.real(_dot(p, Ap))
+        # guarded divisions: under vmap, lanes that already converged
+        # keep iterating until the whole batch is done, and their
+        # vanishing gamma/pAp must not produce 0/0 NaNs
+        pAp = jnp.real(_dot(p, Ap))
+        alpha = gamma / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         gamma_new = jnp.real(_dot(r, z))
-        beta = gamma_new / gamma
+        beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
         p = z + beta * p
         return (x, r, z, p, gamma_new, k + 1)
 

@@ -161,3 +161,15 @@ def test_ensemble_cycles():
     assert (smax > 0.01 * par.Vp * T).all() and (smax < 20 * par.Vp * T).all()
     # members genuinely differ
     assert np.std(y[:, :n].mean(axis=1)) > 1e-6
+
+
+def test_cg_setup_matches_direct():
+    """The device-native (CG) reduced-operator build matches the host
+    sparse-direct build."""
+    par = bp1.BP1Params(N=20, el=10.0)
+    pd = bp1.setup(par, solver="direct")
+    pc = bp1.setup(par, solver="cg")
+    np.testing.assert_allclose(np.asarray(pc.K), np.asarray(pd.K),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pc.k2), np.asarray(pd.k2),
+                               rtol=1e-7, atol=1e-9)
