@@ -29,16 +29,20 @@ def _probe_backend():
     subprocess with a timeout; fall back to CPU if unresponsive."""
     if os.environ.get("HYBRIDSBP_PLATFORM"):
         return
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import os; os.environ['HYBRIDSBP_X64']='0';"
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.sum(jnp.ones(8))))"],
-            timeout=180, check=True, capture_output=True)
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        os.environ["HYBRIDSBP_PLATFORM"] = "cpu"
-        print("# TPU backend unresponsive; benching on CPU", file=sys.stderr)
+    for attempt in range(2):
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import os; os.environ['HYBRIDSBP_X64']='0';"
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones(8))))"],
+                timeout=300, check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if attempt == 0:
+                time.sleep(60)
+    os.environ["HYBRIDSBP_PLATFORM"] = "cpu"
+    print("# TPU backend unresponsive; benching on CPU", file=sys.stderr)
 
 
 _probe_backend()
