@@ -90,6 +90,21 @@ def newtbndv(func, xL, xR, x, ftol=1e-6, maxiter=500, minchange=0.0,
     return xf, ff, jnp.where(failed, -iters - 1, iters)
 
 
+def strength_balance_hoisted(V, w, e2w, sigma_n, phi, eta, a, V0):
+    """rateandstate() with the iteration-independent pieces precomputed:
+    w = psi/a and e2w = exp(max(-2w, -80)).  Inside the Newton loop this
+    leaves one sqrt + one log per evaluation — the dominant cost when
+    the friction solve runs in (TPU-emulated) float64."""
+    u = V / (2.0 * V0)
+    au = jnp.abs(u)
+    root = jnp.sqrt(e2w + u * u)
+    asinh_uy = jnp.sign(u) * (w + jnp.log(au + root))
+    asinh_uy = jnp.where(u == 0, 0.0, asinh_uy)
+    g = sigma_n * (a * asinh_uy) + eta * V - phi
+    dgdV = sigma_n * (a / (2.0 * V0 * root)) + eta
+    return g, dgdV
+
+
 def newtbndv_fixed(func, xL, xR, x, iters=25, ftol=1e-6, atolx=1e-4,
                    rtolx=1e-4):
     """Fixed-iteration bracketed Newton (fori_loop), batched-friendly.

@@ -42,8 +42,8 @@ from ..ode import solve_tsit5
 from ..ops2d import locoperator
 from ..physics.rateandstate import (
     newtbndv_fixed,
-    rateandstate,
     slip_rate_estimate,
+    strength_balance_hoisted,
 )
 
 YEAR_SECONDS = 31556926.0
@@ -205,19 +205,28 @@ def setup(par: BP1Params = BP1Params(), dtype=None,
         W1=W1, w2=w2)
 
 
-def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30):
+def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30,
+                newton_dtype=None):
     """The jittable BP1 right-hand side (odefun.jl:8-121).
 
     State y = [psi; delta] (2(N+1),).  Returns (dy, ok) for the
-    integrator's rejection protocol.  ``newton_tol`` defaults to 1e-9 in
-    float64 and 3e-5 in float32 (the bf16/f32 serving path).  The slip
-    Newton runs a fixed ``newton_iters`` sweep (warm-started; lockstep
-    across fault nodes).
+    integrator's rejection protocol.  The slip Newton runs a fixed
+    ``newton_iters`` sweep (warm-started; lockstep across fault nodes).
+
+    Even on the f32 serving path the *friction Newton* runs in float64
+    when x64 is enabled (``newton_dtype``): it is 201 scalars of
+    transcendental math (cheap even emulated on TPU), and in f32 the
+    strength function's own evaluation noise (sigma*a*(psi/a)*O(eps32)
+    ~1e-4 with TPU transcendentals) sits above any usable ftol — the
+    marginal node then never converges and storms the step controller.
     """
     par = prob.par
     K, k2 = prob.K, prob.k2
+    if newton_dtype is None:
+        newton_dtype = (jnp.float64 if jax.config.jax_enable_x64
+                        else K.dtype)
     if newton_tol is None:
-        newton_tol = 1e-9 if K.dtype == jnp.float64 else 3e-5
+        newton_tol = 1e-9 if newton_dtype == jnp.float64 else 1.2e-4
     tau1, sJ1, RSa = prob.tau1, prob.sJ1, prob.RSa
     mu, eta, sigma_n = par.mu_shear, par.eta, par.sigma_n
     V0, b, Dc, f0, Vp = par.RSV0, par.RSb, par.RSDc, par.RSf0, par.Vp
@@ -248,27 +257,34 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30):
         tau_ok = jnp.all(jnp.isfinite(tau_n))
 
         # per-node bracketed Newton for slip rate (odefun.jl:80-85),
-        # warm-started from the analytic log-space estimate
-        VR = jnp.abs(tau_n / eta)
-        V_guess = slip_rate_estimate(psi, tau_n, sigma_n, a_arr, V0)
+        # warm-started from the analytic log-space estimate, computed in
+        # newton_dtype (f64 when available — see docstring)
+        psi_n = psi.astype(newton_dtype)
+        tau_nn = tau_n.astype(newton_dtype)
+        a_n = jnp.broadcast_to(a_arr, psi.shape).astype(newton_dtype)
+        VR = jnp.abs(tau_nn / eta)
+        V_guess = slip_rate_estimate(psi_n, tau_nn, sigma_n, a_n, V0)
         V_guess = jnp.clip(V_guess, -0.95 * VR, 0.95 * VR)
 
-        def one(psi_i, tau_i, a_i, VR_i, x0_i):
-            f = lambda V: rateandstate(V, psi_i, sigma_n, tau_i, eta, a_i, V0)
+        w_n = psi_n / a_n
+        e2w_n = jnp.exp(jnp.maximum(-2.0 * w_n, -80.0))
+
+        def one(w_i, e2w_i, tau_i, a_i, VR_i, x0_i):
+            f = lambda V: strength_balance_hoisted(
+                V, w_i, e2w_i, sigma_n, tau_i, eta, a_i, V0)
             return newtbndv_fixed(f, -VR_i, VR_i, x0_i, iters=newton_iters,
                                   ftol=newton_tol, atolx=newton_tol,
                                   rtolx=newton_tol)
 
-        V, fval, iters = jax.vmap(one)(psi, tau_n,
-                                       jnp.broadcast_to(a_arr, psi.shape),
-                                       VR, V_guess)
+        V, fval, iters = jax.vmap(one)(w_n, e2w_n, tau_nn, a_n, VR, V_guess)
         newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)
 
-        dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi) / b) - jnp.abs(V) / V0)
+        dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi_n) / b)
+                                - jnp.abs(V) / V0)
         psi_ok = jnp.all(jnp.isfinite(dpsi))
 
         ok = tau_ok & newton_ok & psi_ok
-        dy = jnp.concatenate([dpsi, V])
+        dy = jnp.concatenate([dpsi.astype(y.dtype), V.astype(y.dtype)])
         return dy, ok
 
     return rhs

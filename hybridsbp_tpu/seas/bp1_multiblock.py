@@ -203,7 +203,7 @@ def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=30):
     par = mp.par
     Kff, kt, RSa = mp.Kff, mp.kt, mp.RSa
     if newton_tol is None:
-        newton_tol = 1e-9 if Kff.dtype == jnp.float64 else 3e-5
+        newton_tol = 1e-9 if Kff.dtype == jnp.float64 else 1.2e-4
     eta, sigma_n = par.eta, par.sigma_n
     V0, b, Dc, f0 = par.RSV0, par.RSb, par.RSDc, par.RSf0
     tau_z0 = mp.tau_z0
