@@ -205,7 +205,7 @@ def setup(par: BP1Params = BP1Params(), dtype=None,
         W1=W1, w2=w2)
 
 
-def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=30,
+def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
                 newton_dtype=None):
     """The jittable BP1 right-hand side (odefun.jl:8-121).
 

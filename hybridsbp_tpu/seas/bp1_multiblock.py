@@ -198,7 +198,7 @@ def setup(par: BP1Params = None, N: int = 16, p: int = 2,
         RSa=jnp.asarray(RSa, dtype=dt), tau_z0=tau_z0, psi0=psi0)
 
 
-def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=30):
+def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20):
     """State y = [psi; delta] over the fault dofs; rhs as in BP1."""
     par = mp.par
     Kff, kt, RSa = mp.Kff, mp.kt, mp.RSa
