@@ -83,6 +83,8 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
 
+    dtype = jax.dtypes.canonicalize_dtype(dtype)  # f64 -> f32 when x64 off
+
     lops = prob.lops
     E = len(lops)
     l0 = lops[0]
