@@ -20,8 +20,8 @@ Dirichlet at ±Vp/2).  Setup does O(n_fault) solves once; each RHS
 evaluation in the cycle is then a single dense matvec + the vmapped
 rate-and-state Newton — identical machinery to the single-block driver.
 """
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
+
 
 import jax
 import jax.numpy as jnp

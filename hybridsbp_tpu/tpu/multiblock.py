@@ -32,7 +32,7 @@ import numpy as np
 from .. import BC_JUMP_INTERFACE, BC_LOCKED_INTERFACE
 from ..ops1d import vd2_tables
 from .cg import cg
-from .stencil import DiaOperator
+
 
 
 class FaceOps(NamedTuple):

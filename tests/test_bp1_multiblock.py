@@ -2,7 +2,7 @@
 import numpy as np
 
 from hybridsbp_tpu.seas import bp1_multiblock as mb
-from hybridsbp_tpu.seas.bp1 import YEAR_SECONDS, BP1Params
+from hybridsbp_tpu.seas.bp1 import YEAR_SECONDS
 
 
 def test_multiblock_bp1_physics():
