@@ -133,9 +133,7 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         out_specs=P(axis))
     def matvec_sm(u, coefs, T, etof_loc, flip_loc):
         from ..tpu.pallas_stencil import dia_apply_batched
-        use_pallas = (jax.default_backend() == "tpu"
-                      and u.dtype in (jnp.float32, jnp.bfloat16))
-        y = dia_apply_batched(coefs, offsets, u, use_pallas=use_pallas)
+        y = dia_apply_batched(coefs, offsets, u)  # auto kernel choice
         t_loc = local_traces(u, T)
         t_all = jax.lax.all_gather(t_loc, axis, tiled=True)   # (E_pad,4,L)
         w = combine(t_all)

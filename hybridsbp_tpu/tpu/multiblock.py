@@ -169,9 +169,7 @@ def _dia_apply_batched(bp: BlockedHybrid, u):
     XLA fused form elsewhere (CPU tests, f64 validation runs)."""
     from .pallas_stencil import dia_apply_batched as _apply
 
-    use_pallas = (jax.default_backend() == "tpu"
-                  and u.dtype in (jnp.float32, jnp.bfloat16))
-    return _apply(bp.coefs, bp.offsets, u, use_pallas=use_pallas)
+    return _apply(bp.coefs, bp.offsets, u)  # auto: pallas on large TPU blocks
 
 
 def block_traces(bp: BlockedHybrid, u):

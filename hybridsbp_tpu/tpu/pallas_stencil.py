@@ -62,9 +62,14 @@ def dia_apply_batched(op_coefs, offsets, u, *, use_pallas=None,
     """Batched DIA apply; picks the Pallas kernel on TPU backends.
 
     op_coefs: (E, noff, Nsp, Nrp); u: (E, Nsp, Nrp).
+
+    Auto mode engages the kernel only for large blocks: Mosaic rejects
+    some small unaligned shapes, and below ~128 lanes the XLA fusion is
+    equally bandwidth-bound anyway.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and min(u.shape[-1], u.shape[-2]) >= 128)
     if use_pallas or interpret:
         return _dia_apply_pallas(op_coefs, u, tuple(offsets),
                                  interpret=interpret)
