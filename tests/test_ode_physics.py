@@ -100,3 +100,15 @@ def test_solve_slip_rates_consistency():
                              sigma_n, a, V0)
     assert bool(np.all(ok))
     np.testing.assert_allclose(np.array(V), Vinit, rtol=1e-4)
+
+
+def test_hoisted_strength_balance_matches():
+    from hybridsbp_tpu.physics.rateandstate import strength_balance_hoisted
+    V = jnp.linspace(-2.0, 2.0, 9)
+    psi, a, sg, eta, V0, phi = 0.82, 0.012, 50.0, 4.6, 1e-6, 28.0
+    g1, dg1 = rateandstate(V, psi, sg, phi, eta, a, V0)
+    w = psi / a
+    e2w = jnp.exp(jnp.maximum(-2.0 * w, -80.0))
+    g2, dg2 = strength_balance_hoisted(V, w, e2w, sg, phi, eta, a, V0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2), rtol=1e-12)
