@@ -263,6 +263,55 @@ def blocked_rhs_from_host(prob, g, gdelta):
     return jnp.asarray(gb), jnp.asarray(gd)
 
 
+def build_woodbury(bp: BlockedHybrid, prob, dtype=None):
+    """Two-level preconditioner data: the dense inverse of the assembled
+    trace Schur complement B, embedded in the face-padded layout.
+
+    Exact identity (Woodbury on C = M - Fbar' D^{-1} Fbar):
+
+        C^{-1} = M^{-1} + M^{-1} Fbar' B^{-1} Fbar M^{-1},
+        B = D - Fbar M^{-1} Fbar'.
+
+    Replacing M^{-1} by the fastdiag block solve gives an SPD two-level
+    preconditioner whose quality is limited only by the fastdiag error —
+    iteration counts become block-count-independent.  B is small
+    (interior faces x (N+1)); its dense inverse applies as one MXU
+    matmul.
+    """
+    dtype = dtype or bp.coefs.dtype
+    nfaces, L = bp.Dinv.shape
+    Binv = np.linalg.inv(prob.B.toarray())
+    emb = np.zeros((nfaces * L, nfaces * L))
+    idx = []
+    for f in range(nfaces):
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        idx.extend(range(f * L, f * L + (s1 - s0)))
+    idx = np.asarray(idx, dtype=np.int64)
+    emb[np.ix_(idx, idx)] = Binv
+    return jnp.asarray(emb, dtype=dtype)
+
+
+def _fbar_raw(bp: BlockedHybrid, u):
+    """(Fbar u) in the face-padded layout (no D^{-1} scaling)."""
+    t = combine_traces(bp, block_traces(bp, u))
+    return t / jnp.where(bp.Dinv == 0, 1.0, bp.Dinv)
+
+
+def woodbury_precond(bp: BlockedHybrid, Binv_pad):
+    """SPD two-level preconditioner r -> FD r + FD Fbar' B^{-1} Fbar FD r."""
+    from .fastdiag import fastdiag_apply
+
+    def M(r):
+        z1 = jax.vmap(fastdiag_apply)(bp.fd, r)
+        t = _fbar_raw(bp, z1)
+        y = (Binv_pad @ t.reshape(-1)).reshape(t.shape)
+        z2 = jax.vmap(fastdiag_apply)(
+            bp.fd, face_scatter(bp, y, 0, r.shape[0]))
+        return z1 + z2
+
+    return M
+
+
 def recover_lambda(bp: BlockedHybrid, u, gdelta_faces):
     """Trace variables from a displacement solve:
     lambda_f = D^{-1}(g_delta - Fbar u) per interior face (square_circle's
@@ -275,21 +324,26 @@ def recover_lambda(bp: BlockedHybrid, u, gdelta_faces):
 
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
                         maxiter=2000, precond="auto"):
-    """CG on the eliminated SPD system (batched), block-preconditioned by
-    the fast-diagonalization solve when available (precond='fastdiag'),
-    else point Jacobi."""
+    """CG on the eliminated SPD system (batched).
+
+    ``precond``: 'auto' (fastdiag when available), 'fastdiag', 'jacobi',
+    or a callable r -> P^{-1} r (e.g. :func:`woodbury_precond`)."""
     if precond == "auto":
         precond = "fastdiag" if bp.fd is not None else "jacobi"
-    if precond == "fastdiag":
+    if callable(precond):
+        M = precond
+    elif precond == "fastdiag":
         from .fastdiag import fastdiag_apply
         fd = bp.fd
         M = lambda r: jax.vmap(fastdiag_apply)(fd, r)
-    else:
+    elif precond == "jacobi":
         diag = None
         for k, (ds, dr) in enumerate(bp.offsets):
             if ds == 0 and dr == 0:
                 diag = bp.coefs[:, k]
         M = lambda r: r / diag
+    else:
+        raise ValueError(f"unknown precond {precond!r}")
     b = displacement_rhs(bp, g, gdelta_faces)
     res = cg(lambda u: displacement_matvec(bp, u), b,
              tol=tol, maxiter=maxiter, precond=M)

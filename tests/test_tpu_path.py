@@ -347,3 +347,26 @@ def test_reference_style_aliases():
     assert len(out) == 6
     out = variable_diagonal_sbp_D2(4, 20, 1.0)
     assert len(out) == 7
+
+
+def test_woodbury_two_level_precond():
+    """Woodbury two-level preconditioner (fastdiag blocks + assembled
+    trace inverse) is SPD-consistent and cuts CG iterations vs
+    fastdiag-only on a multiblock jump problem."""
+    from hybridsbp_tpu.tpu.multiblock import (build_woodbury,
+                                              woodbury_precond,
+                                              blocked_rhs_from_host)
+    prob = _two_block(p=2, N=14)
+    bp = build_blocked(prob)
+    rng = np.random.default_rng(17)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gd = rng.standard_normal(int(prob.FToLstarts[-1]))
+    gb, gdf = blocked_rhs_from_host(prob, g, gd)
+    r_fd = solve_displacements(bp, gb, gdf, tol=1e-11, maxiter=8000)
+    M = woodbury_precond(bp, build_woodbury(bp, prob))
+    r_w = solve_displacements(bp, gb, gdf, tol=1e-11, maxiter=8000,
+                              precond=M)
+    assert bool(r_w.converged)
+    assert int(r_w.iters) < int(r_fd.iters)
+    np.testing.assert_allclose(np.asarray(r_w.x), np.asarray(r_fd.x),
+                               rtol=1e-6, atol=1e-8)
