@@ -155,7 +155,7 @@ def assemble_lambda_matrix(FToLstarts, vstarts, EToF, FToB, store, D, FbarT):
     """
     lamNp = int(FToLstarts[-1])
     nelems = len(vstarts) - 1
-    B = sp.lil_matrix((lamNp, lamNp))
+    rows_acc, cols_acc, vals_acc = [], [], []
     Fbar = FbarT.T.tocsc()
     for e in range(nelems):
         v0, v1 = vstarts[e], vstarts[e + 1]
@@ -167,8 +167,18 @@ def assemble_lambda_matrix(FToLstarts, vstarts, EToF, FToB, store, D, FbarT):
         Fe = Fbar[v0:v1, :][:, cols].toarray()
         X = store.factors[e].solve(Fe)                 # M_e^{-1} Fbar_e
         S = Fe.T @ X                                   # symmetric block
-        B[np.ix_(cols, cols)] -= S
-    B = B.tocsr() + sp.diags(D)
+        rr, cc = np.meshgrid(cols, cols, indexing="ij")
+        rows_acc.append(rr.ravel())
+        cols_acc.append(cc.ravel())
+        vals_acc.append(-S.ravel())
+    if rows_acc:
+        B = sp.coo_matrix(
+            (np.concatenate(vals_acc),
+             (np.concatenate(rows_acc), np.concatenate(cols_acc))),
+            shape=(lamNp, lamNp)).tocsr()
+    else:
+        B = sp.csr_matrix((lamNp, lamNp))
+    B = B + sp.diags(D) if lamNp else B
     asym = abs(B - B.T).max()
     assert asym < 1e-8 * max(1.0, abs(B).max()), f"Schur not symmetric: {asym}"
     return B
