@@ -171,7 +171,8 @@ def assemble_level(p, N_per_block, mesh_data=None):
     return prob, g, gdelta, delta, FTods, EToDomain, (FToE, FToLF, EToO, EToS)
 
 
-def run(p=6, N0=17, levels=4, method="trace", verbose=True):
+def run(p=6, N0=17, levels=4, method="trace", verbose=True,
+        plot_mesh=None):
     mesh_data = load_mesh()
     verts, EToV, EToF, FToB, EToDomain = mesh_data
     nelems, nfaces = EToV.shape[1], len(FToB)
@@ -182,6 +183,15 @@ def run(p=6, N0=17, levels=4, method="trace", verbose=True):
             p, N0 * 2**lvl, mesh_data)
         FToE, FToLF, EToO, EToS = conn
         lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
+
+        # plot the (curved) mesh on the first level (square_circle.jl:292)
+        if lvl == 0 and plot_mesh:
+            from hybridsbp_tpu.viz import plot_blocks, plot_connectivity
+            plot_connectivity(verts, EToV,
+                              file=plot_mesh.replace(".png", "_conn.png"))
+            plot_blocks(lops, file=plot_mesh)
+            if verbose:
+                print(f"wrote {plot_mesh}")
 
         u, lam = prob.solve(g, gdelta, method=method)
 
@@ -234,5 +244,8 @@ if __name__ == "__main__":
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--method", default="trace",
                     choices=["trace", "monolithic", "displacements"])
+    ap.add_argument("--plot-mesh", default=None,
+                    help="write mesh/connectivity figures (PNG)")
     a = ap.parse_args()
-    run(p=a.p, N0=a.N0, levels=a.levels, method=a.method)
+    run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
+        plot_mesh=a.plot_mesh)
