@@ -173,3 +173,15 @@ def test_cg_setup_matches_direct():
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(pc.k2), np.asarray(pd.k2),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_chunked_equals_single_run():
+    """Chunked integration (host-resumed with dt carry) reproduces the
+    single-launch trajectory."""
+    par = bp1.BP1Params(N=24, sim_years=30.0, el=10.0)
+    prob = bp1.setup(par)
+    _, sol = bp1.run(par, prob=prob, max_steps=5000)
+    _, hist, stats = bp1.run_chunked(par, prob=prob, chunk_steps=17)
+    assert stats["success"]
+    np.testing.assert_allclose(stats["y_final"], np.asarray(sol.y_final),
+                               rtol=2e-4, atol=1e-9)

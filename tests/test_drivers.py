@@ -52,3 +52,36 @@ def test_square_circle_device_path_matches_host():
 def test_flower_fault_network():
     _, _, _, worst = flower_run(N=8, verbose=False)
     assert worst < 0.05, f"fault jump error {worst}"
+
+
+def test_device_traction_parity():
+    """End-to-end device path including lambda recovery and traction
+    extraction matches the host hybrid traction on the fault faces."""
+    from hybridsbp_tpu import BC_JUMP_INTERFACE
+    from hybridsbp_tpu.ops2d import computetraction
+    from hybridsbp_tpu.tpu.multiblock import recover_lambda
+
+    mesh_data = square_circle.load_mesh()
+    prob, g, gd, delta, FTods, EToDomain, conn = \
+        square_circle.assemble_level(2, 8, mesh_data)
+    FToE, FToLF, EToO, EToS = conn
+    u_host, lam_host = prob.solve(g, gd, method="trace")
+
+    bp = build_blocked(prob)
+    gb, gdf = blocked_rhs_from_host(prob, g, gd)
+    res = solve_displacements(bp, gb, gdf, tol=1e-11, maxiter=20000)
+    lam_dev = np.asarray(recover_lambda(bp, res.x, gdf))
+    u_dev = np.asarray(res.x)
+
+    FToB = prob.FToB
+    for f in np.where(FToB == BC_JUMP_INTERFACE)[0][:5]:
+        e1, lf1 = FToE[0, f], FToLF[0, f]
+        lop = prob.lops[e1]
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        d = delta[FTods[f]:FTods[f + 1]]
+        t_host = computetraction(
+            lop, lf1, u_host[prob.vstarts[e1]:prob.vstarts[e1 + 1]],
+            lam_host[s0:s1], d)
+        t_dev = computetraction(
+            lop, lf1, u_dev[e1].ravel(), lam_dev[f, :s1 - s0], d)
+        np.testing.assert_allclose(t_dev, t_host, rtol=1e-5, atol=1e-7)
