@@ -105,6 +105,33 @@ def strength_balance_hoisted(V, w, e2w, sigma_n, phi, eta, a, V0):
     return g, dgdV
 
 
+def strength_balance_compensated(V, qp, qm, w32, e2w, sigma_a, eta, inv2V0):
+    """f32-robust strength balance via cancellation hoisting.
+
+    The f32 failure mode of g = sigma*a*(w + log(|u|+root)) + eta*V - phi
+    is the cancellation of the O(60-85) terms w and log(...) down to
+    O(tau/(sigma a)): rounding of w alone exceeds any usable ftol.  Here
+    the caller precomputes (in f64, once per node per stage — V-independent)
+
+        qp = +w - phi/(sigma a),    qm = -w - phi/(sigma a),
+
+    so the only V-dependent transcendental per Newton iteration is one
+    f32 log whose absolute error is a few ulp of its O(20) result:
+
+        g/(sigma a) = qp + log(|u|+root)   (u >= 0)
+                    = qm - log(|u|+root)   (u <  0),  u = V/(2 V0).
+    """
+    u = V * inv2V0
+    au = jnp.abs(u)
+    root = jnp.sqrt(e2w + u * u)
+    l = jnp.log(au + root)
+    gs = jnp.where(u >= 0, qp + l, qm - l)
+    gs = jnp.where(u == 0, qp - w32, gs)   # asinh(0) = 0 exactly
+    g = sigma_a * gs + eta * V
+    dgdV = sigma_a * inv2V0 / root + eta
+    return g, dgdV
+
+
 def newtbndv_fixed(func, xL, xR, x, iters=25, ftol=1e-6, atolx=1e-4,
                    rtolx=1e-4):
     """Fixed-iteration bracketed Newton (fori_loop), batched-friendly.

@@ -43,6 +43,7 @@ from ..ops2d import locoperator
 from ..physics.rateandstate import (
     newtbndv_fixed,
     slip_rate_estimate,
+    strength_balance_compensated,
     strength_balance_hoisted,
 )
 
@@ -226,7 +227,8 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
         newton_dtype = (jnp.float64 if jax.config.jax_enable_x64
                         else K.dtype)
     if newton_tol is None:
-        newton_tol = 1e-9 if newton_dtype == jnp.float64 else 1.2e-4
+        # the compensated f32 formulation supports a tight ftol again
+        newton_tol = 1e-9 if newton_dtype == jnp.float64 else 3e-5
     tau1, sJ1, RSa = prob.tau1, prob.sJ1, prob.RSa
     mu, eta, sigma_n = par.mu_shear, par.eta, par.sigma_n
     V0, b, Dc, f0, Vp = par.RSV0, par.RSb, par.RSDc, par.RSf0, par.Vp
@@ -266,17 +268,42 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
         V_guess = slip_rate_estimate(psi_n, tau_nn, sigma_n, a_n, V0)
         V_guess = jnp.clip(V_guess, -0.95 * VR, 0.95 * VR)
 
-        w_n = psi_n / a_n
-        e2w_n = jnp.exp(jnp.maximum(-2.0 * w_n, -80.0))
+        if newton_dtype == jnp.float64:
+            w_n = psi_n / a_n
+            e2w_n = jnp.exp(jnp.maximum(-2.0 * w_n, -80.0))
 
-        def one(w_i, e2w_i, tau_i, a_i, VR_i, x0_i):
-            f = lambda V: strength_balance_hoisted(
-                V, w_i, e2w_i, sigma_n, tau_i, eta, a_i, V0)
-            return newtbndv_fixed(f, -VR_i, VR_i, x0_i, iters=newton_iters,
-                                  ftol=newton_tol, atolx=newton_tol,
-                                  rtolx=newton_tol)
+            def one(w_i, e2w_i, tau_i, a_i, VR_i, x0_i):
+                f = lambda V: strength_balance_hoisted(
+                    V, w_i, e2w_i, sigma_n, tau_i, eta, a_i, V0)
+                return newtbndv_fixed(f, -VR_i, VR_i, x0_i,
+                                      iters=newton_iters, ftol=newton_tol,
+                                      atolx=newton_tol, rtolx=newton_tol)
 
-        V, fval, iters = jax.vmap(one)(w_n, e2w_n, tau_nn, a_n, VR, V_guess)
+            V, fval, iters = jax.vmap(one)(w_n, e2w_n, tau_nn, a_n, VR,
+                                           V_guess)
+        else:
+            # compensated f32 path: precompute the cancellation-carrying
+            # scalars in the widest available dtype (f64 when x64 is on)
+            hi = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            w_hi = psi.astype(hi) / a_n.astype(hi)
+            base = tau_nn.astype(hi) / (sigma_n * a_n.astype(hi))
+            qp = (w_hi - base).astype(newton_dtype)
+            qm = (-w_hi - base).astype(newton_dtype)
+            w32 = w_hi.astype(newton_dtype)
+            e2w_n = jnp.exp(jnp.maximum(-2.0 * w32, -80.0))
+            sig_a = (sigma_n * a_n).astype(newton_dtype)
+            inv2V0 = jnp.asarray(1.0 / (2.0 * V0), dtype=newton_dtype)
+
+            def one(qp_i, qm_i, w_i, e2w_i, sa_i, VR_i, x0_i):
+                f = lambda V: strength_balance_compensated(
+                    V, qp_i, qm_i, w_i, e2w_i, sa_i, eta, inv2V0)
+                return newtbndv_fixed(f, -VR_i, VR_i, x0_i,
+                                      iters=newton_iters, ftol=newton_tol,
+                                      atolx=newton_tol, rtolx=newton_tol)
+
+            V, fval, iters = jax.vmap(one)(qp, qm, w32, e2w_n, sig_a,
+                                           VR.astype(newton_dtype),
+                                           V_guess.astype(newton_dtype))
         newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)
 
         dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi_n) / b)
