@@ -306,8 +306,14 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
                                            V_guess.astype(newton_dtype))
         newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)
 
-        dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi_n) / b)
-                                - jnp.abs(V) / V0)
+        # the aging law's e^((f0-psi)/b) - |V|/V0 is a near-cancellation
+        # along the creeping solution manifold: evaluate it in the widest
+        # available dtype regardless of the Newton dtype (one exp per node)
+        hi_dt = jnp.float64 if jax.config.jax_enable_x64 else psi.dtype
+        psi_hi = psi.astype(hi_dt)
+        V_hi = V.astype(hi_dt)
+        dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi_hi) / b)
+                                - jnp.abs(V_hi) / V0)
         psi_ok = jnp.all(jnp.isfinite(dpsi))
 
         ok = tau_ok & newton_ok & psi_ok
