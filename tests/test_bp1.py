@@ -185,3 +185,20 @@ def test_chunked_equals_single_run():
     assert stats["success"]
     np.testing.assert_allclose(stats["y_final"], np.asarray(sol.y_final),
                                rtol=2e-4, atol=1e-9)
+
+
+def test_ensemble_with_prestress_batch():
+    par = bp1.BP1Params(N=16, sim_years=3.0, el=10.0)
+    prob = bp1.setup(par)
+    M = 3
+    RSa_batch = np.stack([np.asarray(prob.RSa)] * M)
+    tz = np.array([prob.tau_z0 * s for s in (0.98, 1.0, 1.02)])
+    sols = bp1.run_ensemble(prob, RSa_batch, tau_z0_batch=tz,
+                            sim_years=3.0, max_steps=4000)
+    assert bool(np.all(np.asarray(sols.stats.success)))
+    y = np.asarray(sols.y_final)
+    assert np.isfinite(y).all()
+    # higher pre-stress -> more initial slip
+    n = par.N + 1
+    smax = y[:, n:].max(axis=1)
+    assert smax[2] > smax[0]

@@ -14,7 +14,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "drivers"))
 
 import square_circle  # noqa: E402
 
-from hybridsbp_tpu.mesh import create_metrics  # noqa: E402
 from hybridsbp_tpu.ops1d import build_d1, build_vard2  # noqa: E402
 from hybridsbp_tpu.ops2d import locoperator  # noqa: E402
 
