@@ -9,6 +9,12 @@ a prescribed uniform slip on every fault face, homogeneous outer BCs,
 solved with the trace method; it verifies the computed displacement
 field's jump across each fault face matches the prescribed slip.
 
+Note: uniform slip on an *intersecting* fault network induces stress
+singularities at fault tips and junctions (no smooth exact solution),
+so the pointwise jump error plateaus with refinement — the smooth
+closed-circle jump of square_circle is the convergence gate; this
+driver is the topology/robustness stress case.
+
 Usage: python drivers/flower.py [--N 8] [--p 2] [--method trace]
 """
 import argparse
