@@ -1,5 +1,11 @@
 from .cg import CGResult, cg, cg_solve  # noqa: F401
-from .stencil import DiaOperator, dia_apply, dia_diagonal, to_dia  # noqa: F401
+from .stencil import (  # noqa: F401
+    DiaOperator,
+    dia_apply,
+    dia_apply_compact,
+    dia_diagonal,
+    to_dia,
+)
 from .multiblock import (  # noqa: F401
     BlockedHybrid,
     build_blocked,

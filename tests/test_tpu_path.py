@@ -1,6 +1,7 @@
 """Device-path gates: DIA stencil apply == sparse matvec, CG == direct
 solve, batched multiblock matvec == dense eliminated system, and the
 full batched CG solve matches the host hybrid solver."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -370,3 +371,23 @@ def test_woodbury_two_level_precond():
     assert int(r_w.iters) < int(r_fd.iters)
     np.testing.assert_allclose(np.asarray(r_w.x), np.asarray(r_fd.x),
                                rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("p", [2, 6])
+def test_dia_apply_compact_matches(p):
+    """Scan-based apply (O(1) program size) == unrolled apply."""
+    from hybridsbp_tpu.tpu import dia_apply_compact
+    N = 3 * p + 7
+    lop = locoperator(p, N, N, create_metrics(p, N, N),
+                      (BC_DIRICHLET, BC_NEUMANN, BC_NEUMANN, BC_DIRICHLET))
+    op = to_dia(lop.M, N + 1, N + 1)
+    rng = np.random.default_rng(23)
+    u = jnp.asarray(rng.standard_normal((N + 1, N + 1)))
+    np.testing.assert_allclose(np.asarray(dia_apply_compact(op, u)),
+                               np.asarray(dia_apply(op, u)),
+                               rtol=1e-13, atol=1e-13)
+    # batched too
+    ub = jnp.asarray(rng.standard_normal((3, N + 1, N + 1)))
+    got = np.asarray(dia_apply_compact(op, ub))
+    want = np.asarray(jax.vmap(lambda x: dia_apply(op, x))(ub))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
