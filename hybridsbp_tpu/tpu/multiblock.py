@@ -162,14 +162,28 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
 # ---------------------------------------------------------------------------
 # matvec pieces
 # ---------------------------------------------------------------------------
-def _dia_apply_batched(bp: BlockedHybrid, u):
+def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
     """Local part: per-block DIA stencil apply. u: (E, Nsp, Nrp).
 
-    Routes through the Pallas VMEM kernel on TPU f32; falls back to the
-    XLA fused form elsewhere (CPU tests, f64 validation runs)."""
+    ``stencil`` selects the kernel: 'auto' (Pallas VMEM kernel on large
+    TPU blocks, XLA fused form elsewhere), 'pallas', 'unrolled' (force
+    the XLA form), or 'compact' (scan-based apply with O(1) program
+    size in the offset count — for programs near the remote-compile
+    request-size limit, see stencil.dia_apply_compact)."""
+    if stencil == "compact":
+        from .stencil import DiaOperator, dia_apply_compact
+        offs = bp.offsets
+        return jax.vmap(lambda c, ue: dia_apply_compact(
+            DiaOperator(coefs=c, offsets=offs), ue))(bp.coefs, u)
     from .pallas_stencil import dia_apply_batched as _apply
 
-    return _apply(bp.coefs, bp.offsets, u)  # auto: pallas on large TPU blocks
+    try:
+        use_pallas = {"auto": None, "pallas": True, "unrolled": False}[stencil]
+    except KeyError:
+        raise ValueError(
+            f"unknown stencil {stencil!r}: expected 'auto', 'pallas', "
+            "'unrolled', or 'compact'") from None
+    return _apply(bp.coefs, bp.offsets, u, use_pallas=use_pallas)
 
 
 def block_traces(bp: BlockedHybrid, u):
@@ -231,9 +245,9 @@ def combine_traces(bp: BlockedHybrid, traces):
     return jnp.where(mask, t, 0.0) * bp.Dinv
 
 
-def displacement_matvec(bp: BlockedHybrid, u):
+def displacement_matvec(bp: BlockedHybrid, u, *, stencil="auto"):
     """C u = M u - Fbar' D^{-1} Fbar u  (single-process batched form)."""
-    y = _dia_apply_batched(bp, u)
+    y = _dia_apply_batched(bp, u, stencil)
     w = combine_traces(bp, block_traces(bp, u))
     return y - face_scatter(bp, w, 0, u.shape[0])
 
@@ -323,11 +337,13 @@ def recover_lambda(bp: BlockedHybrid, u, gdelta_faces):
 
 
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
-                        maxiter=2000, precond="auto"):
+                        maxiter=2000, precond="auto", stencil="auto"):
     """CG on the eliminated SPD system (batched).
 
     ``precond``: 'auto' (fastdiag when available), 'fastdiag', 'jacobi',
-    or a callable r -> P^{-1} r (e.g. :func:`woodbury_precond`)."""
+    or a callable r -> P^{-1} r (e.g. :func:`woodbury_precond`).
+    ``stencil``: kernel choice for the block matvec — 'auto', 'pallas',
+    'unrolled', or 'compact' (see :func:`_dia_apply_batched`)."""
     if precond == "auto":
         precond = "fastdiag" if bp.fd is not None else "jacobi"
     if callable(precond):
@@ -345,6 +361,6 @@ def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
     else:
         raise ValueError(f"unknown precond {precond!r}")
     b = displacement_rhs(bp, g, gdelta_faces)
-    res = cg(lambda u: displacement_matvec(bp, u), b,
+    res = cg(lambda u: displacement_matvec(bp, u, stencil=stencil), b,
              tol=tol, maxiter=maxiter, precond=M)
     return res

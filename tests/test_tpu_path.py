@@ -391,3 +391,20 @@ def test_dia_apply_compact_matches(p):
     got = np.asarray(dia_apply_compact(op, ub))
     want = np.asarray(jax.vmap(lambda x: dia_apply(op, x))(ub))
     np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+
+def test_solve_displacements_compact_stencil():
+    """The full CG solve with the scan-based compact stencil matches
+    the default (unrolled) stencil path."""
+    p, N = 2, 16
+    prob = _two_block(p=p, N=N)
+    bp = build_blocked(prob)
+    rng = np.random.default_rng(31)
+    gb = jnp.asarray(rng.standard_normal((2, N + 1, N + 1)))
+    gd = jnp.zeros_like(bp.Dinv)
+    r_ref = solve_displacements(bp, gb, gd, tol=1e-12, maxiter=5000)
+    r_cmp = solve_displacements(bp, gb, gd, tol=1e-12, maxiter=5000,
+                                stencil="compact")
+    assert bool(r_cmp.converged)
+    np.testing.assert_allclose(np.asarray(r_cmp.x), np.asarray(r_ref.x),
+                               rtol=1e-9, atol=1e-11)
