@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--slip-plot", default=None,
                     help="write the slip-vs-depth profile figure "
                          "(records full fault profiles)")
+    ap.add_argument("--stations-out", default=None, metavar="DIR",
+                    help="write SEAS-format fltst_dp* station files")
     a = ap.parse_args()
 
     import jax.numpy as jnp
@@ -134,6 +136,12 @@ def main():
         ax[1].set(xlabel="t (years)", ylabel="slip at stations (m)")
         fig.savefig(a.plot, dpi=120)
         print(f"wrote {a.plot}")
+    if a.stations_out:
+        hist = {"t": np.asarray(ts)[valid],
+                **{k: np.asarray(v)[valid] for k, v in saved.items()
+                   if k != "t"}}
+        paths = bp1.write_station_files(prob, hist, a.stations_out)
+        print(f"wrote {len(paths)} station files to {a.stations_out}")
     if a.slip_plot:
         plot_slip_profiles(np.asarray(ts)[valid],
                            np.asarray(saved["delta_full"])[valid],

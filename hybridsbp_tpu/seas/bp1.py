@@ -496,6 +496,75 @@ def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
     return prob, history, stats
 
 
+# ---- SEAS on-fault station files (aux output; the reference only plots
+# slip profiles, BP1.jl:167-188 — this writes the SEAS benchmark's
+# fltst_dp* text format so results can be compared against the
+# community database) -------------------------------------------------------
+def write_station_files(prob: BP1Problem, history, outdir, *,
+                        station_depths=None, code="hybridsbp_tpu"):
+    """Write SEAS BP1 on-fault station time series.
+
+    ``history`` is either the dict from :func:`run_chunked` or a
+    ``Tsit5Solution`` from :func:`run` (NaN padding is stripped).  One
+    file per station depth, named ``fltst_dp{depth*10:03d}.txt``, with
+    columns ``t slip slip_rate shear_stress state`` where slip_rate is
+    log10(V [m/s]), shear_stress is in MPa, and state is log10(theta [s])
+    recovered from psi via psi = f0 + b*log(V0*theta/Dc).
+
+    The station set must match the one used at run time (default:
+    depths 0..35 km every 2.5 km, nearest grid node).  Returns the list
+    of paths written.
+    """
+    import os
+
+    par = prob.par
+    if station_depths is None:
+        station_depths = np.arange(0.0, 36.0, 2.5)
+    station_depths = np.asarray(station_depths, dtype=float)
+
+    if hasattr(history, "save"):            # Tsit5Solution
+        ts = np.asarray(history.ts)
+        valid = np.isfinite(ts)
+        data = {k: np.asarray(v)[valid] for k, v in history.save.items()}
+        data["t"] = ts[valid]
+    else:
+        data = history
+    t = np.asarray(data["t"])
+    delta, psi = np.asarray(data["delta"]), np.asarray(data["psi"])
+    tau, V = np.asarray(data["tau"]), np.asarray(data["V"])
+    nst = delta.shape[1]
+    if nst != len(station_depths):
+        raise ValueError(
+            f"history has {nst} stations but {len(station_depths)} depths "
+            "given: pass the station_depths used at run time")
+
+    log10_theta = ((psi - par.RSf0) / par.RSb) / np.log(10.0) \
+        + np.log10(par.RSDc / par.RSV0)
+    log10_V = np.log10(np.abs(V) + 1e-40)
+
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for j, d in enumerate(station_depths):
+        path = os.path.join(outdir, f"fltst_dp{int(round(d * 10)):03d}.txt")
+        node = int(np.argmin(np.abs(prob.yf - d)))
+        with open(path, "w") as fh:
+            fh.write("# problem = SEAS benchmark BP1\n")
+            fh.write(f"# code = {code}\n")
+            fh.write(f"# fault station depth = {d:.1f} km "
+                     f"(grid node at {float(prob.yf[node]):.4f} km)\n")
+            fh.write("# column 1 = time (s)\n")
+            fh.write("# column 2 = slip (m)\n")
+            fh.write("# column 3 = slip_rate (log10 m/s)\n")
+            fh.write("# column 4 = shear_stress (MPa)\n")
+            fh.write("# column 5 = state (log10 s)\n")
+            fh.write("t slip slip_rate shear_stress state\n")
+            np.savetxt(fh, np.column_stack(
+                [t, delta[:, j], log10_V[:, j], tau[:, j],
+                 log10_theta[:, j]]), fmt="%.14e %.9e %.6e %.9e %.6e")
+        paths.append(path)
+    return paths
+
+
 # ---- checkpoint / resume (aux subsystem; the reference has none) -----------
 def save_checkpoint(path, t, y, par: BP1Params):
     np.savez(path, t=np.asarray(t), y=np.asarray(y),

@@ -202,3 +202,31 @@ def test_ensemble_with_prestress_batch():
     n = par.N + 1
     smax = y[:, n:].max(axis=1)
     assert smax[2] > smax[0]
+
+
+def test_station_file_output(tmp_path):
+    """SEAS fltst_dp* files: one per default station, parseable columns,
+    state consistent with psi via the aging-law definition."""
+    par = bp1.BP1Params(N=24, sim_years=5.0, el=10.0)
+    prob, sol = bp1.run(par, max_steps=2000)
+    paths = bp1.write_station_files(prob, sol, str(tmp_path))
+    assert len(paths) == 15          # depths 0..35 km every 2.5
+    import os
+    assert os.path.basename(paths[3]) == "fltst_dp075.txt"
+    dat = np.loadtxt(paths[3], comments=("#", "t"))
+    ts = np.asarray(sol.ts)
+    nvalid = int(np.sum(np.isfinite(ts)))
+    assert dat.shape == (nvalid, 5)
+    # state column: log10(theta) where psi = f0 + b log(V0 theta / Dc)
+    psi = np.asarray(sol.save["psi"])[np.isfinite(ts)][:, 3]
+    expect = ((psi - par.RSf0) / par.RSb) / np.log(10.0) \
+        + np.log10(par.RSDc / par.RSV0)
+    np.testing.assert_allclose(dat[:, 4], expect, rtol=1e-5)
+    # slip_rate column is log10 |V|
+    V = np.asarray(sol.save["V"])[np.isfinite(ts)][:, 3]
+    np.testing.assert_allclose(dat[:, 2], np.log10(np.abs(V) + 1e-40),
+                               rtol=1e-5)
+    # station-count mismatch is rejected
+    with np.testing.assert_raises(ValueError):
+        bp1.write_station_files(prob, sol, str(tmp_path),
+                                station_depths=[0.0, 7.5])
