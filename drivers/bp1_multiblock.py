@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--N", type=int, default=16)
     ap.add_argument("--p", type=int, default=2)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--stations-out", default=None, metavar="DIR",
+                    help="write SEAS-format fltst_dp* station files")
     a = ap.parse_args()
 
     t0 = time.time()
@@ -52,6 +54,9 @@ def main():
     if a.out:
         np.savez(a.out, t=ts[valid], log10_vmax=lv, delta_max=dmax)
         print(f"wrote {a.out}")
+    if a.stations_out:
+        paths = mb.write_station_files(mp, sol, a.stations_out)
+        print(f"wrote {len(paths)} station files to {a.stations_out}")
 
 
 if __name__ == "__main__":

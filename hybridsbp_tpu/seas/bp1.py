@@ -515,11 +515,17 @@ def write_station_files(prob: BP1Problem, history, outdir, *,
     depths 0..35 km every 2.5 km, nearest grid node).  Returns the list
     of paths written.
     """
-    import os
-
-    par = prob.par
     if station_depths is None:
         station_depths = np.arange(0.0, 36.0, 2.5)
+    return _write_station_data(prob.par, prob.yf, history, outdir,
+                               station_depths, code)
+
+
+def _write_station_data(par, yf, history, outdir, station_depths, code):
+    """Shared SEAS fltst_dp* writer (used by bp1 and bp1_multiblock).
+    ``yf``: fault-node depth coordinates for the node-snap report."""
+    import os
+
     station_depths = np.asarray(station_depths, dtype=float)
 
     if hasattr(history, "save"):            # Tsit5Solution
@@ -546,12 +552,12 @@ def write_station_files(prob: BP1Problem, history, outdir, *,
     paths = []
     for j, d in enumerate(station_depths):
         path = os.path.join(outdir, f"fltst_dp{int(round(d * 10)):03d}.txt")
-        node = int(np.argmin(np.abs(prob.yf - d)))
+        node = int(np.argmin(np.abs(np.asarray(yf) - d)))
         with open(path, "w") as fh:
             fh.write("# problem = SEAS benchmark BP1\n")
             fh.write(f"# code = {code}\n")
             fh.write(f"# fault station depth = {d:.1f} km "
-                     f"(grid node at {float(prob.yf[node]):.4f} km)\n")
+                     f"(grid node at {float(np.asarray(yf)[node]):.4f} km)\n")
             fh.write("# column 1 = time (s)\n")
             fh.write("# column 2 = slip (m)\n")
             fh.write("# column 3 = slip_rate (log10 m/s)\n")

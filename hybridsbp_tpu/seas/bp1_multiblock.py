@@ -242,19 +242,54 @@ def initial_state(mp: MultiBP1Problem):
     return jnp.asarray(y0, dtype=mp.Kff.dtype)
 
 
+def default_stations(mp: MultiBP1Problem, spacing=2.5):
+    """SEAS station depths clipped to the fault extent, as (depths,
+    nearest-dof indices)."""
+    depths = np.arange(0.0, 36.0, spacing)
+    depths = depths[depths <= float(np.max(mp.depth)) + 1e-9]
+    idx = np.array([int(np.argmin(np.abs(mp.depth - d))) for d in depths])
+    return depths, idx
+
+
 def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
-        max_steps=100_000, save_every=1):
+        max_steps=100_000, save_every=1, stations=None):
+    """Integrate the multiblock cycle.  ``stations``: fault-dof indices
+    at which to record (delta, psi, tau, V) time series (default: the
+    SEAS depths within the fault extent, :func:`default_stations`)."""
     sim_years = sim_years or mp.par.sim_years
     rhs = make_odefun(mp)
     n = mp.n_fault
+    if stations is None:
+        _, stations = default_stations(mp)
+    stations = jnp.asarray(stations)
+    Kff, kt, tau_z0 = mp.Kff, mp.kt, mp.tau_z0
 
     def save_fn(t, y, args):
+        psi, delta = y[:n], y[n:]
         dy, _ = rhs(t, y, args)
-        return {"log10_vmax": jnp.log10(jnp.max(jnp.abs(dy[n:])) + 1e-40),
-                "delta_max": jnp.max(y[n:])}
+        V = dy[n:]
+        tau = (jnp.matmul(Kff, delta, precision=jax.lax.Precision.HIGHEST)
+               + jnp.asarray(t).astype(Kff.dtype) * kt) + tau_z0
+        return {"log10_vmax": jnp.log10(jnp.max(jnp.abs(V)) + 1e-40),
+                "delta_max": jnp.max(delta),
+                "delta": delta[stations], "psi": psi[stations],
+                "tau": tau[stations], "V": V[stations]}
 
     sol = solve_tsit5(rhs, initial_state(mp), 0.0,
                       sim_years * YEAR_SECONDS, YEAR_SECONDS,
                       rtol=rtol, atol=atol, max_steps=max_steps,
                       save_fn=save_fn, save_every=save_every)
     return sol
+
+
+def write_station_files(mp: MultiBP1Problem, history, outdir, *,
+                        station_depths=None, code="hybridsbp_tpu"):
+    """SEAS fltst_dp* files for a multiblock run (same format as
+    :func:`..bp1.write_station_files`; stations default to
+    :func:`default_stations`, matching :func:`run`)."""
+    from .bp1 import _write_station_data
+
+    if station_depths is None:
+        station_depths, _ = default_stations(mp)
+    return _write_station_data(mp.par, mp.depth, history, outdir,
+                               np.asarray(station_depths), code)

@@ -26,3 +26,24 @@ def test_multiblock_bp1_physics():
     T = 20.0 * YEAR_SECONDS
     smax = float(np.asarray(sol.y_final)[n:].max())
     assert 0.1 * mp.par.Vp * T < smax < 2.5 * mp.par.Vp * T
+
+
+def test_multiblock_station_files(tmp_path):
+    """Station series recorded through run() and written in the SEAS
+    format; tau column equals the rhs traction at the stations."""
+    mp = mb.setup(N=6)
+    sol = mb.run(mp, sim_years=10.0, max_steps=5000)
+    depths, idx = mb.default_stations(mp)
+    assert len(depths) >= 3
+    paths = mb.write_station_files(mp, sol, str(tmp_path))
+    assert len(paths) == len(depths)
+    dat = np.loadtxt(paths[0], comments=("#", "t"))
+    ts = np.asarray(sol.ts)
+    nvalid = int(np.sum(np.isfinite(ts)))
+    assert dat.shape == (nvalid, 5)
+    # slip column matches the recorded station series
+    np.testing.assert_allclose(
+        dat[:, 1], np.asarray(sol.save["delta"])[np.isfinite(ts)][:, 0])
+    # tau is finite and near the BP1 pre-stress scale (tens of MPa)
+    assert np.all(np.isfinite(dat[:, 3]))
+    assert 1.0 < np.abs(dat[:, 3]).max() < 100.0
