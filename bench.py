@@ -52,39 +52,74 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def timed_chain(step_fn, init, iters):
-    """Wall time of `iters` chained applications, forced by scalar fetch."""
+def _log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def make_chain_runner(step_fn):
+    """One jitted program with a *traced* trip count, so both fit points
+    of the two-point regression share a single compile (remote compiles
+    through the tunnel cost 30-60 s each and dominate bench wall time)."""
     @jax.jit
-    def runner(x):
-        x = jax.lax.fori_loop(0, iters, lambda i, v: step_fn(v), x)
+    def runner(x, iters):
+        x = jax.lax.fori_loop(0, iters, lambda i, v: step_fn(v), x,
+                              unroll=1)
         return jax.tree_util.tree_reduce(
             lambda a, b: a + b,
             jax.tree_util.tree_map(lambda v: jnp.sum(v), x))
 
-    s = float(runner(init))           # warm/compile + sync
+    return runner
+
+
+def timed_chain(runner, init, iters, repeats=5):
+    """Median wall time of `iters` chained applications (scalar fetch).
+
+    Median over repeats: the tunnel occasionally produces both long
+    outliers (RTT hiccups) and anomalously SHORT readings (observed
+    3.5x-fast transients that inflated a min-based fit into a roofline
+    above the chip's HBM spec) — the median rejects both tails."""
+    k = jnp.asarray(iters, dtype=jnp.int32)
+    s = float(runner(init, k))        # warm/compile + sync
     assert np.isfinite(s), "benchmark chain diverged"
-    best = np.inf
-    for _ in range(3):
+    ts = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        float(runner(init))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        float(runner(init, k))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def per_iter_time(step_fn, init, k1=50, k2=200):
-    t1 = timed_chain(step_fn, init, k1)
-    t2 = timed_chain(step_fn, init, k2)
+    runner = make_chain_runner(step_fn)
+    t1 = timed_chain(runner, init, k1)
+    t2 = timed_chain(runner, init, k2)
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
+# published per-chip HBM bandwidth (GB/s) — sanity cap for the measured
+# roofline; a measured value above spec is a timing artifact, not hardware
+_HBM_SPEC_GBS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,      # v5e
+    "TPU v5": 2765.0,          # v5p
+    "TPU v6 lite": 1640.0,     # v6e / Trillium
+}
+
+
 def measure_hbm_bw():
-    """Effective HBM bandwidth from a chained axpy x = a*x + b (2 reads +
-    1 write per element per iteration... x read, x written: 8 bytes/elt,
-    counted as 2 planes)."""
-    n = 64 * 1024 * 1024  # 256 MB (f32)
+    """Effective HBM bandwidth from a chained axpy x = a*x + b (x read +
+    x written: 8 bytes/element/iteration), on a working set (1 GB) far
+    larger than on-chip memories, capped at the device's published spec."""
+    n = 256 * 1024 * 1024  # 1 GB (f32)
     x = jnp.ones((n,), dtype=jnp.float32)
-    dt = per_iter_time(lambda v: 0.999999 * v + 1e-7, x, k1=20, k2=80)
-    return 2 * 4 * n / dt
+    dt = per_iter_time(lambda v: 0.999999 * v + 1e-7, x, k1=10, k2=30)
+    bw = 2 * 4 * n / dt
+    kind = jax.devices()[0].device_kind
+    spec = _HBM_SPEC_GBS.get(kind)
+    if spec is not None:
+        bw = min(bw, spec * 1e9)
+    return bw
 
 
 def main():
@@ -95,6 +130,7 @@ def main():
     from hybridsbp_tpu.tpu.pallas_stencil import dia_apply_batched
 
     backend = jax.default_backend()
+    _log(f"backend = {backend}")
     p, N, E = 2, 256, 64
     par = BP1Params(N=N, el=10.0)
     xt, yt = tan_stretch_maps(par)
@@ -117,12 +153,14 @@ def main():
     candidates = {}
     if backend == "tpu":
         try:
+            _log("timing pallas kernel")
             dt = per_iter_time(
                 lambda v: scale * dia_apply_batched(
                     coefs, op.offsets, v, use_pallas=True), u)
             candidates["pallas"] = dt
         except Exception:
             pass
+    _log("timing xla kernel")
     dt = per_iter_time(
         lambda v: scale * dia_apply_batched(
             coefs, op.offsets, v, use_pallas=False), u)
@@ -132,7 +170,9 @@ def main():
     best = candidates[best_name]
     gdof_s = dofs / best / 1e9
 
+    _log("measuring HBM bandwidth")
     bw = measure_hbm_bw()
+    _log("done")
     # irreducible traffic: noff coefficient planes + read u + write out
     bytes_per_dof = (noff + 2) * 4
     roofline_gdof_s = bw / bytes_per_dof / 1e9
