@@ -26,13 +26,23 @@ def _bp1(**kw):
                            if k in bp1.BP1Params.__dataclass_fields__})
     rest = {k: v for k, v in kw.items()
             if k not in bp1.BP1Params.__dataclass_fields__}
-    return bp1.run_chunked(par, **rest)
+    stations_out = rest.pop("stations_out", None)
+    prob, history, stats = bp1.run_chunked(par, **rest)
+    if stations_out:
+        paths = bp1.write_station_files(prob, history, stations_out)
+        print(f"wrote {len(paths)} station files to {stations_out}")
+    return prob, history, stats
 
 
 def _bp1_multiblock(**kw):
     from .seas import bp1_multiblock as mb
+    stations_out = kw.pop("stations_out", None)
     mp = mb.setup(N=kw.pop("N", 16), p=kw.pop("p", 2))
-    return mp, mb.run(mp, **kw)
+    sol = mb.run(mp, **kw)
+    if stations_out:
+        paths = mb.write_station_files(mp, sol, stations_out)
+        print(f"wrote {len(paths)} station files to {stations_out}")
+    return mp, sol
 
 
 def _flower(**kw):
