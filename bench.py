@@ -132,22 +132,54 @@ def main():
     backend = jax.default_backend()
     _log(f"backend = {backend}")
     p, N, E = 2, 256, 64
-    par = BP1Params(N=N, el=10.0)
-    xt, yt = tan_stretch_maps(par)
-    metrics = create_metrics(p, N, N, xt, yt)
-    lop = locoperator(p, N, N, metrics)
-    op = to_dia(lop.M, N + 1, N + 1, dtype=jnp.float32)
+
+    # host assembly of the 66k-DOF block operator takes ~3 min; cache the
+    # extracted DIA planes (2.4 MB) so the bench spends its budget on the
+    # device, not scipy
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "artifacts", f"bench_op_p{p}_N{N}.npz")
+    op = None
+    if os.path.exists(cache):
+        try:
+            d = np.load(cache)
+            coefs_1 = jnp.asarray(d["coefs"], dtype=jnp.float32)
+            offsets = tuple(map(tuple, d["offsets"]))
+            scale = np.float32(d["scale"])
+            op = type("Op", (), {})()
+            op.coefs, op.offsets = coefs_1, offsets
+            _log(f"loaded cached operator {os.path.basename(cache)}")
+        except Exception:
+            _log("operator cache unreadable; assembling from scratch")
+            op = None
+    if op is None:
+        par = BP1Params(N=N, el=10.0)
+        xt, yt = tan_stretch_maps(par)
+        metrics = create_metrics(p, N, N, xt, yt)
+        lop = locoperator(p, N, N, metrics)
+        op = to_dia(lop.M, N + 1, N + 1, dtype=jnp.float32)
+        scale = np.float32(1.0 / abs(lop.M).sum(axis=1).max())
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez_compressed(cache, coefs=np.asarray(op.coefs),
+                                offsets=np.asarray(op.offsets,
+                                                   dtype=np.int32),
+                                scale=scale)
+            _log(f"cached operator to {os.path.basename(cache)}")
+        except OSError:
+            pass
     noff = len(op.offsets)
 
-    coefs = jnp.asarray(
-        np.broadcast_to(np.asarray(op.coefs)[None],
-                        (E,) + op.coefs.shape).copy(), dtype=jnp.float32)
-    rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal((E, N + 1, N + 1)),
-                    dtype=jnp.float32)
+    # materialize the block batch ON the device: transferring one
+    # block's planes (2.4 MB) instead of the full (E, noff, Nsp, Nrp)
+    # batch (152 MB) saves ~150 s of host->device time over the tunnel
+    c1 = jnp.asarray(np.asarray(op.coefs), dtype=jnp.float32)
+    coefs = jax.jit(
+        lambda c: jnp.tile(c[None], (E, 1, 1, 1)))(c1)
+    u = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(0),
+                                  (E, N + 1, N + 1), dtype=jnp.float32))()
 
-    # normalize each application so the chain stays finite
-    scale = np.float32(1.0 / abs(lop.M).sum(axis=1).max())
+    # scale normalizes each application so the chain stays finite
     dofs = E * (N + 1) ** 2
 
     candidates = {}
