@@ -8,8 +8,10 @@ from .stencil import (  # noqa: F401
 )
 from .multiblock import (  # noqa: F401
     BlockedHybrid,
+    block_solve,
     build_blocked,
     displacement_matvec,
     displacement_rhs,
     solve_displacements,
+    solve_trace,
 )

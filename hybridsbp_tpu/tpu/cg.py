@@ -27,12 +27,18 @@ def _dot(a, b):
 
 
 def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
-       precond: Optional[Callable] = None) -> CGResult:
+       precond: Optional[Callable] = None, flexible=False) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
     ``matvec(x)`` and ``precond(r)`` operate on arrays of b's shape (any
     rank — fields stay in their natural (Ns+1, Nr+1) or block-batched
     layout; no flattening needed).
+
+    ``flexible=True`` uses the Polak–Ribière beta
+    beta_k = z_{k+1}·(r_{k+1} − r_k) / z_k·r_k (flexible CG / Notay),
+    which tolerates a *variable* preconditioner — required when the
+    preconditioner is itself an inexact inner iteration (e.g. the
+    batched block solves inside the device trace-Schur solve).
     """
     M = precond if precond is not None else (lambda r: r)
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -44,12 +50,12 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
     gamma0 = jnp.real(_dot(r0, z0))
 
     def cond(st):
-        x, r, z, p, gamma, k = st
+        x, r, r_old, z, p, gamma, k = st
         rn = jnp.sqrt(jnp.real(_dot(r, r)))
         return (rn > tol * bnorm) & (k < maxiter)
 
     def body(st):
-        x, r, z, p, gamma, k = st
+        x, r, r_old, z, p, gamma, k = st
         Ap = matvec(p)
         # guarded divisions: under vmap, lanes that already converged
         # keep iterating until the whole batch is done, and their
@@ -57,15 +63,20 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
         pAp = jnp.real(_dot(p, Ap))
         alpha = gamma / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
-        r = r - alpha * Ap
-        z = M(r)
-        gamma_new = jnp.real(_dot(r, z))
-        beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
+        r_new = r - alpha * Ap
+        z = M(r_new)
+        if flexible:
+            num = jnp.real(_dot(z, r_new - r))
+            gamma_new = jnp.real(_dot(r_new, z))
+        else:
+            gamma_new = jnp.real(_dot(r_new, z))
+            num = gamma_new
+        beta = num / jnp.where(gamma == 0, 1.0, gamma)
         p = z + beta * p
-        return (x, r, z, p, gamma_new, k + 1)
+        return (x, r_new, r, z, p, gamma_new, k + 1)
 
-    st = (x0, r0, z0, z0, gamma0, jnp.asarray(0))
-    x, r, z, p, gamma, k = jax.lax.while_loop(cond, body, st)
+    st = (x0, r0, r0, z0, z0, gamma0, jnp.asarray(0))
+    x, r, r_old, z, p, gamma, k = jax.lax.while_loop(cond, body, st)
     rn = jnp.sqrt(jnp.real(_dot(r, r))) / bnorm
     return CGResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)
 

@@ -336,6 +336,73 @@ def recover_lambda(bp: BlockedHybrid, u, gdelta_faces):
     return jnp.where(jnp.asarray(bp.interior)[:, None], lam, 0.0)
 
 
+def block_solve(bp: BlockedHybrid, y, *, tol=1e-10, maxiter=400,
+                stencil="auto", x0=None):
+    """Batched decoupled-block solve u = M̃^{-1} y (no face coupling):
+    fastdiag-preconditioned CG on the block-diagonal operator.  The
+    device replacement for the reference's per-block CHOLMOD backsolves
+    (global_curved.jl:698); independent per block, hence shardable along
+    the block axis with zero communication (only the CG dot products
+    reduce globally)."""
+    if bp.fd is not None:
+        from .fastdiag import fastdiag_apply
+        fd = bp.fd
+        M = lambda r: jax.vmap(fastdiag_apply)(fd, r)
+    else:
+        diag = bp.coefs[:, bp.offsets.index((0, 0))]
+        M = lambda r: r / diag
+    return cg(lambda u: _dia_apply_batched(bp, u, stencil), y, x0,
+              tol=tol, maxiter=maxiter, precond=M)
+
+
+def trace_matvec(bp: BlockedHybrid, lam, minv):
+    """B λ = D λ − Fbar M̃^{-1} Fbarᵀ λ in the face-padded (nfaces, L)
+    layout, with ``minv`` the (possibly inexact) block solve.  The
+    device form of the reference's assembled Schur matrix
+    (global_curved.jl:743-797) applied matrix-free."""
+    mask = bp.Dinv > 0
+    D = jnp.where(mask, 1.0 / jnp.where(mask, bp.Dinv, 1.0), 0.0)
+    u = minv(face_scatter(bp, lam, 0, bp.coefs.shape[0]))
+    return D * lam - _fbar_raw(bp, u)
+
+
+def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
+                maxiter=500, inner_tol=1e-11, inner_maxiter=400,
+                stencil="auto", Binv_pad=None):
+    """Device-side hybrid trace (Schur) solve — the reference's *default*
+    method (square_circle.jl:374-388) run TPU-native:
+
+        B λ = gδ − Fbar M̃^{-1} g,   u = M̃^{-1}(g − Fbarᵀ λ),
+
+    with flexible CG on B whose matvec performs one batched
+    fastdiag-CG inner solve (``block_solve``) — no assembled matrices,
+    no factorizations.  Outer FCG tolerates the inexact inner solves.
+
+    Outer preconditioning: by default the readily available trace
+    diagonal D (Jacobi); pass ``Binv_pad`` (the dense embedded B^{-1}
+    from :func:`build_woodbury` — one host assembly at setup) to apply
+    the exact trace inverse as one MXU matmul per iteration, which
+    drops the outer count to O(1)–O(10) (limited only by inner-solve
+    inexactness).
+
+    g: (E, Nsp, Nrp); gdelta_faces: (nfaces, L) raw gδ (zero-padded).
+    Returns (u, lam, outer CGResult).
+    """
+    E = bp.coefs.shape[0]
+    mask = bp.Dinv > 0
+    minv = lambda y: block_solve(bp, y, tol=inner_tol,
+                                 maxiter=inner_maxiter, stencil=stencil).x
+    if Binv_pad is None:
+        precond = lambda r: r * bp.Dinv
+    else:
+        precond = lambda r: (Binv_pad @ r.reshape(-1)).reshape(r.shape)
+    b = jnp.where(mask, gdelta_faces, 0.0) - _fbar_raw(bp, minv(g))
+    res = cg(lambda lam: trace_matvec(bp, lam, minv), b,
+             tol=tol, maxiter=maxiter, flexible=True, precond=precond)
+    u = minv(g - face_scatter(bp, res.x, 0, E))
+    return u, res.x, res
+
+
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
                         maxiter=2000, precond="auto", stencil="auto"):
     """CG on the eliminated SPD system (batched).

@@ -1,0 +1,142 @@
+"""Device-side trace (Schur) solve gates.
+
+The reference's *default* solve method (square_circle.jl:374-388) run
+matrix-free on device: flexible CG on B = D - Fbar M^-1 Fbar' with
+batched fastdiag-CG inner block solves.  Gates: u and lambda match the
+host :trace direct solve; the sharded variant matches on the virtual
+8-device mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridsbp_tpu import BC_DIRICHLET, BC_JUMP_INTERFACE
+from hybridsbp_tpu.hybrid import build_problem
+from hybridsbp_tpu.tpu import build_blocked, solve_trace
+from hybridsbp_tpu.tpu.multiblock import blocked_rhs_from_host
+
+VERTS = np.array([[-1.0, 0.0, 1.0, -1.0, 0.0, 1.0],
+                  [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]])
+ETOV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
+
+
+def _jump_problem(p=2, N=12):
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_JUMP_INTERFACE
+    Narr = np.full(2, N)
+    prob, _ = build_problem(p, VERTS, ETOV, ETOF, FToB, Narr, Narr)
+    return prob
+
+
+def _lambda_padded_to_host(bp, prob, lam_pad):
+    """Map the (nfaces, L) padded trace array to the host's stacked
+    lambda vector."""
+    out = np.zeros(int(prob.FToLstarts[-1]))
+    for f in range(len(prob.FToB)):
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        out[s0:s1] = np.asarray(lam_pad[f, :s1 - s0])
+    return out
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_device_trace_solve_matches_host(p):
+    prob = _jump_problem(p=p, N=14)
+    bp = build_blocked(prob)
+    rng = np.random.default_rng(5)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gd = rng.standard_normal(int(prob.FToLstarts[-1]))
+    u_host, lam_host = prob.solve(g, gd, method="trace")
+
+    gb, gdf = blocked_rhs_from_host(prob, g, gd)
+    u, lam, res = solve_trace(bp, gb, gdf, tol=1e-11, inner_tol=1e-12)
+    assert bool(res.converged), f"outer FCG resnorm {float(res.resnorm)}"
+    np.testing.assert_allclose(np.asarray(u).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(_lambda_padded_to_host(bp, prob, lam),
+                               lam_host, rtol=1e-6, atol=1e-8)
+
+
+def test_device_trace_matvec_matches_assembled_B():
+    """Matrix-free B-matvec == assembled Schur complement."""
+    from hybridsbp_tpu.tpu.multiblock import block_solve, trace_matvec
+
+    prob = _jump_problem(p=2, N=10)
+    bp = build_blocked(prob)
+    nfaces, L = bp.Dinv.shape
+    rng = np.random.default_rng(9)
+    lam_pad = np.zeros((nfaces, L))
+    lam_host = rng.standard_normal(int(prob.FToLstarts[-1]))
+    for f in range(nfaces):
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        lam_pad[f, :s1 - s0] = lam_host[s0:s1]
+
+    minv = lambda y: block_solve(bp, y, tol=1e-13, maxiter=2000).x
+    got_pad = trace_matvec(bp, jnp.asarray(lam_pad), minv)
+    got = _lambda_padded_to_host(bp, prob, got_pad)
+    want = prob.B @ lam_host
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_trace_solve_square_circle_56_blocks():
+    """VERDICT r1 #3 gate: the device trace solve reproduces the host
+    :trace result on the 56-block curved square_circle problem, and the
+    assembled-B outer preconditioner collapses the outer iteration
+    count to O(1)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "drivers"))
+    import square_circle
+    from hybridsbp_tpu.tpu.multiblock import build_woodbury
+
+    prob, g, gd, _, _, _, _ = square_circle.assemble_level(
+        2, 8, square_circle.load_mesh())
+    u_host, _ = prob.solve(g, gd, method="trace")
+    bp = build_blocked(prob)
+    gb, gdf = blocked_rhs_from_host(prob, g, gd)
+    Binv = build_woodbury(bp, prob)
+    u, lam, res = solve_trace(bp, gb, gdf, tol=1e-10, inner_tol=1e-11,
+                              maxiter=1000, inner_maxiter=1000,
+                              Binv_pad=Binv)
+    assert bool(res.converged)
+    assert int(res.iters) <= 5, f"B-preconditioned outer took {res.iters}"
+    np.testing.assert_allclose(np.asarray(u).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_trace_solve_matches_host():
+    """Trace solve under block sharding on the 8-device virtual mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from hybridsbp_tpu.parallel import make_sharded_solver
+
+    assert len(jax.devices()) == 8
+    prob = _jump_problem(p=2, N=12)
+    bp = build_blocked(prob)
+    rng = np.random.default_rng(13)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gd = rng.standard_normal(int(prob.FToLstarts[-1]))
+    u_host, lam_host = prob.solve(g, gd, method="trace")
+
+    mesh = Mesh(np.array(jax.devices()), ("block",))
+    solver = make_sharded_solver(bp, mesh)
+    bpp = solver.bp
+    E_pad = bpp.coefs.shape[0]
+    N1 = bp.grid_shape[0]
+    g_pad = np.zeros((E_pad, N1, N1))
+    g_pad[:2] = g.reshape(2, N1, N1)
+    gdf = np.zeros_like(np.asarray(bp.Dinv))
+    for f in range(len(prob.FToB)):
+        s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+        gdf[f, :s1 - s0] = gd[s0:s1]
+
+    sh = NamedSharding(mesh, P("block"))
+    gb = jax.device_put(jnp.asarray(g_pad), sh)
+    u, lam, res = solve_trace(bpp, gb, jnp.asarray(gdf),
+                              tol=1e-11, inner_tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(u[:2]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(_lambda_padded_to_host(bp, prob, lam),
+                               lam_host, rtol=1e-6, atol=1e-8)
