@@ -12,9 +12,13 @@ Composes the two parallel axes on a ``Mesh(('block', 'space'))``:
 
 This is the full communication pattern of the hybridized method on a
 2D device grid: nearest-neighbor halos + tiny face collectives, all
-riding ICI.  Preconditioning is point-Jacobi here (the
-fast-diagonalization transform is dense along s; use the 1D block mesh
-when fastdiag preconditioning dominates).
+riding ICI.  Preconditioning is the fast-diagonalization block solve
+when available: its dense s-direction eigen-transforms run *across*
+the space axis — each device all_gathers the block rows (tiled, ICI),
+contracts against its own row/column chunk of Qs (static slices by
+axis_index), and keeps everything else local.  Two tiled all_gathers
+per application buy a ~4x CG iteration cut over point-Jacobi (the
+fallback when no fastdiag data is present).
 """
 from functools import partial
 
@@ -142,6 +146,43 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     diag_k = offsets.index((0, 0))
     diag = bpp.coefs[:, diag_k]
 
+    if bpp.fd is not None:
+        fdp = bpp.fd
+
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(block_axis, space_axis, None),
+                      P(block_axis), P(block_axis), P(block_axis),
+                      P(block_axis, space_axis),
+                      P(block_axis, space_axis, None)),
+            out_specs=P(block_axis, space_axis, None))
+        def fd_sm(r, Qr, Qs, lam_r, lam_s_loc, s_inv_loc):
+            """Sharded fastdiag apply: P^{-1} r with the s-transforms
+            running across the space axis (see fastdiag.fastdiag_apply
+            for the unsharded form)."""
+            off = jax.lax.axis_index(space_axis) * S_loc
+            t = r * s_inv_loc
+            t_full = jax.lax.all_gather(t, space_axis, axis=1, tiled=True)
+            # own eigen-row chunk of Qs^T: columns j in [off, off+S_loc)
+            QsT_own = jax.lax.dynamic_slice_in_dim(Qs, off, S_loc, axis=2)
+            t = jnp.einsum("esj,esr->ejr", QsT_own, t_full)
+            t = jnp.einsum("ejr,eri->eji", t, Qr)
+            denom = lam_s_loc[:, :, None] + lam_r[:, None, :]
+            denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            t = t / denom
+            t_full = jax.lax.all_gather(t, space_axis, axis=1, tiled=True)
+            # own physical-row chunk of Qs: rows s in [off, off+S_loc)
+            Qs_own = jax.lax.dynamic_slice_in_dim(Qs, off, S_loc, axis=1)
+            t = jnp.einsum("ejm,emr->ejr", Qs_own, t_full)
+            t = jnp.einsum("ejr,eir->eji", t, Qr)
+            return t * s_inv_loc
+
+        def precond(r):
+            return fd_sm(r, fdp.Qr, fdp.Qs, fdp.lam_r, fdp.lam_s, fdp.s_inv)
+    else:
+        def precond(r):
+            return r / diag
+
     sh_u = NamedSharding(mesh, P(block_axis, space_axis, None))
     sh_c = NamedSharding(mesh, P(block_axis, None, space_axis, None))
     sh_e = NamedSharding(mesh, P(block_axis))
@@ -168,7 +209,6 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                 w0, T_we, T_sn, etof, flps, g)
         b = g - corr
         return cg(lambda u: matvec_sm(u, coefs, T_we, T_sn, etof, flps), b,
-                  tol=tol, maxiter=cg_maxiter,
-                  precond=lambda r: r / diag)
+                  tol=tol, maxiter=cg_maxiter, precond=precond)
 
     return bpp, solve
