@@ -109,7 +109,7 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         out = jnp.zeros(shape, dtype=w.dtype)
         for lf in range(4):
             wf = w[etof_loc[:, lf], :]
-            wf = jnp.where(flip_loc[:, lf][:, None], wf[:, ::-1], wf)
+            wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
             vals = jnp.einsum("elak,ek->ela", T[lf], wf)
             lay = list(layers[lf])
             if lf < 2:
@@ -121,7 +121,7 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     def combine(t_all):
         t_m = t_all[em, fm]
         t_p = t_all[ep, fp]
-        t_p = jnp.where(jnp.asarray(pflip)[:, None], t_p[:, ::-1], t_p)
+        t_p = jnp.where(jnp.asarray(pflip)[:, None], bpp._rev_face(t_p), t_p)
         t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
         t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
         return t * bpp.Dinv

@@ -102,13 +102,13 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         out = jnp.zeros(shape, dtype=w.dtype)
         for lf in (0, 1):
             wf = w[etof_loc[:, lf], :]
-            wf = jnp.where(flip_loc[:, lf][:, None], wf[:, ::-1], wf)
+            wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
             vals = jnp.einsum("elak,ek->ela", T_we[lf], wf)  # (E,nlay,S_loc)
             lay = list(layers[lf])
             out = out.at[:, :, lay].add(vals.transpose(0, 2, 1))
         for i, lf in enumerate((2, 3)):
             wf = w[etof_loc[:, lf], :]
-            wf = jnp.where(flip_loc[:, lf][:, None], wf[:, ::-1], wf)
+            wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
             for li, l_global in enumerate(layers[lf]):
                 owned = (l_global >= off) & (l_global < off + S_loc)
                 idx = jnp.clip(l_global - off, 0, S_loc - 1)
@@ -119,7 +119,7 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     def combine(t_all):
         t_m = t_all[em, fm]
         t_p = t_all[ep, fp]
-        t_p = jnp.where(jnp.asarray(pflip)[:, None], t_p[:, ::-1], t_p)
+        t_p = jnp.where(jnp.asarray(pflip)[:, None], bpp._rev_face(t_p), t_p)
         t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
         t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
         return t * bpp.Dinv

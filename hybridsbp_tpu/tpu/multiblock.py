@@ -61,10 +61,30 @@ class BlockedHybrid(NamedTuple):
     interior: np.ndarray          # (nfaces,) bool
     JH: jnp.ndarray               # (E, Nsp, Nrp) quadrature (for norms)
     fd: object = None             # stacked FastDiag (block preconditioner)
+    # static orientation-reversal permutations for the L-padded trace
+    # layout (rectangular blocks: a face's true length Lf may be < L,
+    # so a whole-row [::-1] would shuffle padding into data).
+    # perm_lf[lf]: reversal within the local-face length (4, L);
+    # perm_face[f]: reversal within face f's trace length (nfaces, L).
+    perm_lf: np.ndarray = None
+    perm_face: np.ndarray = None
 
     @property
     def grid_shape(self):
         return self.coefs.shape[2:]
+
+    def _rev_lf(self, w, lf):
+        """Reverse (E, L) trace rows within local face lf's length."""
+        if self.perm_lf is None:
+            return w[:, ::-1]
+        return w[:, self.perm_lf[lf]]
+
+    def _rev_face(self, t):
+        """Reverse (nfaces, L) rows within each face's own length."""
+        if self.perm_face is None:
+            return t[:, ::-1]
+        nf = self.perm_face.shape[0]
+        return t[np.arange(nf)[:, None], self.perm_face]
 
 
 def _face_layer_sets(p, Nr, Ns):
@@ -91,9 +111,12 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
     p, Nr, Ns = l0.p, l0.Nr, l0.Ns
     Nrp, Nsp = Nr + 1, Ns + 1
     assert all(lops[e].Nr == Nr and lops[e].Ns == Ns for e in range(E)), \
-        "device multiblock path requires uniform block sizes"
-    L = Nrp
-    assert Nrp == Nsp, "uniform N assumed for the stacked face tensors"
+        "uniform block shape required per batch; mixed-shape meshes go " \
+        "through tpu.bucketed.build_bucketed (shape bucketing)"
+    # face-trace extent: west/east faces carry Nsp points, south/north
+    # Nrp; the padded layout uses the max (rectangular blocks OK)
+    L = max(Nrp, Nsp)
+    Lf_lf = (Nsp, Nsp, Nrp, Nrp)          # true trace length per local face
 
     # --- stacked DIA operators (union of offsets across blocks)
     dias = [to_dia(lops[e].M, Nrp, Nsp, dtype=dtype) for e in range(E)]
@@ -134,11 +157,27 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
     for f in range(nfaces):
         if interior[f]:
             s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
-            Dinv[f] = 1.0 / prob.D[s0:s1]
+            Dinv[f, :s1 - s0] = 1.0 / prob.D[s0:s1]
 
     # --- connectivity metadata (static): flip[lf, e] marks faces whose
     # element ordering is reversed w.r.t. the global face ordering
     flip = ~np.asarray(prob.EToO, dtype=bool)
+
+    # --- static reversal permutations for the L-padded trace layout
+    perm_lf = np.tile(np.arange(L), (4, 1))
+    for lf in range(4):
+        Lf = Lf_lf[lf]
+        perm_lf[lf, :Lf] = np.arange(Lf - 1, -1, -1)
+    perm_face = np.tile(np.arange(L), (nfaces, 1))
+    FToLF_arr = np.asarray(prob.FToLF)
+    FToE_arr = np.asarray(prob.FToE)
+    for f in range(nfaces):
+        # reversal applies to the plus-side trace; its length is the
+        # plus-side local face's extent (== minus side's by conformity)
+        lfp = int(FToLF_arr[1, f]) if FToE_arr[1, f] >= 0 \
+            else int(FToLF_arr[0, f])
+        Lf = Lf_lf[lfp]
+        perm_face[f, :Lf] = np.arange(Lf - 1, -1, -1)
 
     JH = np.stack([np.asarray(lops[e].JH).reshape(Nsp, Nrp)
                    for e in range(E)])
@@ -153,10 +192,10 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
         coefs=jnp.asarray(coefs, dtype=dtype), offsets=tuple(all_offs),
         faces=FaceOps(T=tuple(T), layers=layer_sets),
         Dinv=jnp.asarray(Dinv, dtype=dtype),
-        FToE=np.asarray(prob.FToE), FToLF=np.asarray(prob.FToLF),
+        FToE=FToE_arr, FToLF=FToLF_arr,
         EToF=np.asarray(prob.EToF),
         flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype),
-        fd=fd)
+        fd=fd, perm_lf=perm_lf, perm_face=perm_face)
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +252,7 @@ def face_scatter(bp: BlockedHybrid, w_faces, e_offset, E_local):
     out = jnp.zeros((E_local, Nsp, Nrp), dtype=w_faces.dtype)
     for lf in range(4):
         w = w_faces[EToF[lf], :]                           # (E_local, L)
-        w = jnp.where(jnp.asarray(flip[lf])[:, None], w[:, ::-1], w)
+        w = jnp.where(jnp.asarray(flip[lf])[:, None], bp._rev_lf(w, lf), w)
         T = bp.faces.T[lf][e_offset:e_offset + E_local]    # (E,nlay,A,L)
         vals = jnp.einsum("elak,ek->ela", T, w)
         layers = list(bp.faces.layers[lf])
@@ -238,7 +277,7 @@ def combine_traces(bp: BlockedHybrid, traces):
     t_m = traces[em, fm]                                   # (nfaces, L)
     t_p = traces[ep, fp]
     pflip = bp.flip[fp, ep]                                # plus-side flips
-    t_p = jnp.where(jnp.asarray(pflip)[:, None], t_p[:, ::-1], t_p)
+    t_p = jnp.where(jnp.asarray(pflip)[:, None], bp._rev_face(t_p), t_p)
     t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
     t = t_m + t_p
     mask = jnp.asarray(bp.interior)[:, None]
@@ -268,7 +307,7 @@ def blocked_rhs_from_host(prob, g, gdelta):
     Nsp = prob.lops[0].Ns + 1
     gb = np.asarray(g).reshape(E, Nsp, Nrp)
     nfaces = len(prob.FToB)
-    L = Nrp
+    L = max(Nrp, Nsp)
     gd = np.zeros((nfaces, L))
     for f in range(nfaces):
         s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
