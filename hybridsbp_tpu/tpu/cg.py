@@ -22,8 +22,20 @@ class CGResult(NamedTuple):
 
 def _dot(a, b):
     # elementwise-multiply + full reduction (no reshape: keeps GSPMD
-    # shardings intact so sharded operands reduce with one psum)
-    return jnp.sum(a * b)
+    # shardings intact so sharded operands reduce with one psum).
+    # Operands may be arbitrary pytrees (e.g. per-shape-bucket tuples
+    # of block fields): the dot is the sum over leaves.
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    out = jnp.sum(la[0] * lb[0])
+    for x, y in zip(la[1:], lb[1:]):
+        out = out + jnp.sum(x * y)
+    return out
+
+
+def _axpy(alpha, x, y):
+    """y + alpha * x over pytrees."""
+    return jax.tree_util.tree_map(lambda xi, yi: yi + alpha * xi, x, y)
 
 
 def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
@@ -41,11 +53,11 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
     batched block solves inside the device trace-Schur solve).
     """
     M = precond if precond is not None else (lambda r: r)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    x0 = (jax.tree_util.tree_map(jnp.zeros_like, b) if x0 is None else x0)
 
     bnorm = jnp.sqrt(jnp.real(_dot(b, b)))
     bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
-    r0 = b - matvec(x0)
+    r0 = _axpy(-1.0, matvec(x0), b)
     z0 = M(r0)
     gamma0 = jnp.real(_dot(r0, z0))
 
@@ -62,17 +74,17 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
         # vanishing gamma/pAp must not produce 0/0 NaNs
         pAp = jnp.real(_dot(p, Ap))
         alpha = gamma / jnp.where(pAp == 0, 1.0, pAp)
-        x = x + alpha * p
-        r_new = r - alpha * Ap
+        x = _axpy(alpha, p, x)
+        r_new = _axpy(-alpha, Ap, r)
         z = M(r_new)
         if flexible:
-            num = jnp.real(_dot(z, r_new - r))
+            num = jnp.real(_dot(z, _axpy(-1.0, r, r_new)))
             gamma_new = jnp.real(_dot(r_new, z))
         else:
             gamma_new = jnp.real(_dot(r_new, z))
             num = gamma_new
         beta = num / jnp.where(gamma == 0, 1.0, gamma)
-        p = z + beta * p
+        p = _axpy(beta, p, z)
         return (x, r_new, r, z, p, gamma_new, k + 1)
 
     st = (x0, r0, r0, z0, z0, gamma0, jnp.asarray(0))

@@ -95,10 +95,14 @@ def _face_layer_sets(p, Nr, Ns):
             tuple(range(Ns - nBS + 1, Ns + 1)))      # north
 
 
-def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
+def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
+                  L=None) -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
-    Requires uniform block sizes (all drivers use Nr=Ns=N per level).
+    Requires a uniform block shape (rectangular Nr != Ns allowed);
+    mixed-shape meshes go through :mod:`hybridsbp_tpu.tpu.bucketed`,
+    which calls this once per shape bucket with a common trace extent
+    ``L`` (default: this shape's own max(Nrp, Nsp)).
     """
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
@@ -115,7 +119,9 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True) -> BlockedHybrid:
         "through tpu.bucketed.build_bucketed (shape bucketing)"
     # face-trace extent: west/east faces carry Nsp points, south/north
     # Nrp; the padded layout uses the max (rectangular blocks OK)
-    L = max(Nrp, Nsp)
+    if L is None:
+        L = max(Nrp, Nsp)
+    assert L >= max(Nrp, Nsp)
     Lf_lf = (Nsp, Nsp, Nrp, Nrp)          # true trace length per local face
 
     # --- stacked DIA operators (union of offsets across blocks)

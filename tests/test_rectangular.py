@@ -56,6 +56,57 @@ def test_rectangular_blocks_device_solve(Nr, Ns):
     assert bp.Dinv.shape[1] == max(Nr, Ns) + 1
 
 
+def test_two_bucket_mixed_shapes():
+    """Mixed per-block (Nr, Ns) via shape bucketing: two blocks with
+    different Nr (conforming shared vertical face, equal Ns) solved by
+    the bucketed device path == host (displacement AND trace)."""
+    from hybridsbp_tpu.tpu import bucketed as bkt
+
+    EToV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+    ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_JUMP_INTERFACE
+    Nr = np.array([8, 16])
+    Ns = np.array([12, 12])
+    prob, _ = build_problem(2, VERTS, EToV, ETOF, FToB, Nr, Ns)
+
+    rng = np.random.default_rng(29)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gd = rng.standard_normal(int(prob.FToLstarts[-1]))
+    u_host, _ = prob.solve(g, gd, method="trace")
+
+    bk = bkt.build_bucketed(prob)
+    assert len(bk.buckets) == 2
+    gs, gdf = bkt.bucketed_rhs_from_host(bk, prob, g, gd)
+    res = bkt.solve_displacements(bk, gs, gdf, tol=1e-12, maxiter=8000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(bkt.scatter_solution(bk, prob, res.x),
+                               u_host, rtol=1e-6, atol=1e-8)
+
+    us, lam, rest = bkt.solve_trace(bk, gs, gdf, tol=1e-11,
+                                    inner_tol=1e-12)
+    assert bool(rest.converged)
+    np.testing.assert_allclose(bkt.scatter_solution(bk, prob, us),
+                               u_host, rtol=1e-6, atol=1e-8)
+
+
+def test_nonconforming_mesh_rejected():
+    """Mismatched trace lengths across a shared face are rejected at
+    host assembly (reference parity: the trace-size assert at
+    global_curved.jl:528); build_bucketed carries a defensive duplicate
+    of the same check."""
+    EToV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+    ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_JUMP_INTERFACE
+    # shared face is vertical (length Ns+1): mismatched Ns on the two
+    # sides is non-conforming
+    Nr = np.array([8, 8])
+    Ns = np.array([8, 12])
+    with pytest.raises(AssertionError):
+        build_problem(2, VERTS, EToV, ETOF, FToB, Nr, Ns)
+
+
 def test_rectangular_blocks_flipped_face():
     """Second block rotated 180 degrees: the shared face's orientations
     mismatch (EToO False), exercising the length-aware reversal perms
