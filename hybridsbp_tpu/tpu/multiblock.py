@@ -356,16 +356,31 @@ def _fbar_raw(bp: BlockedHybrid, u):
     return t / jnp.where(bp.Dinv == 0, 1.0, bp.Dinv)
 
 
-def woodbury_precond(bp: BlockedHybrid, Binv_pad):
-    """SPD two-level preconditioner r -> FD r + FD Fbar' B^{-1} Fbar FD r."""
+def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
+                     stencil="auto"):
+    """SPD two-level preconditioner r -> FD r + FD Fbar' B^{-1} Fbar FD r.
+
+    With ``inner_iters=k > 0`` the fastdiag block solve FD is upgraded
+    to k iterations of fastdiag-preconditioned CG on the decoupled
+    block operator M̃ — a much better M̃^{-1} on strongly curved blocks
+    where the rank-1 separable fit is loose.  The preconditioner is
+    then *variable* (CG is a nonlinear map at finite k): use it with a
+    flexible outer iteration (``solve_displacements(...,
+    flexible=True)``)."""
     from .fastdiag import fastdiag_apply
 
+    if inner_iters:
+        minv = lambda r: block_solve(bp, r, tol=1e-30,
+                                     maxiter=inner_iters,
+                                     stencil=stencil).x
+    else:
+        minv = lambda r: jax.vmap(fastdiag_apply)(bp.fd, r)
+
     def M(r):
-        z1 = jax.vmap(fastdiag_apply)(bp.fd, r)
+        z1 = minv(r)
         t = _fbar_raw(bp, z1)
         y = (Binv_pad @ t.reshape(-1)).reshape(t.shape)
-        z2 = jax.vmap(fastdiag_apply)(
-            bp.fd, face_scatter(bp, y, 0, r.shape[0]))
+        z2 = minv(face_scatter(bp, y, 0, r.shape[0]))
         return z1 + z2
 
     return M
@@ -449,13 +464,16 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
 
 
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
-                        maxiter=2000, precond="auto", stencil="auto"):
+                        maxiter=2000, precond="auto", stencil="auto",
+                        flexible=False):
     """CG on the eliminated SPD system (batched).
 
     ``precond``: 'auto' (fastdiag when available), 'fastdiag', 'jacobi',
     or a callable r -> P^{-1} r (e.g. :func:`woodbury_precond`).
     ``stencil``: kernel choice for the block matvec — 'auto', 'pallas',
-    'unrolled', or 'compact' (see :func:`_dia_apply_batched`)."""
+    'unrolled', or 'compact' (see :func:`_dia_apply_batched`).
+    ``flexible``: Polak–Ribière CG for variable preconditioners (e.g.
+    Woodbury with inner CG)."""
     if precond == "auto":
         precond = "fastdiag" if bp.fd is not None else "jacobi"
     if callable(precond):
@@ -474,5 +492,5 @@ def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
         raise ValueError(f"unknown precond {precond!r}")
     b = displacement_rhs(bp, g, gdelta_faces)
     res = cg(lambda u: displacement_matvec(bp, u, stencil=stencil), b,
-             tol=tol, maxiter=maxiter, precond=M)
+             tol=tol, maxiter=maxiter, precond=M, flexible=flexible)
     return res

@@ -372,6 +372,17 @@ def test_woodbury_two_level_precond():
     np.testing.assert_allclose(np.asarray(r_w.x), np.asarray(r_fd.x),
                                rtol=1e-6, atol=1e-8)
 
+    # VERDICT r1 #7: upgrading the block solve to k inner fastdiag-CG
+    # iterations (flexible outer) collapses the outer count to O(1)
+    # (56-block jump problem: 218 -> 4 at 1e-10, measured r2)
+    M8 = woodbury_precond(bp, build_woodbury(bp, prob), inner_iters=8)
+    r_w8 = solve_displacements(bp, gb, gdf, tol=1e-11, maxiter=500,
+                               precond=M8, flexible=True)
+    assert bool(r_w8.converged)
+    assert int(r_w8.iters) <= 12, f"woodbury+innerCG took {r_w8.iters}"
+    np.testing.assert_allclose(np.asarray(r_w8.x), np.asarray(r_fd.x),
+                               rtol=1e-6, atol=1e-8)
+
 
 @pytest.mark.parametrize("p", [2, 6])
 def test_dia_apply_compact_matches(p):
