@@ -122,6 +122,112 @@ def measure_hbm_bw():
     return bw
 
 
+def _op_fingerprint():
+    """Cheap numerics fingerprint for the operator cache (ADVICE r1):
+    a small locoperator assembled with the same tables/code path —
+    changes whenever SBP tables or locoperator numerics change, so a
+    stale cached bench operator is detected and re-assembled."""
+    from hybridsbp_tpu.mesh import create_metrics
+    from hybridsbp_tpu.ops2d import locoperator
+    from hybridsbp_tpu.seas.bp1 import BP1Params, tan_stretch_maps
+
+    par = BP1Params(N=16, el=10.0)
+    xt, yt = tan_stretch_maps(par)
+    lop = locoperator(2, 16, 16, create_metrics(2, 16, 16, xt, yt))
+    return float(np.abs(lop.M).sum())
+
+
+def _run_sub(mode, timeout):
+    """Run `bench.py --sub MODE` in a subprocess with a hard timeout;
+    returns the parsed JSON detail dict or None.  Keeps the extra
+    metrics from ever hanging the one-line contract."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sub", mode],
+            timeout=timeout, capture_output=True, text=True)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        _log(f"sub-bench {mode} produced no JSON (rc={out.returncode})")
+    except subprocess.TimeoutExpired:
+        _log(f"sub-bench {mode} timed out")
+    except Exception as e:  # noqa: BLE001
+        _log(f"sub-bench {mode} failed: {e}")
+    return None
+
+
+def bench_hybrid_sub():
+    """Hybrid elliptic solve time/step (BASELINE.md north star #2):
+    4-block strip, N=64, p=2, fastdiag-CG displacement solve, f32."""
+    from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE
+    from hybridsbp_tpu.hybrid import build_problem
+    from hybridsbp_tpu.tpu import build_blocked, solve_displacements
+
+    E, N, p = 4, 64, 2
+    verts = np.array(
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    ETOV = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
+    ETOF = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
+    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:4] = BC_LOCKED_INTERFACE
+    Narr = np.full(E, N)
+    prob, _ = build_problem(p, verts, ETOV, ETOF, FToB, Narr, Narr)
+    bp = build_blocked(prob, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.standard_normal((E, N + 1, N + 1)),
+                    dtype=jnp.float32)
+    gd = jnp.zeros_like(bp.Dinv)
+
+    def solve():
+        res = solve_displacements(bp, g, gd, tol=1e-5, maxiter=500)
+        return int(res.iters), float(res.resnorm)
+
+    iters, _ = solve()                        # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve()
+        ts.append(time.perf_counter() - t0)
+    wall = float(np.median(ts))
+    print(json.dumps({"hybrid_solve_ms": round(wall * 1e3, 2),
+                      "hybrid_cg_iters": iters,
+                      "hybrid_ms_per_iter": round(wall * 1e3 / max(iters, 1),
+                                                  3),
+                      "hybrid_dofs": E * (N + 1) ** 2}))
+
+
+def bench_bp1_sub():
+    """BP1 cycle wall-clock (BASELINE.md north star #3): reference
+    configuration N=200, p=2, 1000 years, f32 state."""
+    from hybridsbp_tpu.seas import bp1
+
+    par = bp1.BP1Params(N=200, sim_years=1000)
+    prob = bp1.setup(par, dtype=jnp.float32)
+    fns = bp1.make_solver_fns(prob)
+    _, sol = bp1.run(par, prob=prob, _fns=fns, max_steps=20000)  # compile
+    float(sol.t_final)                     # force completion
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, sol = bp1.run(par, prob=prob, _fns=fns, max_steps=20000)
+        float(sol.t_final)                 # scalar fetch = real sync
+        ts.append(time.perf_counter() - t0)
+    wall = float(np.median(ts))
+    steps = int(sol.stats.naccept) + int(sol.stats.nreject)
+    # seismic events = upcrossings of the SEAS threshold V > 1e-3 m/s
+    lv = np.asarray(sol.save["log10_vmax"])
+    lv = lv[np.isfinite(lv)]
+    seismic = lv > -3.0
+    events = int(np.sum(seismic[1:] & ~seismic[:-1]))
+    print(json.dumps({
+        "bp1_cycle_s": round(wall, 3),
+        "bp1_steps": steps,
+        "bp1_ms_per_step": round(wall * 1e3 / max(steps, 1), 4),
+        "bp1_events": events,
+        "bp1_sim_years": 1000}))
+
+
 def main():
     from hybridsbp_tpu.mesh import create_metrics
     from hybridsbp_tpu.ops2d import locoperator
@@ -135,19 +241,26 @@ def main():
 
     # host assembly of the 66k-DOF block operator takes ~3 min; cache the
     # extracted DIA planes (2.4 MB) so the bench spends its budget on the
-    # device, not scipy
+    # device, not scipy.  The cache carries a numerics fingerprint and is
+    # invalidated when tables/locoperator change (ADVICE r1).
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "artifacts", f"bench_op_p{p}_N{N}.npz")
+    fp = _op_fingerprint()
     op = None
     if os.path.exists(cache):
         try:
             d = np.load(cache)
-            coefs_1 = jnp.asarray(d["coefs"], dtype=jnp.float32)
-            offsets = tuple(map(tuple, d["offsets"]))
-            scale = np.float32(d["scale"])
-            op = type("Op", (), {})()
-            op.coefs, op.offsets = coefs_1, offsets
-            _log(f"loaded cached operator {os.path.basename(cache)}")
+            if "fingerprint" not in d or \
+                    not np.isclose(float(d["fingerprint"]), fp,
+                                   rtol=1e-12, atol=0.0):
+                _log("operator cache fingerprint mismatch; re-assembling")
+            else:
+                coefs_1 = jnp.asarray(d["coefs"], dtype=jnp.float32)
+                offsets = tuple(map(tuple, d["offsets"]))
+                scale = np.float32(d["scale"])
+                op = type("Op", (), {})()
+                op.coefs, op.offsets = coefs_1, offsets
+                _log(f"loaded cached operator {os.path.basename(cache)}")
         except Exception:
             _log("operator cache unreadable; assembling from scratch")
             op = None
@@ -163,7 +276,7 @@ def main():
             np.savez_compressed(cache, coefs=np.asarray(op.coefs),
                                 offsets=np.asarray(op.offsets,
                                                    dtype=np.int32),
-                                scale=scale)
+                                scale=scale, fingerprint=fp)
             _log(f"cached operator to {os.path.basename(cache)}")
         except OSError:
             pass
@@ -204,29 +317,45 @@ def main():
 
     _log("measuring HBM bandwidth")
     bw = measure_hbm_bw()
-    _log("done")
     # irreducible traffic: noff coefficient planes + read u + write out
     bytes_per_dof = (noff + 2) * 4
     roofline_gdof_s = bw / bytes_per_dof / 1e9
     target = 0.7 * roofline_gdof_s
+
+    detail = {
+        "backend": backend, "kernel": best_name, "p": p, "N": N,
+        "blocks": E, "noff": noff,
+        "us_per_apply": round(best * 1e6, 2),
+        "all_kernels_us": {k: round(v * 1e6, 2)
+                           for k, v in candidates.items()},
+        "hbm_bw_GBs": round(bw / 1e9, 1),
+        "roofline_gdof_s": round(roofline_gdof_s, 3),
+        "pct_roofline": round(100 * gdof_s / roofline_gdof_s, 1),
+    }
+
+    # breadth metrics (BASELINE.md north stars #2/#3), each in a
+    # bounded subprocess so a wedged worker can't break the contract
+    _log("sub-bench: hybrid solve")
+    sub = _run_sub("hybrid", timeout=900)
+    if sub:
+        detail.update(sub)
+    _log("sub-bench: bp1 cycle")
+    sub = _run_sub("bp1", timeout=1500)
+    if sub:
+        detail.update(sub)
+    _log("done")
 
     print(json.dumps({
         "metric": "sbp_matvec_gdof_s",
         "value": round(gdof_s, 3),
         "unit": "GDOF/s",
         "vs_baseline": round(gdof_s / target, 3),
-        "detail": {
-            "backend": backend, "kernel": best_name, "p": p, "N": N,
-            "blocks": E, "noff": noff,
-            "us_per_apply": round(best * 1e6, 2),
-            "all_kernels_us": {k: round(v * 1e6, 2)
-                               for k, v in candidates.items()},
-            "hbm_bw_GBs": round(bw / 1e9, 1),
-            "roofline_gdof_s": round(roofline_gdof_s, 3),
-            "pct_roofline": round(100 * gdof_s / roofline_gdof_s, 1),
-        },
+        "detail": detail,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        {"hybrid": bench_hybrid_sub, "bp1": bench_bp1_sub}[sys.argv[2]]()
+    else:
+        main()

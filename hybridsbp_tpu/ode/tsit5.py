@@ -58,6 +58,8 @@ class Tsit5Solution(NamedTuple):
     t_final: jnp.ndarray
     stats: SolveStats
     dt_final: jnp.ndarray = None   # controller step size (for resuming)
+    meta: Any = None         # caller bookkeeping (e.g. station indices),
+                             # attached post-solve via _replace
 
     @property
     def nsteps(self):

@@ -105,6 +105,43 @@ def strength_balance_hoisted(V, w, e2w, sigma_n, phi, eta, a, V0):
     return g, dgdV
 
 
+# fdlibm-style Cody-Waite split of ln(2) for the precise f32 log
+_LN2_HI = 6.9313812256e-01
+_LN2_LO = 9.0580006145e-06
+_SQRT_HALF = 0.70710678118
+
+
+def log_precise(x):
+    """Accurate natural log for float32 on TPU.
+
+    The TPU's hardware f32 ``log`` approximation has only ~2**-13
+    *relative* accuracy (measured r2: ~1.6e-4 output granularity at
+    magnitudes ~7), which puts an ~1e-4*(sigma a) evaluation-noise
+    floor under the rate-and-state strength balance — the friction
+    Newton then 2-cycles between adjacent quantization plateaus and can
+    never satisfy a tight ftol.  This software form (Cody-Waite ln2
+    split + atanh series after mantissa/exponent decomposition) costs
+    ~10 VPU flops and is accurate to a few f32 ulps of the result,
+    restoring a ~1e-6-relative slip-rate solve in pure f32.
+
+    float64 inputs fall through to ``jnp.log`` (the series is tuned to
+    f32 accuracy).
+    """
+    if jnp.result_type(x) == jnp.float64:
+        return jnp.log(x)
+    m, e = jnp.frexp(x)                      # x = m 2^e, m in [0.5, 1)
+    adj = m < _SQRT_HALF
+    m = jnp.where(adj, 2.0 * m, m)           # m in [sqrt(1/2), sqrt(2))
+    e = (e - adj).astype(m.dtype)
+    r = (m - 1.0) / (m + 1.0)                # |r| <= 0.1716
+    z = r * r
+    # log(m) = 2 atanh(r) = 2r(1 + z/3 + z^2/5 + z^3/7 + z^4/9); the
+    # z^5/11 tail is < 3e-9 relative — below f32 resolution
+    p = 2.0 * r * (1.0 + z * (0.33333333 + z * (0.2 + z * (
+        0.14285714 + z * 0.11111111))))
+    return e * _LN2_HI + (p + e * _LN2_LO)
+
+
 def strength_balance_compensated(V, qp, qm, w32, e2w, sigma_a, eta, inv2V0):
     """f32-robust strength balance via cancellation hoisting.
 
@@ -124,7 +161,7 @@ def strength_balance_compensated(V, qp, qm, w32, e2w, sigma_a, eta, inv2V0):
     u = V * inv2V0
     au = jnp.abs(u)
     root = jnp.sqrt(e2w + u * u)
-    l = jnp.log(au + root)
+    l = log_precise(au + root)
     gs = jnp.where(u >= 0, qp + l, qm - l)
     gs = jnp.where(u == 0, qp - w32, gs)   # asinh(0) = 0 exactly
     g = sigma_a * gs + eta * V
@@ -133,7 +170,7 @@ def strength_balance_compensated(V, qp, qm, w32, e2w, sigma_a, eta, inv2V0):
 
 
 def newtbndv_fixed(func, xL, xR, x, iters=25, ftol=1e-6, atolx=1e-4,
-                   rtolx=1e-4):
+                   rtolx=1e-4, polish=0, xtol_rel=None):
     """Fixed-iteration bracketed Newton (fori_loop), batched-friendly.
 
     Same safeguarded iteration as :func:`newtbndv`, but with a static
@@ -142,6 +179,25 @@ def newtbndv_fixed(func, xL, xR, x, iters=25, ftol=1e-6, atolx=1e-4,
     program (important inside the BP1 outer while_loop on TPU).  With
     the analytic warm start ~10 iterations converge; returns
     ``(x, f, iters_pos_or_neg)`` with the same failure protocol.
+
+    ``polish=k`` appends k *unsafeguarded* Newton steps after the
+    bracketed sweep, with a noise-aware acceptance: a step is taken
+    only while it keeps shrinking (|dx_new| <= |dx_prev|) — past that
+    point the update is pure evaluation noise and would random-walk x.
+    This drives |f| from ftol down to the evaluation-noise floor of
+    ``func``.
+
+    ``xtol_rel`` adds a second, noise-aware convergence acceptance:
+    the node counts as converged once its bracket has collapsed to a
+    relative width <= xtol_rel, even if |f| never reaches ftol.  This
+    is REQUIRED on TPU f32: the hardware's f32 log carries ~2e-5
+    *relative* error, so the strength balance g has an evaluation-noise
+    floor of ~1e-4·(sigma a) at O(10) log magnitudes — no ftol below
+    that is reachable, the convergence flag never trips at marginal
+    nodes, and the resulting "Newton failed" rejections storm the step
+    controller (the round-1 f32 storm, diagnosed r2).  A collapsed
+    bracket means x is pinned to within (evaluation noise)/g' of the
+    true root — the best any iteration can do with this arithmetic.
     """
     fL, _ = func(xL)
     fR, _ = func(xR)
@@ -156,13 +212,16 @@ def newtbndv_fixed(func, xL, xR, x, iters=25, ftol=1e-6, atolx=1e-4,
         dx = jnp.where(bad, (xR - xL) / 2, dx)
         fn, dfn = func(xn)
         same = fn * fL > 0
-        st_new = (xn,
-                  jnp.where(same, xn, xL), jnp.where(same, xR, xn),
+        xL2 = jnp.where(same, xn, xL)
+        xR2 = jnp.where(same, xR, xn)
+        c = (jnp.abs(fn) < ftol) & (jnp.abs(dx) < atolx + rtolx
+                                    * (jnp.abs(dx) + jnp.abs(xn)))
+        if xtol_rel is not None:
+            c = c | ((xR2 - xL2) <= xtol_rel
+                     * jnp.maximum(jnp.abs(xL2), jnp.abs(xR2)))
+        st_new = (xn, xL2, xR2,
                   jnp.where(same, fn, fL), jnp.where(same, fR, fn),
-                  fn, dfn,
-                  conv | ((jnp.abs(fn) < ftol)
-                          & (jnp.abs(dx) < atolx + rtolx
-                             * (jnp.abs(dx) + jnp.abs(xn)))))
+                  fn, dfn, conv | c)
         # freeze once converged
         return jax.tree_util.tree_map(
             lambda new, old: jnp.where(conv, old, new), st_new, st)
@@ -170,6 +229,29 @@ def newtbndv_fixed(func, xL, xR, x, iters=25, ftol=1e-6, atolx=1e-4,
     f0, df0 = func(x)
     st = (x, xL, xR, fL, fR, f0, df0, jnp.asarray(False))
     x, xL, xR, fL, fR, f, df, conv = jax.lax.fori_loop(0, iters, body, st)
+
+    if polish:
+        def pbody(_, pst):
+            x, f, df, dx_prev, alive = pst
+            dx = -f / df
+            # noise-aware acceptance: step must keep contracting, else
+            # we are at the noise floor — freeze.  Deliberately NOT
+            # bracket-constrained: with a noise-collapsed bracket the
+            # computed root can sit (noise/g') outside it.
+            ok_step = jnp.abs(dx) <= jnp.abs(dx_prev)
+            take = alive & ok_step
+            xn = jnp.where(take, x + dx, x)
+            fn, dfn = func(xn)
+            keep_f = jnp.where(take, fn, f)
+            keep_df = jnp.where(take, dfn, df)
+            return (xn, keep_f, keep_df, jnp.where(take, dx, dx_prev),
+                    take)
+        # seed dx_prev from the current Newton step estimate so the
+        # first polish step is accepted whenever it is sane
+        dx0 = jnp.abs(-f / df) * 4.0 + atolx
+        x, f, df, _, _ = jax.lax.fori_loop(
+            0, polish, pbody, (x, f, df, dx0, conv))
+
     ok = conv & ~no_bracket
     x = jnp.where(no_bracket, jnp.nan, x)
     return x, f, jnp.where(ok, iters, -iters)

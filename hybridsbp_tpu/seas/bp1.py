@@ -207,19 +207,21 @@ def setup(par: BP1Params = BP1Params(), dtype=None,
 
 
 def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
-                newton_dtype=None):
+                newton_dtype=None, newton_polish=None):
     """The jittable BP1 right-hand side (odefun.jl:8-121).
 
     State y = [psi; delta] (2(N+1),).  Returns (dy, ok) for the
     integrator's rejection protocol.  The slip Newton runs a fixed
     ``newton_iters`` sweep (warm-started; lockstep across fault nodes).
 
-    Even on the f32 serving path the *friction Newton* runs in float64
-    when x64 is enabled (``newton_dtype``): it is 201 scalars of
-    transcendental math (cheap even emulated on TPU), and in f32 the
-    strength function's own evaluation noise (sigma*a*(psi/a)*O(eps32)
-    ~1e-4 with TPU transcendentals) sits above any usable ftol — the
-    marginal node then never converges and storms the step controller.
+    Newton dtype: float64 (default when x64 is enabled) or float32.
+    The pure-f32 path uses the compensated strength balance with the
+    *software* f32 log (the TPU hardware f32 log is only ~2**-13
+    relative-accurate, which floors the balance at ~1e-4*(sigma a) and
+    2-cycles the Newton — the round-1 storm, diagnosed and fixed r2),
+    plus polish steps and bracket-collapse acceptance.  Measured on
+    TPU v5e: the f32 path runs the full 1000-yr cycle with a normal
+    rejection rate at ~3.4x the f64-Newton path's warm speed.
     """
     par = prob.par
     K, k2 = prob.K, prob.k2
@@ -229,6 +231,18 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
     if newton_tol is None:
         # the compensated f32 formulation supports a tight ftol again
         newton_tol = 1e-9 if newton_dtype == jnp.float64 else 3e-5
+    if newton_polish is None:
+        # f32 path: two unsafeguarded polish steps push V to the
+        # evaluation-noise floor of the compensated balance
+        newton_polish = 0 if newton_dtype == jnp.float64 else 2
+    # f32 path: accept bracket collapse as convergence.  The TPU f32
+    # log has ~2e-5 relative error, giving the strength balance a
+    # ~1e-4*(sigma a) evaluation-noise floor that no reachable ftol can
+    # undercut — without this, marginal nodes flag "Newton failed"
+    # every step and the rejections storm the controller (the round-1
+    # f32 storm, diagnosed r2; see newtbndv_fixed docstring)
+    newton_xtol_rel = (None if newton_dtype == jnp.float64
+                       else 8 * float(jnp.finfo(newton_dtype).eps))
     tau1, sJ1, RSa = prob.tau1, prob.sJ1, prob.RSa
     mu, eta, sigma_n = par.mu_shear, par.eta, par.sigma_n
     V0, b, Dc, f0, Vp = par.RSV0, par.RSb, par.RSDc, par.RSf0, par.Vp
@@ -299,7 +313,9 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
                     V, qp_i, qm_i, w_i, e2w_i, sa_i, eta, inv2V0)
                 return newtbndv_fixed(f, -VR_i, VR_i, x0_i,
                                       iters=newton_iters, ftol=newton_tol,
-                                      atolx=newton_tol, rtolx=newton_tol)
+                                      atolx=newton_tol, rtolx=newton_tol,
+                                      polish=newton_polish,
+                                      xtol_rel=newton_xtol_rel)
 
             V, fval, iters = jax.vmap(one)(qp, qm, w32, e2w_n, sig_a,
                                            VR.astype(newton_dtype),
@@ -330,7 +346,8 @@ def initial_state(prob: BP1Problem):
     return jnp.asarray(y0)
 
 
-def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False):
+def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False,
+                    newton_dtype=None):
     """Build (rhs, save_fn) once per problem.  Reusing the same function
     objects across run() calls keeps the jit cache warm (each new closure
     would otherwise recompile the whole while_loop — costly on a
@@ -338,11 +355,16 @@ def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False):
     par = prob.par
     n = par.N + 1
     if stations is None:
-        depths = np.arange(0.0, 36.0, 2.5)
+        # SEAS nominal station depths; files are named by these, the
+        # histories sample the nearest grid node
+        nominal_depths = np.arange(0.0, 36.0, 2.5)
         stations = np.array([int(np.argmin(np.abs(prob.yf - d)))
-                             for d in depths])
+                             for d in nominal_depths])
+    else:
+        # custom indices: the snapped node depth is the best label
+        nominal_depths = np.asarray(prob.yf)[np.asarray(stations)]
     stations = jnp.asarray(stations)
-    rhs = make_odefun(prob)
+    rhs = make_odefun(prob, newton_dtype=newton_dtype)
     K, k2, tau1, sJ1 = prob.K, prob.k2, prob.tau1, prob.sJ1
     mu, Vp, tau_z0 = par.mu_shear, par.Vp, prob.tau_z0
 
@@ -364,12 +386,16 @@ def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False):
             out["delta_full"] = delta
         return out
 
+    # record the recording depths for the station writer (ADVICE r1:
+    # label columns by the stations actually used, not by count-matching)
+    save_fn.station_depths = nominal_depths
     return rhs, save_fn
 
 
 def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
         save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None,
-        t0=0.0, y0=None, dt0=YEAR_SECONDS, save_profiles=False, _fns=None):
+        t0=0.0, y0=None, dt0=YEAR_SECONDS, save_profiles=False, _fns=None,
+        newton_dtype=None):
     """Full earthquake-cycle simulation.
 
     Returns (prob, solution) where solution.save holds per-step station
@@ -381,7 +407,8 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
     par = prob.par
     if _fns is None:
         _fns = make_solver_fns(prob, stations=stations,
-                               save_profiles=save_profiles)
+                               save_profiles=save_profiles,
+                               newton_dtype=newton_dtype)
     rhs, save_fn = _fns
     y_init = initial_state(prob) if y0 is None else jnp.asarray(y0)
     y_init = y_init.astype(prob.K.dtype)   # state follows the serving dtype
@@ -389,6 +416,9 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
                       par.sim_years * YEAR_SECONDS, dt0,
                       rtol=rtol, atol=atol, max_steps=max_steps,
                       save_fn=save_fn, save_every=save_every)
+    depths = getattr(save_fn, "station_depths", None)
+    if depths is not None:
+        sol = sol._replace(meta={"station_depths": depths})
     return prob, sol
 
 
@@ -511,12 +541,17 @@ def write_station_files(prob: BP1Problem, history, outdir, *,
     log10(V [m/s]), shear_stress is in MPa, and state is log10(theta [s])
     recovered from psi via psi = f0 + b*log(V0*theta/Dc).
 
-    The station set must match the one used at run time (default:
-    depths 0..35 km every 2.5 km, nearest grid node).  Returns the list
-    of paths written.
+    The station depths are read from the run's recorded metadata when
+    available (``sol.meta['station_depths']``, always consistent with
+    the histories); the default 0..35 km/2.5 km grid is only a fallback
+    for bare dict histories.  Returns the list of paths written.
     """
     if station_depths is None:
-        station_depths = np.arange(0.0, 36.0, 2.5)
+        meta = getattr(history, "meta", None)
+        if meta and "station_depths" in meta:
+            station_depths = meta["station_depths"]
+        else:
+            station_depths = np.arange(0.0, 36.0, 2.5)
     return _write_station_data(prob.par, prob.yf, history, outdir,
                                station_depths, code)
 

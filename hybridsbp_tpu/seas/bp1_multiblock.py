@@ -260,7 +260,9 @@ def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
     rhs = make_odefun(mp)
     n = mp.n_fault
     if stations is None:
-        _, stations = default_stations(mp)
+        nominal_depths, stations = default_stations(mp)
+    else:
+        nominal_depths = np.asarray(mp.depth)[np.asarray(stations)]
     stations = jnp.asarray(stations)
     Kff, kt, tau_z0 = mp.Kff, mp.kt, mp.tau_z0
 
@@ -279,7 +281,11 @@ def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
                       sim_years * YEAR_SECONDS, YEAR_SECONDS,
                       rtol=rtol, atol=atol, max_steps=max_steps,
                       save_fn=save_fn, save_every=save_every)
-    return sol
+    # record which stations the histories were sampled at, so the
+    # station writer labels columns by the depths actually recorded
+    # (ADVICE r1: counts alone can coincidentally match)
+    return sol._replace(meta={"stations": np.asarray(stations),
+                              "station_depths": nominal_depths})
 
 
 def write_station_files(mp: MultiBP1Problem, history, outdir, *,
@@ -290,6 +296,11 @@ def write_station_files(mp: MultiBP1Problem, history, outdir, *,
     from .bp1 import _write_station_data
 
     if station_depths is None:
-        station_depths, _ = default_stations(mp)
+        meta = getattr(history, "meta", None)
+        if meta and "station_depths" in meta:
+            # depths recorded by run() — always matches the histories
+            station_depths = meta["station_depths"]
+        else:
+            station_depths, _ = default_stations(mp)
     return _write_station_data(mp.par, mp.depth, history, outdir,
                                np.asarray(station_depths), code)

@@ -1,4 +1,5 @@
 """Gates for the Tsit5 integrator and rate-and-state Newton solver."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,3 +113,47 @@ def test_hoisted_strength_balance_matches():
     g2, dg2 = strength_balance_hoisted(V, w, e2w, sg, phi, eta, a, V0)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2), rtol=1e-12)
+
+
+def test_log_precise_accuracy():
+    """Software f32 log (Cody-Waite + atanh series) is f32-ulp accurate
+    over the slip-rate solve's argument range.  On TPU the hardware f32
+    log is only ~2**-13-relative accurate (measured 3.5e-4), which
+    floored the compensated strength balance and stormed the f32 BP1
+    controller (r2 diagnosis) — this pins the software form."""
+    import numpy as np
+    from hybridsbp_tpu.physics.rateandstate import log_precise
+
+    x = jnp.asarray(np.logspace(-30, 10, 50000), dtype=jnp.float32)
+    ref = np.log(np.asarray(x, dtype=np.float64))
+    got = np.asarray(jax.jit(log_precise)(x), dtype=np.float64)
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-30)
+    assert rel.max() < 1e-6, f"max rel err {rel.max():.3e}"
+    # f64 passthrough
+    x64 = jnp.asarray([0.5, 1.0, 3.7, 1e-20], dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(log_precise(x64)),
+                               np.log(np.asarray(x64)), rtol=1e-15)
+
+
+def test_bp1_pure_f32_no_storm():
+    """Pure-f32 BP1 loop (compensated balance + software log + polish +
+    bracket-collapse acceptance): full cycle completes with a healthy
+    rejection rate and the f64 trajectory's event signature (VERDICT r1
+    #5 gate)."""
+    import numpy as np
+    from hybridsbp_tpu.seas import bp1
+
+    par = bp1.BP1Params(N=100, sim_years=300)
+    prob64 = bp1.setup(par)
+    _, s64 = bp1.run(par, prob=prob64)
+    prob32 = bp1.setup(par, dtype=jnp.float32)
+    _, s32 = bp1.run(par, prob=prob32, newton_dtype=jnp.float32)
+    n64, r64 = int(s64.stats.naccept), int(s64.stats.nreject)
+    n32, r32 = int(s32.stats.naccept), int(s32.stats.nreject)
+    assert float(s32.t_final) >= 300 * 3.1e7, "f32 run did not finish"
+    # no storm: rejection rate comparable to f64, steps within 10%
+    assert r32 <= 2 * max(r64, 20), f"f32 rejections {r32} vs f64 {r64}"
+    assert abs(n32 - n64) <= 0.10 * n64, f"steps {n32} vs {n64}"
+    v64 = float(np.nanmax(np.asarray(s64.save["log10_vmax"])))
+    v32 = float(np.nanmax(np.asarray(s32.save["log10_vmax"])))
+    assert abs(v64 - v32) < 0.1, f"vmax {v32} vs {v64}"
