@@ -1,15 +1,19 @@
-"""Pallas TPU kernel for the DIA stencil matvec (the framework's hot op).
+"""Pallas TPU kernels for the DIA stencil matvec (the framework's hot op)
+— and the measurement-backed conclusion that XLA wins this op.
 
-The XLA-fused form of :func:`..tpu.stencil.dia_apply` reads a shifted
-copy of ``u`` from HBM for every offset (~2*noff+1 planes of traffic per
-apply).  This kernel stages the padded field in VMEM once and streams
-only the coefficient planes, approaching the irreducible
-(noff+2)-plane HBM roofline: grid over the block batch; per program the
-(Nsp+2S, Nrp+2R) padded field and the (noff, Nsp, Nrp) coefficient
-stack for one mesh block live in VMEM, and the offset sum runs entirely
-on the VPU with static slices.
+Settled with on-chip data (r1-r2, see RESULTS.md and
+:func:`dia_apply_batched`): the XLA-fused apply sits at the irreducible
+(noff+2)-plane HBM roofline at every measured plane count, because one
+block's field fits on-chip and the coefficient streaming — the dominant
+traffic — cannot be reduced.  Three kernel designs live here,
+correctness-gated and selectable, none faster than XLA:
 
-Falls back transparently to the XLA form on non-TPU backends.
+- whole-block VMEM staging (``use_pallas=True``, small stacks),
+- s-tiled double-buffered manual-DMA streaming (large stacks that
+  exceed scoped VMEM, 8-aligned strips),
+- shared-coefficient residency/streaming variants (see
+  :func:`dia_apply_shared` — whose *XLA* form is the real 2.3x win for
+  meshes where blocks share one operator).
 """
 from functools import partial
 
@@ -57,20 +61,294 @@ def _dia_apply_pallas(coefs, u, offsets, interpret=False):
     )(u, coefs)
 
 
+def _kernel_tiled(offsets, Nsp, Nrp, S, R, T, u_ref, coef_ref, out_ref):
+    """s-tiled double-buffered variant: the coefficient stack stays in
+    HBM (memory_space=ANY) and is streamed strip-by-strip with manual
+    async DMA, so VMEM holds only (2, noff, T, Nrp) + the padded field
+    — required when noff*Nsp*Nrp*4 exceeds VMEM (fully-curved p=6 has
+    ~133 planes: 8.7 MB/block at 128^2, which OOMs the whole-block
+    kernel together with its I/O), and it overlaps the next strip's
+    coefficient DMA with the current strip's VPU work."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    noff = len(offsets)
+    nt = (Nsp + T - 1) // T
+    SP = 8                 # sublane-aligned halo (vector loads need
+                           # provably 8-aligned row starts; |ds|<=SP)
+    e = pl.program_id(0)   # hoisted: run_scoped's body loses the grid
+                           # context under the interpreter
+
+    def body(upad, cbuf, sem):
+        # stage the field once with an aligned halo: upad[SP+j] = u[j]
+        upad[...] = jnp.zeros((Nsp + 2 * SP, Nrp + 2 * R), upad.dtype)
+        upad[SP:SP + Nsp, R:R + Nrp] = u_ref[0]
+
+        def strip_start(t):
+            # clamp the tail strip: overlapping rows recompute the same
+            # values, so the duplicate store is benign.  Requires
+            # 8 | Nsp and 8 | T so every start stays sublane-aligned.
+            return pl.multiple_of(jnp.minimum(t * T, Nsp - T), 8)
+
+        def dma(slot, t):
+            return pltpu.make_async_copy(
+                coef_ref.at[e, :, pl.ds(strip_start(t), T), :],
+                cbuf.at[slot], sem.at[slot])
+
+        dma(0, 0).start()
+
+        def step(t, _):
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < nt)
+            def _():
+                dma(1 - slot, t + 1).start()
+
+            dma(slot, t).wait()
+            st = strip_start(t)
+            # one aligned window load, then static in-register shifts
+            strip = upad[pl.ds(st, T + 2 * SP), :]
+            acc = jnp.zeros((T, Nrp), dtype=out_ref.dtype)
+            for k, (ds, dr) in enumerate(offsets):
+                sh = jax.lax.slice(strip, (SP + ds, R + dr),
+                                   (SP + ds + T, R + dr + Nrp))
+                acc = acc + cbuf[slot, k] * sh
+            out_ref[0, pl.ds(st, T), :] = acc
+            return ()
+
+        jax.lax.fori_loop(0, nt, step, (), unroll=False)
+
+    pl.run_scoped(
+        body,
+        upad=pltpu.VMEM((Nsp + 2 * SP, Nrp + 2 * R), out_ref.dtype),
+        cbuf=pltpu.VMEM((2, noff, T, Nrp), out_ref.dtype),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("offsets", "T", "interpret"))
+def _dia_apply_pallas_tiled(coefs, u, offsets, T=16, interpret=False):
+    """coefs: (E, noff, Nsp, Nrp); u: (E, Nsp, Nrp)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, noff, Nsp, Nrp = coefs.shape
+    S = max(abs(ds) for ds, _ in offsets)
+    R = max(abs(dr) for _, dr in offsets)
+    T = min(T, Nsp)
+    assert Nsp % 8 == 0 and T % 8 == 0 and S <= 8, \
+        "tiled kernel needs 8-aligned strips (8 | Nsp, 8 | T, |ds| <= 8)"
+
+    return pl.pallas_call(
+        partial(_kernel_tiled, offsets, Nsp, Nrp, S, R, T),
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, Nsp, Nrp),
+                         lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
+            # ANY-space blocks must cover the whole array (trivial
+            # index map); the kernel indexes by program_id in the DMA
+            pl.BlockSpec((E, noff, Nsp, Nrp),
+                         lambda e: (0, 0, 0, 0), memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Nsp, Nrp), lambda e: (e, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Nsp, Nrp), u.dtype),
+        interpret=interpret,
+    )(u, coefs)
+
+
+def _kernel_shared(offsets, Nsp, Nrp, S, R, u_ref, coef_ref, out_ref):
+    up = jnp.pad(u_ref[0], ((S, S), (R, R)))
+    acc = jnp.zeros((Nsp, Nrp), dtype=out_ref.dtype)
+    for k, (ds, dr) in enumerate(offsets):
+        shifted = jax.lax.slice(up, (S + ds, R + dr),
+                                (S + ds + Nsp, R + dr + Nrp))
+        acc = acc + coef_ref[k] * shifted
+    out_ref[0] = acc
+
+
+def dia_apply_shared(coefs, u, offsets, *, use_pallas=False,
+                     interpret=False):
+    """Shared-coefficient batched DIA apply: every block uses the SAME
+    operator (structured/affine meshes, replicated-geometry ensembles).
+
+    Measured on v5e (133 planes, 8 x 128^2, r2): the shared layout cuts
+    the XLA apply from ~103 us (per-block stacks) to **45.9 us** —
+    coefficient traffic amortizes across blocks.  The Pallas variants
+    (constant-index-map residency: 49.8 us; single-program DMA
+    streaming: 61.1 us) do NOT beat the XLA fusion — at high plane
+    counts the op becomes VPU shift+fma bound and XLA vectorizes that
+    better — so XLA is the default here too.
+
+    coefs: (noff, Nsp, Nrp) — one stack, no block axis; u: (E, Nsp, Nrp).
+    """
+    if not (use_pallas or interpret):
+        Nsp, Nrp = u.shape[-2:]
+        E = u.shape[0]
+        S = max(abs(ds) for ds, _ in offsets)
+        R = max(abs(dr) for _, dr in offsets)
+        up = jnp.pad(u, ((0, 0), (S, S), (R, R)))
+        out = jnp.zeros_like(u)
+        for k, (ds, dr) in enumerate(offsets):
+            sh = jax.lax.slice(up, (0, S + ds, R + dr),
+                               (E, S + ds + Nsp, R + dr + Nrp))
+            out = out + coefs[k][None] * sh
+        return out
+    return _dia_apply_pallas_shared(coefs, u, tuple(offsets),
+                                    interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def _dia_apply_pallas_shared(coefs, u, offsets, interpret=False):
+    """Pallas form of the shared apply (constant-index-map coefficient
+    residency).  Kept as an option with a correctness gate; measured
+    slower than the XLA form (see :func:`dia_apply_shared`)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, Nsp, Nrp = u.shape
+    noff = len(offsets)
+    S = max(abs(ds) for ds, _ in offsets)
+    R = max(abs(dr) for _, dr in offsets)
+
+    return pl.pallas_call(
+        partial(_kernel_shared, offsets, Nsp, Nrp, S, R),
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, Nsp, Nrp),
+                         lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((noff, Nsp, Nrp),
+                         lambda e: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Nsp, Nrp), lambda e: (e, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Nsp, Nrp), u.dtype),
+        # the shared stack is large; raise the scoped-VMEM limit above
+        # the 16 MB default (v5e has 128 MB physical VMEM) — Mosaic
+        # still double-buffers the constant block
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, coefs)
+
+
+def _kernel_shared_stream(offsets, E, Nsp, Nrp, S, R,
+                          u_hbm, coef_ref, out_hbm):
+    """Single-program variant: the shared coefficient stack is loaded
+    into VMEM exactly once, and the u/out blocks are streamed through
+    double-buffered manual DMA — coefficient HBM traffic amortizes over
+    all E blocks (the per-dof traffic drops from (noff+2) planes to
+    noff/E + 2)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def body(ubuf, obuf, sin, sout):
+        def dma_in(slot, e):
+            return pltpu.make_async_copy(u_hbm.at[e], ubuf.at[slot],
+                                         sin.at[slot])
+
+        def dma_out(slot, e):
+            return pltpu.make_async_copy(obuf.at[slot], out_hbm.at[e],
+                                         sout.at[slot])
+
+        dma_in(0, 0).start()
+
+        def step(e, _):
+            slot = jax.lax.rem(e, 2)
+
+            @pl.when(e + 1 < E)
+            def _():
+                dma_in(1 - slot, e + 1).start()
+
+            dma_in(slot, e).wait()
+            up = jnp.pad(ubuf[slot], ((S, S), (R, R)))
+            acc = jnp.zeros((Nsp, Nrp), dtype=obuf.dtype)
+            for k, (ds, dr) in enumerate(offsets):
+                sh = jax.lax.slice(up, (S + ds, R + dr),
+                                   (S + ds + Nsp, R + dr + Nrp))
+                acc = acc + coef_ref[k] * sh
+
+            # reuse of this out slot: wait for its previous store
+            @pl.when(e >= 2)
+            def _():
+                dma_out(slot, e - 2).wait()
+
+            obuf[slot] = acc
+            dma_out(slot, e).start()
+            return ()
+
+        jax.lax.fori_loop(0, E, step, (), unroll=False)
+        # drain the last one or two stores
+        dma_out(jax.lax.rem(E - 1, 2), E - 1).wait()
+
+        @pl.when(E >= 2)
+        def _():
+            dma_out(jax.lax.rem(E - 2, 2), E - 2).wait()
+
+    pl.run_scoped(
+        body,
+        ubuf=pltpu.VMEM((2, Nsp, Nrp), coef_ref.dtype),
+        obuf=pltpu.VMEM((2, Nsp, Nrp), coef_ref.dtype),
+        sin=pltpu.SemaphoreType.DMA((2,)),
+        sout=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def dia_apply_shared_stream(coefs, u, offsets, interpret=False):
+    """coefs: (noff, Nsp, Nrp) shared; u: (E, Nsp, Nrp)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, Nsp, Nrp = u.shape
+    S = max(abs(ds) for ds, _ in offsets)
+    R = max(abs(dr) for _, dr in offsets)
+
+    return pl.pallas_call(
+        partial(_kernel_shared_stream, offsets, E, Nsp, Nrp, S, R),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((E, Nsp, Nrp), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, coefs)
+
+
 def dia_apply_batched(op_coefs, offsets, u, *, use_pallas=None,
                       interpret=False):
-    """Batched DIA apply; picks the Pallas kernel on TPU backends.
+    """Batched DIA apply.  op_coefs: (E, noff, Nsp, Nrp); u: (E, Nsp, Nrp).
 
-    op_coefs: (E, noff, Nsp, Nrp); u: (E, Nsp, Nrp).
-
-    Auto mode engages the kernel only for large blocks: Mosaic rejects
-    some small unaligned shapes, and below ~128 lanes the XLA fusion is
-    equally bandwidth-bound anyway.
+    Auto mode (use_pallas=None) selects **XLA** everywhere: the
+    question was settled with on-chip data (r1-r2, RESULTS.md).  XLA's
+    fused form sits at the irreducible (noff+2)-plane HBM roofline at
+    every measured plane count — p=2/9 planes: 99% (286 us vs pallas
+    296); p=6/33: 78% (72 vs 73); fully-curved p=6/133 planes: ~83%
+    (103 us vs s-tiled-DMA pallas 109).  The r1 hypothesis that XLA
+    re-reads the shifted field per offset is FALSE — one block's field
+    (<=264 KB) stays on-chip, so the op is coefficient-traffic-bound
+    and that traffic is irreducible.  At very high plane counts the op
+    turns VPU shift+fma bound, where XLA also vectorizes better than
+    Mosaic.  The kernels remain available (use_pallas=True: whole-block
+    VMEM staging, or the s-tiled double-buffered manual-DMA variant
+    when the stack exceeds VMEM) and correctness-gated.  For meshes
+    where blocks share one operator, use :func:`dia_apply_shared`
+    (2.3x, also XLA).
     """
+    E, noff = op_coefs.shape[:2]
+    Nsp, Nrp = u.shape[-2:]
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and min(u.shape[-1], u.shape[-2]) >= 128)
+        use_pallas = False
     if use_pallas or interpret:
+        coef_mb = noff * Nsp * Nrp * 4 / 1e6
+        S = max(abs(ds) for ds, _ in offsets)
+        can_tile = Nsp % 8 == 0 and S <= 8 and Nsp >= 16
+        if coef_mb > 4.0 and can_tile:
+            return _dia_apply_pallas_tiled(op_coefs, u, tuple(offsets),
+                                           interpret=interpret)
         return _dia_apply_pallas(op_coefs, u, tuple(offsets),
                                  interpret=interpret)
     return jax.vmap(lambda c, ue: dia_apply(

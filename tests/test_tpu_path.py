@@ -419,3 +419,40 @@ def test_solve_displacements_compact_stencil():
     assert bool(r_cmp.converged)
     np.testing.assert_allclose(np.asarray(r_cmp.x), np.asarray(r_ref.x),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_pallas_tiled_and_shared_kernels_match():
+    """The s-tiled manual-DMA kernel and both shared-coefficient forms
+    (XLA + Pallas) equal the sparse matvec (interpret mode on CPU).
+    These kernels are options, not the default: on-chip measurement
+    showed XLA at the irreducible roofline for this op (RESULTS.md r2)."""
+    from hybridsbp_tpu.tpu.pallas_stencil import (
+        _dia_apply_pallas_shared,
+        _dia_apply_pallas_tiled,
+        dia_apply_shared,
+        dia_apply_shared_stream,
+    )
+
+    p, N, E = 6, 31, 3
+    lop = locoperator(p, N, N, create_metrics(p, N, N))
+    op = to_dia(lop.M, N + 1, N + 1)
+    offs = tuple(op.offsets)
+    rng = np.random.default_rng(41)
+    u = jnp.asarray(rng.standard_normal((E, N + 1, N + 1)))
+    want = np.stack([(lop.M @ np.asarray(u[e]).ravel()).reshape(N + 1, N + 1)
+                     for e in range(E)])
+
+    c1 = jnp.asarray(np.asarray(op.coefs))
+    # distinct per-block scaling for the tiled (per-block) kernel
+    scl = jnp.asarray([1.0, 2.0, 0.5])
+    coefsE = c1[None] * scl[:, None, None, None]
+    got = np.asarray(_dia_apply_pallas_tiled(coefsE, u, offs, T=8,
+                                             interpret=True))
+    np.testing.assert_allclose(got, want * np.asarray(scl)[:, None, None],
+                               rtol=1e-12, atol=1e-12)
+
+    for f in (lambda: dia_apply_shared(c1, u, offs),
+              lambda: _dia_apply_pallas_shared(c1, u, offs, interpret=True),
+              lambda: dia_apply_shared_stream(c1, u, offs, interpret=True)):
+        np.testing.assert_allclose(np.asarray(f()), want,
+                                   rtol=1e-12, atol=1e-12)
