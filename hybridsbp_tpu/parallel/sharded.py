@@ -26,7 +26,7 @@ from ..tpu.multiblock import BlockedHybrid
 
 def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
     """Append decoupled identity blocks so the block axis has extent E_pad."""
-    E = bp.coefs.shape[0]
+    E = bp.nblocks
     if E_pad == E:
         return bp
     assert E_pad > E
@@ -34,9 +34,15 @@ def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
     noff = bp.coefs.shape[1]
     Nsp, Nrp = bp.grid_shape
     diag_k = bp.offsets.index((0, 0))
-    pad_coefs = np.zeros((extra, noff, Nsp, Nrp))
-    pad_coefs[:, diag_k] = 1.0                       # identity operator
-    coefs = jnp.concatenate([bp.coefs, jnp.asarray(pad_coefs)], axis=0)
+    if bp.shared:
+        # the padded blocks reuse the shared operator: their T is zero
+        # (no coupling) and their rhs is zero, so CG keeps them at 0
+        coefs = bp.coefs
+    else:
+        pad_coefs = np.zeros((extra, noff, Nsp, Nrp))
+        pad_coefs[:, diag_k] = 1.0                   # identity operator
+        coefs = jnp.concatenate(
+            [bp.coefs, jnp.asarray(pad_coefs, dtype=bp.coefs.dtype)], axis=0)
     T = tuple(jnp.concatenate(
         [t, jnp.zeros((extra,) + t.shape[1:], dtype=t.dtype)], axis=0)
         for t in bp.faces.T)
@@ -76,7 +82,7 @@ class ShardedSolver(NamedTuple):
 def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                         axis="block") -> ShardedSolver:
     ndev = mesh.shape[axis]
-    E = bp.coefs.shape[0]
+    E = bp.nblocks
     E_pad = ((E + ndev - 1) // ndev) * ndev
     bpp = pad_blocks(bp, E_pad)
     offsets = bpp.offsets
@@ -126,14 +132,21 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
         return t * bpp.Dinv
 
+    # shared-operator meshes: the single coefficient stack is replicated
+    # (P()) and applied with the 2.3x shared-layout kernel per shard
+    coef_spec = P() if bpp.shared else P(axis)
+
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in range(4)),
+        in_specs=(P(axis), coef_spec, tuple(P(axis) for _ in range(4)),
                   P(axis), P(axis)),
         out_specs=P(axis))
     def matvec_sm(u, coefs, T, etof_loc, flip_loc):
-        from ..tpu.pallas_stencil import dia_apply_batched
-        y = dia_apply_batched(coefs, offsets, u)  # auto kernel choice
+        from ..tpu.pallas_stencil import dia_apply_batched, dia_apply_shared
+        if bpp.shared:
+            y = dia_apply_shared(coefs[0], u, offsets)
+        else:
+            y = dia_apply_batched(coefs, offsets, u)  # auto kernel choice
         t_loc = local_traces(u, T)
         t_all = jax.lax.all_gather(t_loc, axis, tiled=True)   # (E_pad,4,L)
         w = combine(t_all)
@@ -161,7 +174,8 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         gdelta_faces: (nfaces, L)."""
         g = constrain(g)
         w0 = gdelta_faces * bpp.Dinv
-        coefs = constrain(bpp.coefs)
+        coefs = jax.lax.with_sharding_constraint(
+            bpp.coefs, NamedSharding(mesh, coef_spec))
         T = tuple(constrain(t) for t in bpp.faces.T)
         etof = constrain(EToF_t)
         flps = constrain(flip_t)

@@ -36,7 +36,7 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                            block_axis="block", space_axis="space"):
     nb = mesh.shape[block_axis]
     ns = mesh.shape[space_axis]
-    E = bp.coefs.shape[0]
+    E = bp.nblocks
     E_pad = ((E + nb - 1) // nb) * nb
     bpp = pad_blocks(bp, E_pad)
     offsets = bpp.offsets
@@ -129,10 +129,16 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     spec_we = P(block_axis, None, space_axis, None)
     spec_sn = P(block_axis, None, None, None)
 
+    # shared-operator meshes: the single stack (broadcast block axis of
+    # extent 1) is replicated along 'block' and sharded along s like the
+    # fields; dia_local's coefficient multiply broadcasts over blocks
+    coef_spec = (P(None, None, space_axis, None) if bpp.shared
+                 else P(block_axis, None, space_axis, None))
+
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(block_axis, space_axis, None),
-                  P(block_axis, None, space_axis, None),
+                  coef_spec,
                   (spec_we, spec_we), (spec_sn, spec_sn),
                   P(block_axis), P(block_axis)),
         out_specs=P(block_axis, space_axis, None))
@@ -184,7 +190,7 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             return r / diag
 
     sh_u = NamedSharding(mesh, P(block_axis, space_axis, None))
-    sh_c = NamedSharding(mesh, P(block_axis, None, space_axis, None))
+    sh_c = NamedSharding(mesh, coef_spec)
     sh_e = NamedSharding(mesh, P(block_axis))
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))

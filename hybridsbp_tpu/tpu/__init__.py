@@ -14,4 +14,9 @@ from .multiblock import (  # noqa: F401
     displacement_rhs,
     solve_displacements,
     solve_trace,
+    with_coef_dtype,
+)
+from .refine import (  # noqa: F401
+    iterative_refinement,
+    refined_displacement_solve,
 )

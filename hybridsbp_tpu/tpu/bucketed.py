@@ -143,7 +143,7 @@ def fbar(bk: Bucketed, us):
 
 def fbarT(bk: Bucketed, w):
     """Per-bucket adjoint scatter of a global face array (tuple out)."""
-    return tuple(face_scatter(b, w, 0, b.coefs.shape[0])
+    return tuple(face_scatter(b, w, 0, b.nblocks)
                  for b in bk.buckets)
 
 

@@ -49,8 +49,25 @@ class FaceOps(NamedTuple):
 
 class BlockedHybrid(NamedTuple):
     """Everything the device multiblock solve needs (static metadata as
-    numpy; field data as jnp arrays with leading block axis E)."""
-    coefs: jnp.ndarray            # (E, noff, Nsp, Nrp) DIA planes
+    numpy; field data as jnp arrays with leading block axis E).
+
+    Two storage-level optimizations of the coefficient stack (the
+    dominant HBM stream of the hot matvec — see pallas_stencil):
+
+    - ``shared=True``: every block uses the SAME operator, so ``coefs``
+      carries a single stack with a broadcast block axis of extent 1
+      (structured/replicated meshes; auto-detected by
+      :func:`build_blocked`).  The apply routes through
+      ``dia_apply_shared`` — measured 2.3x on-chip.
+    - ``coefs`` may be stored in a narrower dtype than the fields
+      (``build_blocked(..., coef_dtype=jnp.bfloat16)`` or
+      :func:`with_coef_dtype`): the multiply upcasts on-chip, HBM
+      coefficient traffic halves.  Solves against the bf16-perturbed
+      operator carry ~1e-3 relative error; wrap with
+      :func:`hybridsbp_tpu.tpu.refine.refined_displacement_solve` to
+      recover full working-precision accuracy.
+    """
+    coefs: jnp.ndarray            # (E|1, noff, Nsp, Nrp) DIA planes
     offsets: Tuple[Tuple[int, int], ...]
     faces: FaceOps
     Dinv: jnp.ndarray             # (nfaces, L): 1/D per interior face, 0 else
@@ -68,10 +85,17 @@ class BlockedHybrid(NamedTuple):
     # perm_face[f]: reversal within face f's trace length (nfaces, L).
     perm_lf: np.ndarray = None
     perm_face: np.ndarray = None
+    shared: bool = False          # coefs block axis is broadcast (extent 1)
 
     @property
     def grid_shape(self):
         return self.coefs.shape[2:]
+
+    @property
+    def nblocks(self):
+        """True block count E (coefs may carry a broadcast axis when
+        ``shared``; JH is always per-block)."""
+        return self.JH.shape[0]
 
     def _rev_lf(self, w, lf):
         """Reverse (E, L) trace rows within local face lf's length."""
@@ -96,13 +120,25 @@ def _face_layer_sets(p, Nr, Ns):
 
 
 def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
-                  L=None) -> BlockedHybrid:
+                  L=None, share_ops="auto",
+                  coef_dtype=None) -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
     Requires a uniform block shape (rectangular Nr != Ns allowed);
     mixed-shape meshes go through :mod:`hybridsbp_tpu.tpu.bucketed`,
     which calls this once per shape bucket with a common trace extent
     ``L`` (default: this shape's own max(Nrp, Nsp)).
+
+    ``share_ops``: 'auto' detects (by exact equality) that every block
+    carries the same operator and stores one coefficient stack
+    (broadcast block axis, ``shared=True`` — the 2.3x
+    ``dia_apply_shared`` fast path); ``True`` asserts it; ``False``
+    always stores per-block stacks.
+
+    ``coef_dtype``: optional narrower storage dtype for the DIA planes
+    only (e.g. ``jnp.bfloat16`` — halves the dominant HBM stream of
+    the matvec; fields/face tensors/fastdiag stay in ``dtype``).  See
+    :class:`BlockedHybrid`.
     """
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
@@ -133,6 +169,17 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         idx = {o: k for k, o in enumerate(all_offs)}
         for k, o in enumerate(d.offsets):
             coefs[e, idx[o]] = np.asarray(d.coefs[k])
+
+    shared = False
+    if share_ops == "auto":
+        shared = E > 1 and all(np.array_equal(coefs[0], coefs[e])
+                               for e in range(1, E))
+    elif share_ops:
+        assert all(np.array_equal(coefs[0], coefs[e]) for e in range(1, E)), \
+            "share_ops=True requires identical block operators"
+        shared = True
+    if shared:
+        coefs = coefs[:1]
 
     # --- dense layer-restricted face maps
     layer_sets = _face_layer_sets(p, Nr, Ns)
@@ -195,13 +242,22 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                         for name in FastDiag._fields))
 
     return BlockedHybrid(
-        coefs=jnp.asarray(coefs, dtype=dtype), offsets=tuple(all_offs),
+        coefs=jnp.asarray(coefs, dtype=coef_dtype or dtype),
+        offsets=tuple(all_offs),
         faces=FaceOps(T=tuple(T), layers=layer_sets),
         Dinv=jnp.asarray(Dinv, dtype=dtype),
         FToE=FToE_arr, FToLF=FToLF_arr,
         EToF=np.asarray(prob.EToF),
         flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype),
-        fd=fd, perm_lf=perm_lf, perm_face=perm_face)
+        fd=fd, perm_lf=perm_lf, perm_face=perm_face, shared=shared)
+
+
+def with_coef_dtype(bp: BlockedHybrid, dtype) -> BlockedHybrid:
+    """Copy of ``bp`` with the DIA coefficient stack cast to ``dtype``
+    (typically ``jnp.bfloat16``): the matvec upcasts on-chip, so only
+    the HBM storage/traffic of the dominant coefficient stream changes.
+    Everything else (face tensors, Dinv, JH, fastdiag) is untouched."""
+    return bp._replace(coefs=bp.coefs.astype(dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +274,11 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
     if stencil == "compact":
         from .stencil import DiaOperator, dia_apply_compact
         offs = bp.offsets
+        if bp.shared:
+            op = DiaOperator(coefs=bp.coefs[0], offsets=offs)
+            return jax.vmap(lambda ue: dia_apply_compact(op, ue))(u)
         return jax.vmap(lambda c, ue: dia_apply_compact(
             DiaOperator(coefs=c, offsets=offs), ue))(bp.coefs, u)
-    from .pallas_stencil import dia_apply_batched as _apply
 
     try:
         use_pallas = {"auto": None, "pallas": True, "unrolled": False}[stencil]
@@ -228,6 +286,12 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
         raise ValueError(
             f"unknown stencil {stencil!r}: expected 'auto', 'pallas', "
             "'unrolled', or 'compact'") from None
+    if bp.shared:
+        from .pallas_stencil import dia_apply_shared
+        return dia_apply_shared(bp.coefs[0], u, bp.offsets,
+                                use_pallas=bool(use_pallas))
+    from .pallas_stencil import dia_apply_batched as _apply
+
     return _apply(bp.coefs, bp.offsets, u, use_pallas=use_pallas)
 
 
@@ -422,7 +486,7 @@ def trace_matvec(bp: BlockedHybrid, lam, minv):
     (global_curved.jl:743-797) applied matrix-free."""
     mask = bp.Dinv > 0
     D = jnp.where(mask, 1.0 / jnp.where(mask, bp.Dinv, 1.0), 0.0)
-    u = minv(face_scatter(bp, lam, 0, bp.coefs.shape[0]))
+    u = minv(face_scatter(bp, lam, 0, bp.nblocks))
     return D * lam - _fbar_raw(bp, u)
 
 
@@ -448,7 +512,7 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
     g: (E, Nsp, Nrp); gdelta_faces: (nfaces, L) raw gδ (zero-padded).
     Returns (u, lam, outer CGResult).
     """
-    E = bp.coefs.shape[0]
+    E = bp.nblocks
     mask = bp.Dinv > 0
     minv = lambda y: block_solve(bp, y, tol=inner_tol,
                                  maxiter=inner_maxiter, stencil=stencil).x

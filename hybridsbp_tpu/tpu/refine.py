@@ -30,3 +30,48 @@ def iterative_refinement(solve32: Callable, matvec64: Callable, b64,
         r = b64 - matvec64(x)
         norms.append(jnp.sqrt(jnp.sum(r * r)))
     return x, norms
+
+
+def refined_displacement_solve(bp, g, gdelta_faces, *, sweeps=3,
+                               coef_dtype=jnp.bfloat16, inner_tol=1e-4,
+                               inner_maxiter=300, tol=None, stencil="auto",
+                               precond="auto"):
+    """Displacement solve whose CG matvecs stream **bf16 coefficient
+    planes** (half the dominant HBM traffic of the hot op), refined
+    against the full-precision operator.
+
+    Each sweep: CG on the ``coef_dtype``-perturbed system for a
+    correction (cheap matvecs), then one full-precision residual.  The
+    bf16 operator perturbation is ~4e-3 relative, so each sweep
+    contracts the true residual by O(kappa_precond * 4e-3) — measured
+    ~0.08/sweep on a curved two-block problem, i.e. ~1 digit per sweep
+    while the inner matvec traffic runs at half the coefficient
+    bandwidth.  For serving tolerances (1e-5-ish) 2-4 sweeps suffice;
+    deep tolerances take ~10.
+
+    Returns (x, residual_norms) — one relative residual per sweep,
+    measured with the full-precision operator.  ``tol``: stop early
+    once the true relative residual falls below it.
+    """
+    from .multiblock import (displacement_matvec, displacement_rhs,
+                             solve_displacements, with_coef_dtype)
+
+    bp_lo = with_coef_dtype(bp, coef_dtype)
+    b = displacement_rhs(bp, g, gdelta_faces)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    x = jnp.zeros_like(b)
+    r = b
+    norms = []
+    zero_gd = jnp.zeros_like(gdelta_faces)
+    for _ in range(sweeps):
+        dx = solve_displacements(bp_lo, r, zero_gd, tol=inner_tol,
+                                 maxiter=inner_maxiter, stencil=stencil,
+                                 precond=precond).x
+        x = x + dx
+        r = b - displacement_matvec(bp, x, stencil=stencil)
+        rn = jnp.sqrt(jnp.sum(r * r)) / bnorm
+        norms.append(rn)
+        if tol is not None and float(rn) < tol:
+            break
+    return x, norms

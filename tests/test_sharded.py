@@ -43,7 +43,7 @@ def test_sharded_solve_matches_host():
 
     mesh = Mesh(np.array(jax.devices()), ("block",))
     solver = make_sharded_solver(bp, mesh)
-    E_pad = solver.bp.coefs.shape[0]
+    E_pad = solver.bp.nblocks
     assert E_pad % 8 == 0
     g_pad = np.zeros((E_pad, N + 1, N + 1))
     g_pad[:2] = g.reshape(2, N + 1, N + 1)
@@ -111,7 +111,7 @@ def test_2d_mesh_block_and_space_sharding():
 
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("block", "space"))
     bpp, solve = make_sharded_solver_2d(bp, mesh)
-    E_pad = bpp.coefs.shape[0]
+    E_pad = bpp.nblocks
     g_pad = np.zeros((E_pad, N + 1, N + 1))
     g_pad[:E] = g.reshape(E, N + 1, N + 1)
     res = solve(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv), tol=1e-11)

@@ -122,7 +122,7 @@ def test_sharded_trace_solve_matches_host():
     mesh = Mesh(np.array(jax.devices()), ("block",))
     solver = make_sharded_solver(bp, mesh)
     bpp = solver.bp
-    E_pad = bpp.coefs.shape[0]
+    E_pad = bpp.nblocks
     N1 = bp.grid_shape[0]
     g_pad = np.zeros((E_pad, N1, N1))
     g_pad[:2] = g.reshape(2, N1, N1)
