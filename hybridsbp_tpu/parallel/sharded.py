@@ -45,7 +45,7 @@ def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
             [bp.coefs, jnp.asarray(pad_coefs, dtype=bp.coefs.dtype)], axis=0)
     T = tuple(jnp.concatenate(
         [t, jnp.zeros((extra,) + t.shape[1:], dtype=t.dtype)], axis=0)
-        for t in bp.faces.T)
+        for t in bp.faces.Tb)
     # dummy blocks point at face 0 but their T is zero, so no coupling;
     # their flip flags are false
     EToF = np.concatenate([bp.EToF, np.zeros((4, extra), dtype=np.int64)],
@@ -68,7 +68,7 @@ def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
                 [fd.lam_s, jnp.full((extra, Nsp), 0.5, dtype=dt)]),
             s_inv=jnp.concatenate(
                 [fd.s_inv, jnp.ones((extra, Nsp, Nrp), dtype=dt)]))
-    return bp._replace(coefs=coefs, faces=bp.faces._replace(T=T),
+    return bp._replace(coefs=coefs, faces=bp.faces._replace(Tb=T),
                        EToF=EToF, flip=flip, JH=JH, fd=fd)
 
 
@@ -102,21 +102,26 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     EToF_t = jnp.asarray(bpp.EToF.T)                 # (E_pad, 4)
     flip_t = jnp.asarray(bpp.flip.T)                 # (E_pad, 4)
 
+    from ..tpu.multiblock import (_gather_layers, banded_scatter_1f,
+                                  banded_trace_1f)
+    face_offs = bpp.faces.offs
+
     def local_traces(u, T):
-        outs = []
+        E_loc = u.shape[0]
+        t = jnp.zeros((E_loc, 4, L), dtype=u.dtype)
         for lf in range(4):
-            lay = list(layers[lf])
-            sub = (u[:, :, lay].transpose(0, 2, 1) if lf < 2
-                   else u[:, lay, :])
-            outs.append(jnp.einsum("elak,ela->ek", T[lf], sub))
-        return jnp.stack(outs, axis=1)               # (E_loc, 4, L)
+            sub = _gather_layers(u, layers[lf], lf)
+            tl = banded_trace_1f(T[lf], face_offs[lf], sub)
+            t = t.at[:, lf, :tl.shape[-1]].set(tl)
+        return t                                     # (E_loc, 4, L)
 
     def scatter(w, T, etof_loc, flip_loc, shape):
         out = jnp.zeros(shape, dtype=w.dtype)
         for lf in range(4):
             wf = w[etof_loc[:, lf], :]
             wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
-            vals = jnp.einsum("elak,ek->ela", T[lf], wf)
+            A = T[lf].shape[-1]
+            vals = banded_scatter_1f(T[lf], face_offs[lf], wf[:, :A])
             lay = list(layers[lf])
             if lf < 2:
                 out = out.at[:, :, lay].add(vals.transpose(0, 2, 1))
@@ -176,7 +181,7 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         w0 = gdelta_faces * bpp.Dinv
         coefs = jax.lax.with_sharding_constraint(
             bpp.coefs, NamedSharding(mesh, coef_spec))
-        T = tuple(constrain(t) for t in bpp.faces.T)
+        T = tuple(constrain(t) for t in bpp.faces.Tb)
         etof = constrain(EToF_t)
         flps = constrain(flip_t)
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tpu.cg import cg
-from ..tpu.multiblock import BlockedHybrid
+from ..tpu.multiblock import BlockedHybrid, dense_face_tensor
 from .sharded import pad_blocks
 from .spatial import halo_exchange_s
 
@@ -125,7 +125,11 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         return t * bpp.Dinv
 
     # sharded face tensors: west/east sharded along the volume-row axis;
-    # south/north replicated (their layer rows live on edge shards)
+    # south/north replicated (their layer rows live on edge shards).
+    # This solver's einsums need the dense (E, nlay, A, L) form (the
+    # along-face axis is the sharded s axis for west/east) — materialize
+    # it once from the banded storage.
+    T_dense = tuple(dense_face_tensor(bpp.faces, lf, L) for lf in range(4))
     spec_we = P(block_axis, None, space_axis, None)
     spec_sn = P(block_axis, None, None, None)
 
@@ -198,8 +202,8 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         g = jax.lax.with_sharding_constraint(g, sh_u)
         coefs = jax.lax.with_sharding_constraint(bpp.coefs, sh_c)
         T_we = tuple(jax.lax.with_sharding_constraint(
-            bpp.faces.T[lf], NamedSharding(mesh, spec_we)) for lf in (0, 1))
-        T_sn = tuple(bpp.faces.T[lf] for lf in (2, 3))
+            T_dense[lf], NamedSharding(mesh, spec_we)) for lf in (0, 1))
+        T_sn = tuple(T_dense[lf] for lf in (2, 3))
         etof = jax.lax.with_sharding_constraint(EToF_t, sh_e)
         flps = jax.lax.with_sharding_constraint(flip_t, sh_e)
 

@@ -36,14 +36,24 @@ from .cg import cg
 
 
 class FaceOps(NamedTuple):
-    """Dense layer-restricted face->volume maps F_e[lf] for all blocks.
+    """Banded layer-restricted face->volume maps F_e[lf] for all blocks.
 
-    T[lf] has shape (E, nlayers, A, L): for each block, the coupling from
-    the L face-trace points into the `nlayers` volume layers (each of
-    extent A along the face direction).  layers[lf] are the static volume
-    layer positions (r-indices for west/east, s-indices for south/north).
+    The SAT face coupling is *banded along the face*: a trace point k
+    couples into volume point (layer l, along-face a) only for
+    a - k in a narrow static offset set (pointwise for diagonal-metric
+    faces, D1-stencil-wide when crs != 0; measured +-1 at p=2, +-5 at
+    p=6).  Storing the dense (nlay, A, L) tensors made the face terms
+    50-70% of the coupled matvec's HBM traffic (r2 finding); the banded
+    form reduces them to O(nlay*nband) 1D rows — negligible.
+
+    Tb[lf]:     (E, nlay, nband, A) band coefficients,
+                Tb[e, l, b, a] = F_e[(layer_l, a), k=a - offs[lf][b]]
+    offs[lf]:   static along-face offsets (ints)
+    layers[lf]: static volume layer positions (r-indices for west/east,
+                s-indices for south/north)
     """
-    T: Tuple[jnp.ndarray, ...]
+    Tb: Tuple[jnp.ndarray, ...]
+    offs: Tuple[Tuple[int, ...], ...]
     layers: Tuple[Tuple[int, ...], ...]
 
 
@@ -181,25 +191,37 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     if shared:
         coefs = coefs[:1]
 
-    # --- dense layer-restricted face maps
+    # --- banded layer-restricted face maps (see FaceOps)
     layer_sets = _face_layer_sets(p, Nr, Ns)
-    T = []
+    Tb = []
+    offs_all = []
     for lf in range(4):
         layers = layer_sets[lf]
         lay_pos = {v: i for i, v in enumerate(layers)}
         A = Nsp if lf < 2 else Nrp
-        Te = np.zeros((E, len(layers), A, L))
+        coo = []
         for e in range(E):
             F = lops[e].F[lf].tocoo()
             jj, ii = F.row // Nrp, F.row % Nrp
             if lf < 2:
-                lidx = np.array([lay_pos[i] for i in ii])
+                lidx = np.array([lay_pos[i] for i in ii], dtype=np.int64)
                 along = jj
             else:
-                lidx = np.array([lay_pos[j] for j in jj])
+                lidx = np.array([lay_pos[j] for j in jj], dtype=np.int64)
                 along = ii
-            np.add.at(Te[e], (lidx, along, F.col), F.data)
-        T.append(jnp.asarray(Te, dtype=dtype))
+            coo.append((lidx, along, F.col, F.data))
+        offs = sorted({int(o) for (_, along, col, _) in coo
+                       for o in np.unique(along - col)})
+        if not offs:
+            offs = [0]
+        off_pos = {o: b for b, o in enumerate(offs)}
+        Te = np.zeros((E, len(layers), len(offs), A))
+        for e, (lidx, along, col, data) in enumerate(coo):
+            bidx = np.array([off_pos[int(o)] for o in along - col],
+                            dtype=np.int64)
+            np.add.at(Te[e], (lidx, bidx, along), data)
+        Tb.append(jnp.asarray(Te, dtype=dtype))
+        offs_all.append(tuple(offs))
 
     # --- interior-face trace diagonal
     nfaces = len(prob.FToB)
@@ -244,7 +266,8 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     return BlockedHybrid(
         coefs=jnp.asarray(coefs, dtype=coef_dtype or dtype),
         offsets=tuple(all_offs),
-        faces=FaceOps(T=tuple(T), layers=layer_sets),
+        faces=FaceOps(Tb=tuple(Tb), offs=tuple(offs_all),
+                      layers=layer_sets),
         Dinv=jnp.asarray(Dinv, dtype=dtype),
         FToE=FToE_arr, FToLF=FToLF_arr,
         EToF=np.asarray(prob.EToF),
@@ -295,18 +318,67 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
     return _apply(bp.coefs, bp.offsets, u, use_pallas=use_pallas)
 
 
+def banded_trace_1f(Tb_lf, offs_lf, sub):
+    """One face's trace from its gathered volume layers.
+
+    Tb_lf: (E, nlay, nband, A); sub: (E, nlay, A) volume values on the
+    face's layers; returns (E, A) with t[k] = sum_{l,b}
+    Tb[l,b,k+off_b] * sub[l,k+off_b] (the banded form of F^T u)."""
+    ps = jnp.sum(Tb_lf * sub[:, :, None, :], axis=1)       # (E, nband, A)
+    A = ps.shape[-1]
+    P = max(max(abs(o) for o in offs_lf), 1)
+    pad = jnp.pad(ps, ((0, 0), (0, 0), (P, P)))
+    t = jnp.zeros(ps.shape[:1] + (A,), dtype=ps.dtype)
+    for b, off in enumerate(offs_lf):
+        t = t + jax.lax.slice(pad, (0, b, P + off),
+                              (pad.shape[0], b + 1, P + off + A))[:, 0]
+    return t
+
+
+def banded_scatter_1f(Tb_lf, offs_lf, w):
+    """One face's adjoint: volume-layer values from a trace.
+
+    w: (E, A) trace values; returns (E, nlay, A) with out[l,a] =
+    sum_b Tb[l,b,a] * w[a-off_b] (the banded form of F w)."""
+    E, A = w.shape
+    P = max(max(abs(o) for o in offs_lf), 1)
+    padw = jnp.pad(w, ((0, 0), (P, P)))
+    wst = jnp.stack([jax.lax.slice(padw, (0, P - off), (E, P - off + A))
+                     for off in offs_lf], axis=1)          # (E, nband, A)
+    return jnp.einsum("elba,eba->ela", Tb_lf, wst)
+
+
+def dense_face_tensor(faces: FaceOps, lf: int, L: int):
+    """Materialize one face's dense (E, nlay, A, L) tensor from the
+    banded storage — only for consumers whose sharding needs the full
+    along-face axis (the 2D block x space solver's west/east einsums);
+    everything else applies the bands directly."""
+    Tb = np.asarray(faces.Tb[lf])
+    E, nlay, nband, A = Tb.shape
+    T = np.zeros((E, nlay, A, L), dtype=Tb.dtype)
+    for b, off in enumerate(faces.offs[lf]):
+        a = np.arange(max(0, off), min(A, L + off))
+        T[:, :, a, a - off] = Tb[:, :, b, a]
+    return jnp.asarray(T)
+
+
+def _gather_layers(u, layers, lf):
+    lay = list(layers)
+    return u[:, :, lay].transpose(0, 2, 1) if lf < 2 else u[:, lay, :]
+
+
 def block_traces(bp: BlockedHybrid, u):
     """Per-block face traces t[e, lf, :] = F_e[lf]^T u_e (element-local
-    face ordering).  u: (E, Nsp, Nrp) -> (E, 4, L)."""
-    outs = []
+    face ordering).  u: (E, Nsp, Nrp) -> (E, 4, L) (zero-padded past
+    each face's true extent)."""
+    E = u.shape[0]
+    L = bp.Dinv.shape[1]
+    t = jnp.zeros((E, 4, L), dtype=u.dtype)
     for lf in range(4):
-        layers = list(bp.faces.layers[lf])
-        if lf < 2:
-            sub = u[:, :, layers].transpose(0, 2, 1)      # (E, nlay, A=Nsp)
-        else:
-            sub = u[:, layers, :]                          # (E, nlay, A=Nrp)
-        outs.append(jnp.einsum("elak,ela->ek", bp.faces.T[lf], sub))
-    return jnp.stack(outs, axis=1)
+        sub = _gather_layers(u, bp.faces.layers[lf], lf)
+        tl = banded_trace_1f(bp.faces.Tb[lf], bp.faces.offs[lf], sub)
+        t = t.at[:, lf, :tl.shape[-1]].set(tl)
+    return t
 
 
 def face_scatter(bp: BlockedHybrid, w_faces, e_offset, E_local):
@@ -323,8 +395,9 @@ def face_scatter(bp: BlockedHybrid, w_faces, e_offset, E_local):
     for lf in range(4):
         w = w_faces[EToF[lf], :]                           # (E_local, L)
         w = jnp.where(jnp.asarray(flip[lf])[:, None], bp._rev_lf(w, lf), w)
-        T = bp.faces.T[lf][e_offset:e_offset + E_local]    # (E,nlay,A,L)
-        vals = jnp.einsum("elak,ek->ela", T, w)
+        Tb = bp.faces.Tb[lf][e_offset:e_offset + E_local]
+        A = Tb.shape[-1]
+        vals = banded_scatter_1f(Tb, bp.faces.offs[lf], w[:, :A])
         layers = list(bp.faces.layers[lf])
         if lf < 2:
             out = out.at[:, :, layers].add(vals.transpose(0, 2, 1))

@@ -19,7 +19,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def t(name, fn, init, k1=20, k2=60):
+def t(name, fn, init, k1=50, k2=200):
     dt = bench.per_iter_time(fn, init, k1=k1, k2=k2)
     print(f"{name:34s} {dt * 1e6:9.1f} us", flush=True)
     return dt
@@ -33,10 +33,10 @@ def main():
     xf = jnp.ones((n,), jnp.float32)
     xb = jnp.ones((n,), jnp.bfloat16)
     d32 = t("axpy f32 (512MB rd + 512MB wr)", lambda v: 0.999999 * v + 1e-7,
-            xf, k1=10, k2=30)
+            xf, k1=10, k2=40)
     d16 = t("axpy bf16 (256MB rd + 256MB wr)",
             lambda v: jnp.bfloat16(0.999999) * v + jnp.bfloat16(1e-7),
-            xb, k1=10, k2=30)
+            xb, k1=10, k2=40)
     print(f"  -> bf16/f32 element rate ratio {d32 / d16:.2f} "
           f"(2.0 = full bandwidth win)", flush=True)
     del xf, xb
