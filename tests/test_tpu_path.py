@@ -68,10 +68,20 @@ def _two_block(p=2, N=12):
     return prob
 
 
-@pytest.mark.parametrize("p", [2, 4])
-def test_blocked_matvec_matches_dense(p):
-    prob = _two_block(p=p)
+@pytest.mark.parametrize("p,curved", [(2, False), (4, False), (6, True)])
+def test_blocked_matvec_matches_dense(p, curved):
+    if curved:
+        # distorted quads -> crs != 0 -> the face coupling carries its
+        # widest along-face bands (+-(p-1) at p=6); gates the banded
+        # FaceOps extraction against the dense eliminated operator
+        verts = np.array([[-1.0, 0.0, 1.0, -1.1, 0.2, 0.9],
+                          [0.0, -0.15, 0.1, 1.0, 1.3, 0.8]])
+        N = np.full(2, 3 * p + 4)
+        prob, _ = build_problem(p, verts, ETOV, ETOF, _ftob(), N, N)
+    else:
+        prob = _two_block(p=p)
     bp = build_blocked(prob)
+    assert max(len(o) for o in bp.faces.offs) > 1 or not curved
     E = 2
     N1 = prob.lops[0].Nr + 1
     rng = np.random.default_rng(7)
