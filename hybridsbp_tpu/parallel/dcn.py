@@ -1,0 +1,196 @@
+"""Two-level (slice x block) hybrid solve: cut-face-only DCN exchange.
+
+`make_sharded_solver` all_gathers every block's face traces along one
+mesh axis — the right pattern within a slice, where the (E, 4, L)
+tensor rides ICI.  Across DCN-connected slices only *cut faces* (faces
+whose two blocks live on different slices) actually need to move, and
+`parallel.partition` lays blocks out so there are few of them (5-34%
+of interior faces on the shipped meshes).
+
+This solver implements that hierarchy on a ``Mesh((slice, block))``:
+
+  1. per-shard local face traces (no communication),
+  2. ``all_gather`` over ``block`` -> each slice holds its own blocks'
+     (E/nslices, 4, L) traces (intra-slice, ICI),
+  3. each slice packs only its sides of the cut faces into a dense
+     (ncut_max, L) export tensor; ONE ``all_gather`` over ``slice``
+     moves just those (the DCN hop),
+  4. the face combination reads each side from the slice-local gather
+     or the remote export table, then the correction scatter is local.
+
+Blocks must be ordered slice-contiguously (feed
+:func:`partition.permute_elements`'s output to ``build_problem``);
+blocks are padded to nslices*nblockdev as in `sharded.pad_blocks`.
+
+The reference is single-process (SURVEY §5.8); this is the scale-out
+design for topologies where the flat all_gather would cross DCN.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..tpu.cg import cg
+from ..tpu.multiblock import (
+    BlockedHybrid,
+    _gather_layers,
+    banded_scatter_1f,
+    banded_trace_1f,
+)
+from .sharded import pad_blocks
+
+
+def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
+                          slice_axis="slice", block_axis="block"):
+    """Returns (bp_padded, parts, ncut, solve).  ``solve(g_padded,
+    gdelta_faces, tol)`` -> CGResult; fields (E_pad, Nsp, Nrp) sharded
+    over (slice, block)."""
+    nsl = mesh.shape[slice_axis]
+    nb = mesh.shape[block_axis]
+    E = bp.nblocks
+    E_pad = ((E + nsl * nb - 1) // (nsl * nb)) * (nsl * nb)
+    bpp = pad_blocks(bp, E_pad)
+    E_per = E_pad // nsl                     # blocks per slice
+    parts = np.arange(E_pad) // E_per        # slice-contiguous layout
+
+    offsets = bpp.offsets
+    layers = bpp.faces.layers
+    face_offs = bpp.faces.offs
+    L = bpp.Dinv.shape[1]
+    nfaces = bpp.Dinv.shape[0]
+
+    FToE, FToLF = bpp.FToE, bpp.FToLF
+    em, fm = FToE[0].copy(), FToLF[0].copy()
+    ep, fp = FToE[1].copy(), FToLF[1].copy()
+    has_plus = ep >= 0
+    # padded/boundary faces: point at block 0 with zero weight
+    em[em < 0] = 0
+    ep[~has_plus], fp[~has_plus] = 0, 0
+    pflip = bpp.flip[fp, ep] & has_plus
+    interior = bpp.interior
+
+    # --- static cut-face export tables -------------------------------
+    cut = interior & (parts[em] != parts[ep]) & has_plus
+    exports = [[] for _ in range(nsl)]       # per slice: (elem, lf, f, side)
+    slot = np.zeros((2, nfaces), dtype=np.int64)
+    for f in np.where(cut)[0]:
+        for side, (e, lf) in enumerate(((em[f], fm[f]), (ep[f], fp[f]))):
+            s = parts[e]
+            slot[side, f] = len(exports[s])
+            exports[s].append((e - s * E_per, lf))
+    ncut = int(cut.sum())
+    ncut_max = max(1, max(len(x) for x in exports))
+    pack_e = np.zeros((nsl, ncut_max), dtype=np.int64)
+    pack_lf = np.zeros((nsl, ncut_max), dtype=np.int64)
+    for s, lst in enumerate(exports):
+        for j, (eloc, lf) in enumerate(lst):
+            pack_e[s, j], pack_lf[s, j] = eloc, lf
+
+    EToF_t = jnp.asarray(bpp.EToF.T)
+    flip_t = jnp.asarray(bpp.flip.T)
+    pack_e_t = jnp.asarray(pack_e)
+    pack_lf_t = jnp.asarray(pack_lf)
+    parts_m = jnp.asarray(parts[em])
+    parts_p = jnp.asarray(parts[ep])
+    em_t, fm_t = jnp.asarray(em), jnp.asarray(fm)
+    ep_t, fp_t = jnp.asarray(ep), jnp.asarray(fp)
+    slot_m = jnp.asarray(slot[0])
+    slot_p = jnp.asarray(slot[1])
+
+    def local_traces(u, T):
+        E_loc = u.shape[0]
+        t = jnp.zeros((E_loc, 4, L), dtype=u.dtype)
+        for lf in range(4):
+            sub = _gather_layers(u, layers[lf], lf)
+            tl = banded_trace_1f(T[lf], face_offs[lf], sub)
+            t = t.at[:, lf, :tl.shape[-1]].set(tl)
+        return t
+
+    def scatter(w, T, etof_loc, flip_loc, shape):
+        out = jnp.zeros(shape, dtype=w.dtype)
+        for lf in range(4):
+            wf = w[etof_loc[:, lf], :]
+            wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
+            A = T[lf].shape[-1]
+            vals = banded_scatter_1f(T[lf], face_offs[lf], wf[:, :A])
+            lay = list(layers[lf])
+            if lf < 2:
+                out = out.at[:, :, lay].add(vals.transpose(0, 2, 1))
+            else:
+                out = out.at[:, lay, :].add(vals)
+        return out
+
+    both = P((slice_axis, block_axis))
+
+    def combine(t_sl, X_all, s_idx):
+        """Face combination: each side comes from this slice's gather
+        or the remote slice's cut-face export.  Rows for faces not
+        adjacent to this slice are garbage — the local scatter never
+        reads them."""
+        m_here = parts_m == s_idx
+        p_here = parts_p == s_idx
+        em_loc = jnp.clip(em_t - s_idx * E_per, 0, E_per - 1)
+        ep_loc = jnp.clip(ep_t - s_idx * E_per, 0, E_per - 1)
+        t_m = jnp.where(m_here[:, None], t_sl[em_loc, fm_t],
+                        X_all[parts_m, slot_m])
+        t_p = jnp.where(p_here[:, None], t_sl[ep_loc, fp_t],
+                        X_all[parts_p, slot_p])
+        t_p = jnp.where(jnp.asarray(pflip)[:, None], bpp._rev_face(t_p), t_p)
+        t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
+        t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
+        return t * bpp.Dinv
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(both, both, tuple(both for _ in range(4)), both, both),
+        out_specs=both)
+    def matvec_sm(u, coefs, T, etof_loc, flip_loc):
+        from ..tpu.pallas_stencil import dia_apply_batched, dia_apply_shared
+        if bpp.shared:
+            y = dia_apply_shared(coefs[0], u, offsets)
+        else:
+            y = dia_apply_batched(coefs, offsets, u)
+        t_loc = local_traces(u, T)
+        t_sl = jax.lax.all_gather(t_loc, block_axis, tiled=True)  # slice's
+        s_idx = jax.lax.axis_index(slice_axis)
+        X = t_sl[pack_e_t[s_idx], pack_lf_t[s_idx]]       # (ncut_max, L)
+        X_all = jax.lax.all_gather(X, slice_axis)         # DCN hop
+        w = combine(t_sl, X_all, s_idx)
+        return y - scatter(w, T, etof_loc, flip_loc, u.shape)
+
+    diag_k = offsets.index((0, 0))
+    diag = bpp.coefs[:, diag_k]
+    if bpp.fd is not None:
+        from ..tpu.fastdiag import fastdiag_apply
+        fdp = bpp.fd
+
+        def precond(r):
+            return jax.vmap(fastdiag_apply)(fdp, r)
+    else:
+        def precond(r):
+            return r / diag
+
+    coef_spec = P() if bpp.shared else both
+    sh = lambda spec: NamedSharding(mesh, spec)
+
+    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
+    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
+        g = jax.lax.with_sharding_constraint(g, sh(both))
+        coefs = jax.lax.with_sharding_constraint(bpp.coefs, sh(coef_spec))
+        T = tuple(jax.lax.with_sharding_constraint(t, sh(both))
+                  for t in bpp.faces.Tb)
+        etof = jax.lax.with_sharding_constraint(EToF_t, sh(both))
+        flps = jax.lax.with_sharding_constraint(flip_t, sh(both))
+        w0 = gdelta_faces * bpp.Dinv
+        corr = jax.shard_map(
+            lambda w, Tl, el, fl, su: scatter(w, Tl, el, fl, su.shape),
+            mesh=mesh,
+            in_specs=(P(), tuple(both for _ in range(4)), both, both, both),
+            out_specs=both)(w0, T, etof, flps, g)
+        b = g - corr
+        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps), b,
+                  tol=tol, maxiter=cg_maxiter, precond=precond)
+
+    return bpp, parts, ncut, solve

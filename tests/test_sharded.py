@@ -126,6 +126,54 @@ def test_2d_mesh_block_and_space_sharding():
     assert int(res.iters) <= 60, f"2D-mesh CG took {int(res.iters)} iters"
 
 
+def test_two_level_dcn_solver_matches_host():
+    """(slice x block) two-level solver: intra-slice all_gather plus a
+    cut-face-only export exchange over the slice (DCN) axis reproduces
+    the host solve.  A 4-block strip over a (2 slice x 2 block) mesh
+    puts the middle interface on the slice boundary (1 cut face)."""
+    from hybridsbp_tpu.parallel import make_two_level_solver
+    from hybridsbp_tpu.ops2d import locbcarray_mod
+
+    verts = np.array(
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    E = 4
+    ETOV4 = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
+    ETOF4 = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
+    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:4] = BC_LOCKED_INTERFACE
+    N = 12
+    Narr = np.full(E, N)
+    prob, _ = build_problem(2, verts, ETOV4, ETOF4, FToB, Narr, Narr)
+    bp = build_blocked(prob)
+
+    uex = lambda x, y: np.sin(x) * np.cosh(y)
+    ux = lambda x, y: np.cos(x) * np.cosh(y)
+    uy = lambda x, y: np.sin(x) * np.sinh(y)
+    g = np.zeros(int(prob.vstarts[-1]))
+    for e in range(E):
+        lop = prob.lops[e]
+        ge = locbcarray_mod(
+            lop, lop.bctype, lambda lf, x, y: uex(x, y),
+            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
+        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
+                           method="displacements")
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("slice", "block"))
+    bpp, parts, ncut, solve = make_two_level_solver(bp, mesh)
+    # blocks 0,1 -> slice 0; 2,3 -> slice 1: exactly one cut face
+    assert ncut == 1, ncut
+    np.testing.assert_array_equal(parts, [0, 0, 1, 1])
+    g_pad = np.zeros((bpp.nblocks, N + 1, N + 1))
+    g_pad[:E] = g.reshape(E, N + 1, N + 1)
+    res = solve(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv), tol=1e-12)
+    assert bool(res.converged), f"resnorm {float(res.resnorm)}"
+    np.testing.assert_allclose(np.asarray(res.x[:E]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_partition_blocks_for_dcn():
     """Greedy block partitioner: balanced slice-contiguous parts with a
     small face cut on the real mesh assets, and a permuted mesh solves
