@@ -171,6 +171,81 @@ def assemble_level(p, N_per_block, mesh_data=None):
     return prob, g, gdelta, delta, FTods, EToDomain, (FToE, FToLF, EToO, EToS)
 
 
+def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
+               stencil="auto", repeats=3):
+    """Solve ONE refinement level of the square_circle problem on the
+    device (the reference's finest level is p=6, N=136/block — ~1.05M
+    volume DOF on the 56-block curved mesh, square_circle.jl:22,40,209):
+    f32 blocked operator, Woodbury two-level preconditioner (fastdiag
+    inner CG + the assembled trace inverse as one MXU matmul), flexible
+    CG.  Reports warm per-solve wall time and the error against the
+    host f64 direct solve.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from hybridsbp_tpu.tpu import build_blocked, solve_displacements
+    from hybridsbp_tpu.tpu.multiblock import (blocked_rhs_from_host,
+                                              build_woodbury,
+                                              woodbury_precond)
+
+    t0 = time.time()
+    prob, g, gdelta, delta, FTods, EToDomain, conn = assemble_level(p, N)
+    nvol = int(prob.vstarts[-1])
+    if verbose:
+        print(f"assembled p={p} N={N}: {nvol} volume DOF, "
+              f"{len(prob.lops)} blocks ({time.time() - t0:.1f}s host)")
+
+    t0 = time.time()
+    u_host, _ = prob.solve(g, gdelta, method="trace")
+    t_host = time.time() - t0
+    if verbose:
+        print(f"host direct (trace) solve: {t_host:.2f}s")
+
+    t0 = time.time()
+    bp = build_blocked(prob, dtype=jnp.float32)
+    gb, gd = blocked_rhs_from_host(prob, g, gdelta)
+    gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
+    M = woodbury_precond(bp, build_woodbury(bp, prob),
+                         inner_iters=inner_iters, stencil=stencil)
+    if verbose:
+        print(f"device setup (blocked extract + B^-1): "
+              f"{time.time() - t0:.1f}s")
+
+    def solve():
+        res = solve_displacements(bp, gb, gd, tol=tol, maxiter=200,
+                                  precond=M, flexible=True,
+                                  stencil=stencil)
+        jax.block_until_ready(res.x)
+        return res
+
+    t0 = time.time()
+    res = solve()                              # compile + first run
+    t_first = time.time() - t0
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        res = solve()
+        ts.append(time.time() - t0)
+    t_warm = float(np.median(ts))
+
+    err = np.abs(np.asarray(res.x[:len(prob.lops)]).ravel() - u_host).max()
+    rel = err / np.abs(u_host).max()
+    if verbose:
+        print(f"device solve ({jax.default_backend()}): "
+              f"{int(res.iters)} outer FCG iters, converged="
+              f"{bool(res.converged)}")
+        print(f"  first call {t_first:.2f}s (incl. compile), "
+              f"warm {t_warm * 1e3:.0f} ms/solve "
+              f"(host direct: {t_host * 1e3:.0f} ms)")
+        print(f"  max err vs host f64: {err:.3e} (rel {rel:.3e})")
+    return {"nvol": nvol, "iters": int(res.iters),
+            "converged": bool(res.converged), "t_warm_s": t_warm,
+            "t_first_s": t_first, "t_host_s": t_host, "rel_err": rel}
+
+
 def run(p=6, N0=17, levels=4, method="trace", verbose=True,
         plot_mesh=None):
     mesh_data = load_mesh()
@@ -246,6 +321,17 @@ if __name__ == "__main__":
                     choices=["trace", "monolithic", "displacements"])
     ap.add_argument("--plot-mesh", default=None,
                     help="write mesh/connectivity figures (PNG)")
+    ap.add_argument("--device-solve", action="store_true",
+                    help="solve ONE level (--N0 as N/block) on the "
+                         "device: f32 + Woodbury two-level FCG")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--inner-iters", type=int, default=8)
+    ap.add_argument("--stencil", default="auto",
+                    choices=["auto", "pallas", "unrolled", "compact"])
     a = ap.parse_args()
-    run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
-        plot_mesh=a.plot_mesh)
+    if a.device_solve:
+        run_device(p=a.p, N=a.N0, tol=a.tol, inner_iters=a.inner_iters,
+                   stencil=a.stencil)
+    else:
+        run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
+            plot_mesh=a.plot_mesh)

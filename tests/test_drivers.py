@@ -49,6 +49,17 @@ def test_square_circle_device_path_matches_host():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_square_circle_run_device():
+    """The --device-solve driver mode (f32 + Woodbury two-level FCG on
+    one level) converges in O(1) outer iterations and matches the host
+    direct solve to f32 levels on the real curved mesh."""
+    out = square_circle.run_device(p=2, N=8, tol=1e-6, inner_iters=4,
+                                   verbose=False, repeats=1)
+    assert out["converged"], out
+    assert out["iters"] <= 25, out
+    assert out["rel_err"] < 1e-3, out
+
+
 def test_flower_fault_network():
     _, _, _, worst = flower_run(N=8, verbose=False)
     assert worst < 0.05, f"fault jump error {worst}"
