@@ -185,8 +185,14 @@ def bench_hybrid_sub():
                     dtype=jnp.float32)
     gd = jnp.zeros_like(bp.Dinv)
 
+    # one jitted program for the whole solve: called eagerly, each setup
+    # op outside the CG while_loop pays the ~27 ms tunnel RTT (measured
+    # 23 ms/iter = pure dispatch overhead; jitted it is device-bound)
+    solve_jit = jax.jit(lambda gb, gdf: solve_displacements(
+        bp, gb, gdf, tol=1e-5, maxiter=500))
+
     def solve():
-        res = solve_displacements(bp, g, gd, tol=1e-5, maxiter=500)
+        res = solve_jit(g, gd)
         return int(res.iters), float(res.resnorm)
 
     iters, _ = solve()                        # compile + warm

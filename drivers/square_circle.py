@@ -214,11 +214,16 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
         print(f"device setup (blocked extract + B^-1): "
               f"{time.time() - t0:.1f}s")
 
+    # one jitted program for the full solve — eager dispatch through the
+    # axon tunnel costs ~27 ms RTT per op outside the CG while_loop
+    solve_jit = jax.jit(lambda gbi, gdi: solve_displacements(
+        bp, gbi, gdi, tol=tol, maxiter=200, precond=M, flexible=True,
+        stencil=stencil))
+
     def solve():
-        res = solve_displacements(bp, gb, gd, tol=tol, maxiter=200,
-                                  precond=M, flexible=True,
-                                  stencil=stencil)
-        jax.block_until_ready(res.x)
+        res = solve_jit(gb, gd)
+        res.x.block_until_ready()
+        float(res.resnorm)        # scalar fetch = real sync over the tunnel
         return res
 
     t0 = time.time()
