@@ -459,9 +459,19 @@ def blocked_rhs_from_host(prob, g, gdelta):
     return jnp.asarray(gb), jnp.asarray(gd)
 
 
+class TraceInv(NamedTuple):
+    """Compact dense inverse of the assembled trace Schur complement B,
+    plus the index set mapping true λ DOFs into the face-padded
+    (nfaces*L,) layout.  Kept compact (nλ², not (nfaces·L)²): the
+    padded embedding is ~1.8x larger in memory/transfer for zero rows
+    the matmul never needs."""
+    Binv: jnp.ndarray            # (nlam, nlam)
+    idx: jnp.ndarray             # (nlam,) flat positions in (nfaces*L,)
+
+
 def build_woodbury(bp: BlockedHybrid, prob, dtype=None):
     """Two-level preconditioner data: the dense inverse of the assembled
-    trace Schur complement B, embedded in the face-padded layout.
+    trace Schur complement B as a :class:`TraceInv`.
 
     Exact identity (Woodbury on C = M - Fbar' D^{-1} Fbar):
 
@@ -477,14 +487,25 @@ def build_woodbury(bp: BlockedHybrid, prob, dtype=None):
     dtype = dtype or bp.coefs.dtype
     nfaces, L = bp.Dinv.shape
     Binv = np.linalg.inv(prob.B.toarray())
-    emb = np.zeros((nfaces * L, nfaces * L))
     idx = []
     for f in range(nfaces):
         s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
         idx.extend(range(f * L, f * L + (s1 - s0)))
     idx = np.asarray(idx, dtype=np.int64)
-    emb[np.ix_(idx, idx)] = Binv
-    return jnp.asarray(emb, dtype=dtype)
+    return TraceInv(Binv=jnp.asarray(Binv, dtype=dtype),
+                    idx=jnp.asarray(idx))
+
+
+def apply_traceinv(Binv_pad, t):
+    """Apply B^{-1} to a face-padded (nfaces, L) tensor.  Accepts a
+    :class:`TraceInv` (compact gather → matmul → scatter) or a legacy
+    dense (nfaces*L, nfaces*L) embedded matrix."""
+    if isinstance(Binv_pad, TraceInv):
+        tc = t.reshape(-1)[Binv_pad.idx].astype(Binv_pad.Binv.dtype)
+        yc = (Binv_pad.Binv @ tc).astype(t.dtype)
+        y = jnp.zeros(t.size, dtype=t.dtype).at[Binv_pad.idx].set(yc)
+        return y.reshape(t.shape)
+    return (Binv_pad @ t.reshape(-1)).reshape(t.shape)
 
 
 def _fbar_raw(bp: BlockedHybrid, u):
@@ -516,7 +537,7 @@ def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
     def M(r):
         z1 = minv(r)
         t = _fbar_raw(bp, z1)
-        y = (Binv_pad @ t.reshape(-1)).reshape(t.shape)
+        y = apply_traceinv(Binv_pad, t)
         z2 = minv(face_scatter(bp, y, 0, r.shape[0]))
         return z1 + z2
 
@@ -592,7 +613,7 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
     if Binv_pad is None:
         precond = lambda r: r * bp.Dinv
     else:
-        precond = lambda r: (Binv_pad @ r.reshape(-1)).reshape(r.shape)
+        precond = lambda r: apply_traceinv(Binv_pad, r)
     b = jnp.where(mask, gdelta_faces, 0.0) - _fbar_raw(bp, minv(g))
     res = cg(lambda lam: trace_matvec(bp, lam, minv), b,
              tol=tol, maxiter=maxiter, flexible=True, precond=precond)
