@@ -208,26 +208,58 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
     bp = build_blocked(prob, dtype=jnp.float32)
     gb, gd = blocked_rhs_from_host(prob, g, gdelta)
     gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
-    M = woodbury_precond(bp, build_woodbury(bp, prob),
-                         inner_iters=inner_iters, stencil=stencil)
+    trace_inv = build_woodbury(bp, prob)
     if verbose:
         print(f"device setup (blocked extract + B^-1): "
               f"{time.time() - t0:.1f}s")
 
     # one jitted program for the full solve — eager dispatch through the
-    # axon tunnel costs ~27 ms RTT per op outside the CG while_loop
-    solve_jit = jax.jit(lambda gbi, gdi: solve_displacements(
-        bp, gbi, gdi, tol=tol, maxiter=200, precond=M, flexible=True,
-        stencil=stencil))
+    # axon tunnel costs ~27 ms RTT per op outside the CG while_loop.
+    # The operator arrays go in as jit ARGUMENTS (bp_arrays/bp_with):
+    # closed over, they serialize into the HLO as literals (per
+    # while-loop computation!) and 413 the remote-compile endpoint.
+    from hybridsbp_tpu.tpu.multiblock import bp_arrays, bp_with
 
-    def solve():
-        res = solve_jit(gb, gd)
-        res.x.block_until_ready()
-        float(res.resnorm)        # scalar fetch = real sync over the tunnel
-        return res
+    arrs = bp_arrays(bp)
+    arrs["Binv"] = trace_inv.Binv
 
+    def make_solve(stencil):
+        def solve_fn(a, gbi, gdi):
+            bp2 = bp_with(bp, a)
+            ti2 = trace_inv._replace(Binv=a["Binv"])
+            Ms = woodbury_precond(bp2, ti2, inner_iters=inner_iters,
+                                  stencil=stencil)
+            return solve_displacements(bp2, gbi, gdi, tol=tol,
+                                       maxiter=200, precond=Ms,
+                                       flexible=True, stencil=stencil)
+
+        solve_jit = jax.jit(solve_fn)
+
+        def solve():
+            res = solve_jit(arrs, gb, gd)
+            res.x.block_until_ready()
+            float(res.resnorm)    # scalar fetch = real sync over the tunnel
+            return res
+
+        return solve
+
+    solve = make_solve(stencil)
     t0 = time.time()
-    res = solve()                              # compile + first run
+    try:
+        res = solve()                          # compile + first run
+    except Exception as e:                     # noqa: BLE001
+        # the axon remote-compile endpoint rejects very large serialized
+        # programs (HTTP 413) — the unrolled high-plane-count stencil at
+        # p=6 trips it; the scan-based compact apply is ~10x smaller
+        if "413" not in str(e) or stencil == "compact":
+            raise
+        if verbose:
+            print("remote compile rejected the unrolled-stencil program "
+                  "(HTTP 413); retrying with stencil='compact'")
+        stencil = "compact"
+        solve = make_solve(stencil)
+        t0 = time.time()
+        res = solve()
     t_first = time.time() - t0
     ts = []
     for _ in range(repeats):

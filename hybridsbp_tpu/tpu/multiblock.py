@@ -121,6 +121,29 @@ class BlockedHybrid(NamedTuple):
         return t[np.arange(nf)[:, None], self.perm_face]
 
 
+def bp_arrays(bp: "BlockedHybrid"):
+    """The large jnp-array fields of a BlockedHybrid as a pytree dict.
+
+    Pass these as jit *arguments* (rebuilding the operator inside the
+    traced function with :func:`bp_with`) instead of closing over the
+    BlockedHybrid: closure arrays are serialized into the lowered HLO
+    as literal constants — once per while-loop computation that reads
+    them — which multiplies the program size by the coefficient-stack
+    footprint and blows past the axon remote-compile request limit
+    (HTTP 413; measured 87 MB proto for a 10 MB operator)."""
+    return {"coefs": bp.coefs, "Tb": bp.faces.Tb, "Dinv": bp.Dinv,
+            "JH": bp.JH, "fd": bp.fd}
+
+
+def bp_with(bp: "BlockedHybrid", arrs) -> "BlockedHybrid":
+    """Rebuild a BlockedHybrid around the (traced) array dict from
+    :func:`bp_arrays`; static metadata is taken from ``bp``."""
+    return bp._replace(coefs=arrs["coefs"], Dinv=arrs["Dinv"],
+                       JH=arrs["JH"],
+                       faces=bp.faces._replace(Tb=arrs["Tb"]),
+                       fd=arrs["fd"])
+
+
 def _face_layer_sets(p, Nr, Ns):
     nBS = len(vd2_tables(p)[1])
     return (tuple(range(nBS)),                       # west: r-layers
