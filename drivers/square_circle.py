@@ -172,7 +172,7 @@ def assemble_level(p, N_per_block, mesh_data=None):
 
 
 def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
-               stencil="auto", repeats=3):
+               stencil="auto", repeats=3, binv_dtype=None):
     """Solve ONE refinement level of the square_circle problem on the
     device (the reference's finest level is p=6, N=136/block — ~1.05M
     volume DOF on the 56-block curved mesh, square_circle.jl:22,40,209):
@@ -208,7 +208,10 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
     bp = build_blocked(prob, dtype=jnp.float32)
     gb, gd = blocked_rhs_from_host(prob, g, gdelta)
     gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
-    trace_inv = build_woodbury(bp, prob)
+    # B^{-1} is only a preconditioner under flexible CG — bf16 storage
+    # halves its host->device transfer (the dominant setup cost over
+    # the tunnel) at no accuracy cost to the solution
+    trace_inv = build_woodbury(bp, prob, dtype=binv_dtype)
     if verbose:
         print(f"device setup (blocked extract + B^-1): "
               f"{time.time() - t0:.1f}s")
@@ -365,10 +368,17 @@ if __name__ == "__main__":
     ap.add_argument("--inner-iters", type=int, default=8)
     ap.add_argument("--stencil", default="auto",
                     choices=["auto", "pallas", "unrolled", "compact"])
+    ap.add_argument("--binv-dtype", default=None,
+                    choices=[None, "float32", "bfloat16"],
+                    help="storage dtype for the Woodbury B^-1 "
+                         "(bfloat16 halves the setup transfer)")
     a = ap.parse_args()
     if a.device_solve:
+        import jax.numpy as _jnp
+        bd = {None: None, "float32": _jnp.float32,
+              "bfloat16": _jnp.bfloat16}[a.binv_dtype]
         run_device(p=a.p, N=a.N0, tol=a.tol, inner_iters=a.inner_iters,
-                   stencil=a.stencil)
+                   stencil=a.stencil, binv_dtype=bd)
     else:
         run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
             plot_mesh=a.plot_mesh)
