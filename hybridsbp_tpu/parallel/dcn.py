@@ -124,7 +124,7 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
 
     both = P((slice_axis, block_axis))
 
-    def combine(t_sl, X_all, s_idx):
+    def combine(t_sl, X_all, s_idx, Dinv):
         """Face combination: each side comes from this slice's gather
         or the remote slice's cut-face export.  Rows for faces not
         adjacent to this slice are garbage — the local scatter never
@@ -140,13 +140,14 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         t_p = jnp.where(jnp.asarray(pflip)[:, None], bpp._rev_face(t_p), t_p)
         t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
         t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
-        return t * bpp.Dinv
+        return t * Dinv
 
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(both, both, tuple(both for _ in range(4)), both, both),
+        in_specs=(both, both, tuple(both for _ in range(4)), both, both,
+                  P()),
         out_specs=both)
-    def matvec_sm(u, coefs, T, etof_loc, flip_loc):
+    def matvec_sm(u, coefs, T, etof_loc, flip_loc, Dinv):
         from ..tpu.pallas_stencil import dia_apply_batched, dia_apply_shared
         if bpp.shared:
             y = dia_apply_shared(coefs[0], u, offsets)
@@ -157,40 +158,44 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         s_idx = jax.lax.axis_index(slice_axis)
         X = t_sl[pack_e_t[s_idx], pack_lf_t[s_idx]]       # (ncut_max, L)
         X_all = jax.lax.all_gather(X, slice_axis)         # DCN hop
-        w = combine(t_sl, X_all, s_idx)
+        w = combine(t_sl, X_all, s_idx, Dinv)
         return y - scatter(w, T, etof_loc, flip_loc, u.shape)
 
     diag_k = offsets.index((0, 0))
-    diag = bpp.coefs[:, diag_k]
-    if bpp.fd is not None:
-        from ..tpu.fastdiag import fastdiag_apply
-        fdp = bpp.fd
-
-        def precond(r):
-            return jax.vmap(fastdiag_apply)(fdp, r)
-    else:
-        def precond(r):
-            return r / diag
-
     coef_spec = P() if bpp.shared else both
     sh = lambda spec: NamedSharding(mesh, spec)
 
+    # large arrays as jit arguments, not closure literals (see
+    # tpu.multiblock.bp_arrays for the rationale)
+    arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
+            "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
+            "diag": bpp.coefs[:, diag_k]}
+
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
-    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
+    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
         g = jax.lax.with_sharding_constraint(g, sh(both))
-        coefs = jax.lax.with_sharding_constraint(bpp.coefs, sh(coef_spec))
+        coefs = jax.lax.with_sharding_constraint(a["coefs"], sh(coef_spec))
         T = tuple(jax.lax.with_sharding_constraint(t, sh(both))
-                  for t in bpp.faces.Tb)
-        etof = jax.lax.with_sharding_constraint(EToF_t, sh(both))
-        flps = jax.lax.with_sharding_constraint(flip_t, sh(both))
-        w0 = gdelta_faces * bpp.Dinv
+                  for t in a["T"])
+        etof = jax.lax.with_sharding_constraint(a["etof"], sh(both))
+        flps = jax.lax.with_sharding_constraint(a["flip"], sh(both))
+        Dinv = a["Dinv"]
+        if a["fd"] is not None:
+            from ..tpu.fastdiag import fastdiag_apply
+            precond = lambda r: jax.vmap(fastdiag_apply)(a["fd"], r)
+        else:
+            precond = lambda r: r / a["diag"]
+        w0 = gdelta_faces * Dinv
         corr = jax.shard_map(
             lambda w, Tl, el, fl, su: scatter(w, Tl, el, fl, su.shape),
             mesh=mesh,
             in_specs=(P(), tuple(both for _ in range(4)), both, both, both),
             out_specs=both)(w0, T, etof, flps, g)
         b = g - corr
-        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps), b,
+        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps, Dinv), b,
                   tol=tol, maxiter=cg_maxiter, precond=precond)
+
+    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
+        return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)
 
     return bpp, parts, ncut, solve

@@ -129,13 +129,13 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                 out = out.at[:, lay, :].add(vals)
         return out
 
-    def combine(t_all):
+    def combine(t_all, Dinv):
         t_m = t_all[em, fm]
         t_p = t_all[ep, fp]
         t_p = jnp.where(jnp.asarray(pflip)[:, None], bpp._rev_face(t_p), t_p)
         t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
         t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
-        return t * bpp.Dinv
+        return t * Dinv
 
     # shared-operator meshes: the single coefficient stack is replicated
     # (P()) and applied with the 2.3x shared-layout kernel per shard
@@ -144,9 +144,9 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis), coef_spec, tuple(P(axis) for _ in range(4)),
-                  P(axis), P(axis)),
+                  P(axis), P(axis), P()),
         out_specs=P(axis))
-    def matvec_sm(u, coefs, T, etof_loc, flip_loc):
+    def matvec_sm(u, coefs, T, etof_loc, flip_loc, Dinv):
         from ..tpu.pallas_stencil import dia_apply_batched, dia_apply_shared
         if bpp.shared:
             y = dia_apply_shared(coefs[0], u, offsets)
@@ -154,36 +154,39 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             y = dia_apply_batched(coefs, offsets, u)  # auto kernel choice
         t_loc = local_traces(u, T)
         t_all = jax.lax.all_gather(t_loc, axis, tiled=True)   # (E_pad,4,L)
-        w = combine(t_all)
+        w = combine(t_all, Dinv)
         return y - scatter(w, T, etof_loc, flip_loc, u.shape)
 
     diag_k = offsets.index((0, 0))
-    diag = bpp.coefs[:, diag_k]
-    if bpp.fd is not None:
-        from ..tpu.fastdiag import fastdiag_apply
-
-        def precond(r):
-            return jax.vmap(fastdiag_apply)(bpp.fd, r)
-    else:
-        def precond(r):
-            return r / diag
 
     block_sharding = NamedSharding(mesh, P(axis))
 
     constrain = partial(jax.lax.with_sharding_constraint,
                         shardings=block_sharding)
 
+    # the large operator arrays enter the jitted solve as ARGUMENTS:
+    # closure arrays lower to HLO literals duplicated per while-loop
+    # computation, which bloats the program (and trips the axon
+    # remote-compile size limit at scale — see tpu.multiblock.bp_arrays)
+    arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
+            "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
+            "diag": bpp.coefs[:, diag_k]}
+
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
-    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
-        """g: (E_pad, Nsp, Nrp) (zeros on padded blocks);
-        gdelta_faces: (nfaces, L)."""
+    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
         g = constrain(g)
-        w0 = gdelta_faces * bpp.Dinv
+        Dinv = a["Dinv"]
+        w0 = gdelta_faces * Dinv
         coefs = jax.lax.with_sharding_constraint(
-            bpp.coefs, NamedSharding(mesh, coef_spec))
-        T = tuple(constrain(t) for t in bpp.faces.Tb)
-        etof = constrain(EToF_t)
-        flps = constrain(flip_t)
+            a["coefs"], NamedSharding(mesh, coef_spec))
+        T = tuple(constrain(t) for t in a["T"])
+        etof = constrain(a["etof"])
+        flps = constrain(a["flip"])
+        if a["fd"] is not None:
+            from ..tpu.fastdiag import fastdiag_apply
+            precond = lambda r: jax.vmap(fastdiag_apply)(a["fd"], r)
+        else:
+            precond = lambda r: r / a["diag"]
 
         corr = jax.shard_map(
             lambda w, Tl, el, fl, sh_u: scatter(w, Tl, el, fl, sh_u.shape),
@@ -193,7 +196,12 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             out_specs=P(axis))(w0, T, etof, flps, g)
         b = g - corr
 
-        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps), b,
+        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps, Dinv), b,
                   tol=tol, maxiter=cg_maxiter, precond=precond)
+
+    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
+        """g: (E_pad, Nsp, Nrp) (zeros on padded blocks);
+        gdelta_faces: (nfaces, L)."""
+        return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)
 
     return ShardedSolver(mesh=mesh, bp=bpp, E=E, solve=solve)

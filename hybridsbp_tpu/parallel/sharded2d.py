@@ -116,13 +116,13 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                 out = out.at[:, idx, :].add(vals)
         return out
 
-    def combine(t_all):
+    def combine(t_all, Dinv):
         t_m = t_all[em, fm]
         t_p = t_all[ep, fp]
         t_p = jnp.where(jnp.asarray(pflip)[:, None], bpp._rev_face(t_p), t_p)
         t_p = jnp.where(jnp.asarray(has_plus)[:, None], t_p, 0.0)
         t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
-        return t * bpp.Dinv
+        return t * Dinv
 
     # sharded face tensors: west/east sharded along the volume-row axis;
     # south/north replicated (their layer rows live on edge shards).
@@ -144,20 +144,18 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         in_specs=(P(block_axis, space_axis, None),
                   coef_spec,
                   (spec_we, spec_we), (spec_sn, spec_sn),
-                  P(block_axis), P(block_axis)),
+                  P(block_axis), P(block_axis), P()),
         out_specs=P(block_axis, space_axis, None))
-    def matvec_sm(u, coefs, T_we, T_sn, etof_loc, flip_loc):
+    def matvec_sm(u, coefs, T_we, T_sn, etof_loc, flip_loc, Dinv):
         y = dia_local(coefs, u)
         t_loc = traces_local(u, T_we, T_sn)
         t_all = jax.lax.all_gather(t_loc, block_axis, tiled=True)
-        w = combine(t_all)
+        w = combine(t_all, Dinv)
         return y - scatter_local(w, T_we, T_sn, etof_loc, flip_loc, u.shape)
 
     diag_k = offsets.index((0, 0))
-    diag = bpp.coefs[:, diag_k]
 
     if bpp.fd is not None:
-        fdp = bpp.fd
 
         @partial(
             jax.shard_map, mesh=mesh,
@@ -187,27 +185,36 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             t = jnp.einsum("ejr,eir->eji", t, Qr)
             return t * s_inv_loc
 
-        def precond(r):
-            return fd_sm(r, fdp.Qr, fdp.Qs, fdp.lam_r, fdp.lam_s, fdp.s_inv)
+        def make_precond(fd):
+            return lambda r: fd_sm(r, fd.Qr, fd.Qs, fd.lam_r, fd.lam_s,
+                                   fd.s_inv)
     else:
-        def precond(r):
-            return r / diag
+        make_precond = None
 
     sh_u = NamedSharding(mesh, P(block_axis, space_axis, None))
     sh_c = NamedSharding(mesh, coef_spec)
     sh_e = NamedSharding(mesh, P(block_axis))
 
-    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
-    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
-        g = jax.lax.with_sharding_constraint(g, sh_u)
-        coefs = jax.lax.with_sharding_constraint(bpp.coefs, sh_c)
-        T_we = tuple(jax.lax.with_sharding_constraint(
-            T_dense[lf], NamedSharding(mesh, spec_we)) for lf in (0, 1))
-        T_sn = tuple(T_dense[lf] for lf in (2, 3))
-        etof = jax.lax.with_sharding_constraint(EToF_t, sh_e)
-        flps = jax.lax.with_sharding_constraint(flip_t, sh_e)
+    # large arrays as jit arguments, not closure literals (see
+    # tpu.multiblock.bp_arrays for the rationale)
+    arrs = {"coefs": bpp.coefs, "T": T_dense, "etof": EToF_t,
+            "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
+            "diag": bpp.coefs[:, diag_k]}
 
-        w0 = gdelta_faces * bpp.Dinv
+    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
+    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
+        g = jax.lax.with_sharding_constraint(g, sh_u)
+        coefs = jax.lax.with_sharding_constraint(a["coefs"], sh_c)
+        T_we = tuple(jax.lax.with_sharding_constraint(
+            a["T"][lf], NamedSharding(mesh, spec_we)) for lf in (0, 1))
+        T_sn = tuple(a["T"][lf] for lf in (2, 3))
+        etof = jax.lax.with_sharding_constraint(a["etof"], sh_e)
+        flps = jax.lax.with_sharding_constraint(a["flip"], sh_e)
+        Dinv = a["Dinv"]
+        precond = (make_precond(a["fd"]) if make_precond is not None
+                   else (lambda r: r / a["diag"]))
+
+        w0 = gdelta_faces * Dinv
         corr = jax.shard_map(
             lambda w, twe, tsn, el, fl, su: scatter_local(
                 w, twe, tsn, el, fl, su.shape),
@@ -218,7 +225,11 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             out_specs=P(block_axis, space_axis, None))(
                 w0, T_we, T_sn, etof, flps, g)
         b = g - corr
-        return cg(lambda u: matvec_sm(u, coefs, T_we, T_sn, etof, flps), b,
+        return cg(lambda u: matvec_sm(u, coefs, T_we, T_sn, etof, flps,
+                                      Dinv), b,
                   tol=tol, maxiter=cg_maxiter, precond=precond)
+
+    def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
+        return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)
 
     return bpp, solve
