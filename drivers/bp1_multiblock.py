@@ -28,11 +28,18 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--stations-out", default=None, metavar="DIR",
                     help="write SEAS-format fltst_dp* station files")
+    ap.add_argument("--dtype", default=None,
+                    choices=[None, "float64", "float32"],
+                    help="integration dtype (float32 = TPU serving "
+                         "path; Newton tolerances are dtype-aware)")
     a = ap.parse_args()
 
     t0 = time.time()
+    import jax.numpy as jnp
+    dt = {None: None, "float64": jnp.float64,
+          "float32": jnp.float32}[a.dtype]
     par = BP1Params(N=a.N, p=a.p, sim_years=a.years)
-    mp = mb.setup(par, N=a.N, p=a.p, verbose=True)
+    mp = mb.setup(par, N=a.N, p=a.p, dtype=dt, verbose=True)
     print(f"setup ({mp.n_fault} fault dofs, {mp.n_fault + 1} hybrid "
           f"solves): {time.time() - t0:.1f}s")
 
