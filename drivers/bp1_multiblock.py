@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--stations-out", default=None, metavar="DIR",
                     help="write SEAS-format fltst_dp* station files")
+    ap.add_argument("--repeat", type=int, default=0,
+                    help="re-run the (compiled) integration N more "
+                         "times and print warm wall times")
     ap.add_argument("--dtype", default=None,
                     choices=[None, "float64", "float32"],
                     help="integration dtype (float32 = TPU serving "
@@ -49,6 +52,11 @@ def main():
     nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
     print(f"integrated {float(sol.t_final) / YEAR_SECONDS:.1f} years in "
           f"{wall:.1f}s: {nacc} accepted / {nrej} rejected")
+    for _ in range(a.repeat):
+        t0 = time.time()
+        sol = mb.run(mp, sim_years=a.years)
+        float(sol.t_final)            # scalar fetch = sync
+        print(f"  warm re-run: {time.time() - t0:.2f}s")
 
     ts = np.asarray(sol.ts)
     valid = np.isfinite(ts)
