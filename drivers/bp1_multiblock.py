@@ -35,6 +35,10 @@ def main():
                     choices=[None, "float64", "float32"],
                     help="integration dtype (float32 = TPU serving "
                          "path; Newton tolerances are dtype-aware)")
+    ap.add_argument("--newton-dtype", default=None,
+                    choices=[None, "float64", "float32"],
+                    help="friction-Newton dtype (float32 = pure-f32 "
+                         "compensated path, no f64 emulation on TPU)")
     a = ap.parse_args()
 
     t0 = time.time()
@@ -46,15 +50,17 @@ def main():
     print(f"setup ({mp.n_fault} fault dofs, {mp.n_fault + 1} hybrid "
           f"solves): {time.time() - t0:.1f}s")
 
+    ndt = {None: None, "float64": jnp.float64,
+           "float32": jnp.float32}[a.newton_dtype]
     t0 = time.time()
-    sol = mb.run(mp, sim_years=a.years)
+    sol = mb.run(mp, sim_years=a.years, newton_dtype=ndt)
     wall = time.time() - t0
     nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
     print(f"integrated {float(sol.t_final) / YEAR_SECONDS:.1f} years in "
           f"{wall:.1f}s: {nacc} accepted / {nrej} rejected")
     for _ in range(a.repeat):
         t0 = time.time()
-        sol = mb.run(mp, sim_years=a.years)
+        sol = mb.run(mp, sim_years=a.years, newton_dtype=ndt)
         float(sol.t_final)            # scalar fetch = sync
         print(f"  warm re-run: {time.time() - t0:.2f}s")
 

@@ -267,6 +267,82 @@ def slip_rate_estimate(psi, tau, sigma_n, a, V0, clip_exp=80.0):
     return V0 * (jnp.exp(e1) - jnp.exp(e2))
 
 
+def newton_defaults(newton_dtype):
+    """Per-dtype friction-Newton knobs, as tuned for the BP1 hot loop
+    (r2): f64 gets a tight ftol; pure f32 needs the compensated
+    strength balance with a looser ftol, 2 unsafeguarded polish steps,
+    and bracket-collapse acceptance (the TPU hardware f32 log's ~2^-13
+    relative accuracy makes a tight f32 ftol unattainable — see
+    log_precise)."""
+    if newton_dtype == jnp.float64:
+        return {"tol": 1e-9, "polish": 0, "xtol_rel": None}
+    return {"tol": 3e-5, "polish": 2,
+            "xtol_rel": 8 * float(jnp.finfo(newton_dtype).eps)}
+
+
+def newton_slip_rates(psi, tau_n, a_arr, *, sigma_n, eta, V0,
+                      newton_dtype, newton_tol, newton_iters=25,
+                      newton_polish=0, newton_xtol_rel=None):
+    """Batched fault-node slip-rate Newton, dtype-aware (the shared hot
+    path of the single-block and multiblock BP1 RHS; odefun.jl:80-85).
+
+    f64: fixed-iteration bracketed Newton on the hoisted strength
+    balance.  Other dtypes: the compensated-f32 formulation — the
+    cancellation-carrying scalars qp/qm are precomputed in the widest
+    available dtype, the in-loop transcendental is the software f32 log
+    (log_precise), and the bracketed sweep is followed by noise-aware
+    polish steps.  Returns (V, iters) in newton_dtype; iters < 0 marks
+    failed nodes.
+    """
+    psi_n = psi.astype(newton_dtype)
+    tau_nn = tau_n.astype(newton_dtype)
+    a_n = jnp.broadcast_to(a_arr, psi.shape).astype(newton_dtype)
+    VR = jnp.abs(tau_nn / eta)
+    V_guess = slip_rate_estimate(psi_n, tau_nn, sigma_n, a_n, V0)
+    V_guess = jnp.clip(V_guess, -0.95 * VR, 0.95 * VR)
+
+    if newton_dtype == jnp.float64:
+        w_n = psi_n / a_n
+        e2w_n = jnp.exp(jnp.maximum(-2.0 * w_n, -80.0))
+
+        def one(w_i, e2w_i, tau_i, a_i, VR_i, x0_i):
+            f = lambda V: strength_balance_hoisted(
+                V, w_i, e2w_i, sigma_n, tau_i, eta, a_i, V0)
+            return newtbndv_fixed(f, -VR_i, VR_i, x0_i,
+                                  iters=newton_iters, ftol=newton_tol,
+                                  atolx=newton_tol, rtolx=newton_tol)
+
+        V, fval, iters = jax.vmap(one)(w_n, e2w_n, tau_nn, a_n, VR,
+                                       V_guess)
+        return V, iters
+
+    # compensated f32 path: precompute the cancellation-carrying
+    # scalars in the widest available dtype (f64 when x64 is on)
+    hi = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    w_hi = psi.astype(hi) / a_n.astype(hi)
+    base = tau_nn.astype(hi) / (sigma_n * a_n.astype(hi))
+    qp = (w_hi - base).astype(newton_dtype)
+    qm = (-w_hi - base).astype(newton_dtype)
+    w32 = w_hi.astype(newton_dtype)
+    e2w_n = jnp.exp(jnp.maximum(-2.0 * w32, -80.0))
+    sig_a = (sigma_n * a_n).astype(newton_dtype)
+    inv2V0 = jnp.asarray(1.0 / (2.0 * V0), dtype=newton_dtype)
+
+    def one(qp_i, qm_i, w_i, e2w_i, sa_i, VR_i, x0_i):
+        f = lambda V: strength_balance_compensated(
+            V, qp_i, qm_i, w_i, e2w_i, sa_i, eta, inv2V0)
+        return newtbndv_fixed(f, -VR_i, VR_i, x0_i,
+                              iters=newton_iters, ftol=newton_tol,
+                              atolx=newton_tol, rtolx=newton_tol,
+                              polish=newton_polish,
+                              xtol_rel=newton_xtol_rel)
+
+    V, fval, iters = jax.vmap(one)(qp, qm, w32, e2w_n, sig_a,
+                                   VR.astype(newton_dtype),
+                                   V_guess.astype(newton_dtype))
+    return V, iters
+
+
 def solve_slip_rates(psi, tau, eta, sigma_n, a, V0, V_init=None,
                      ftol=1e-9, atolx=1e-9, rtolx=1e-9, maxiter=500):
     """Vectorized fault-node slip-rate solve (odefun.jl:80-85).

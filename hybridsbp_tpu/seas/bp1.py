@@ -40,12 +40,7 @@ from .. import BC_DIRICHLET, BC_NEUMANN
 from ..mesh import create_metrics
 from ..ode import solve_tsit5
 from ..ops2d import locoperator
-from ..physics.rateandstate import (
-    newtbndv_fixed,
-    slip_rate_estimate,
-    strength_balance_compensated,
-    strength_balance_hoisted,
-)
+from ..physics.rateandstate import newton_slip_rates
 
 YEAR_SECONDS = 31556926.0
 
@@ -275,51 +270,11 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
         # per-node bracketed Newton for slip rate (odefun.jl:80-85),
         # warm-started from the analytic log-space estimate, computed in
         # newton_dtype (f64 when available — see docstring)
-        psi_n = psi.astype(newton_dtype)
-        tau_nn = tau_n.astype(newton_dtype)
-        a_n = jnp.broadcast_to(a_arr, psi.shape).astype(newton_dtype)
-        VR = jnp.abs(tau_nn / eta)
-        V_guess = slip_rate_estimate(psi_n, tau_nn, sigma_n, a_n, V0)
-        V_guess = jnp.clip(V_guess, -0.95 * VR, 0.95 * VR)
-
-        if newton_dtype == jnp.float64:
-            w_n = psi_n / a_n
-            e2w_n = jnp.exp(jnp.maximum(-2.0 * w_n, -80.0))
-
-            def one(w_i, e2w_i, tau_i, a_i, VR_i, x0_i):
-                f = lambda V: strength_balance_hoisted(
-                    V, w_i, e2w_i, sigma_n, tau_i, eta, a_i, V0)
-                return newtbndv_fixed(f, -VR_i, VR_i, x0_i,
-                                      iters=newton_iters, ftol=newton_tol,
-                                      atolx=newton_tol, rtolx=newton_tol)
-
-            V, fval, iters = jax.vmap(one)(w_n, e2w_n, tau_nn, a_n, VR,
-                                           V_guess)
-        else:
-            # compensated f32 path: precompute the cancellation-carrying
-            # scalars in the widest available dtype (f64 when x64 is on)
-            hi = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-            w_hi = psi.astype(hi) / a_n.astype(hi)
-            base = tau_nn.astype(hi) / (sigma_n * a_n.astype(hi))
-            qp = (w_hi - base).astype(newton_dtype)
-            qm = (-w_hi - base).astype(newton_dtype)
-            w32 = w_hi.astype(newton_dtype)
-            e2w_n = jnp.exp(jnp.maximum(-2.0 * w32, -80.0))
-            sig_a = (sigma_n * a_n).astype(newton_dtype)
-            inv2V0 = jnp.asarray(1.0 / (2.0 * V0), dtype=newton_dtype)
-
-            def one(qp_i, qm_i, w_i, e2w_i, sa_i, VR_i, x0_i):
-                f = lambda V: strength_balance_compensated(
-                    V, qp_i, qm_i, w_i, e2w_i, sa_i, eta, inv2V0)
-                return newtbndv_fixed(f, -VR_i, VR_i, x0_i,
-                                      iters=newton_iters, ftol=newton_tol,
-                                      atolx=newton_tol, rtolx=newton_tol,
-                                      polish=newton_polish,
-                                      xtol_rel=newton_xtol_rel)
-
-            V, fval, iters = jax.vmap(one)(qp, qm, w32, e2w_n, sig_a,
-                                           VR.astype(newton_dtype),
-                                           V_guess.astype(newton_dtype))
+        V, iters = newton_slip_rates(
+            psi, tau_n, a_arr, sigma_n=sigma_n, eta=eta, V0=V0,
+            newton_dtype=newton_dtype, newton_tol=newton_tol,
+            newton_iters=newton_iters, newton_polish=newton_polish,
+            newton_xtol_rel=newton_xtol_rel)
         newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)
 
         # the aging law's e^((f0-psi)/b) - |V|/V0 is a near-cancellation

@@ -32,11 +32,7 @@ from ..hybrid import build_problem
 from ..hybrid.assemble import bcstarts
 from ..ode import solve_tsit5
 from ..ops2d import computetraction, locbcarray
-from ..physics.rateandstate import (
-    newtbndv_fixed,
-    rateandstate,
-    slip_rate_estimate,
-)
+from ..physics.rateandstate import newton_defaults, newton_slip_rates
 from .bp1 import YEAR_SECONDS, BP1Params
 
 BC_STEADY_SLIDE = 8
@@ -198,16 +194,30 @@ def setup(par: BP1Params = None, N: int = 16, p: int = 2,
         RSa=jnp.asarray(RSa, dtype=dt), tau_z0=tau_z0, psi0=psi0)
 
 
-def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20):
-    """State y = [psi; delta] over the fault dofs; rhs as in BP1."""
+def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20,
+                newton_dtype=None):
+    """State y = [psi; delta] over the fault dofs; rhs as in BP1.
+
+    Slip rates come from the shared dtype-aware Newton
+    (:func:`..physics.rateandstate.newton_slip_rates`): by default the
+    friction Newton runs in f64 when x64 is enabled even on an f32
+    state (the single-block default — the plain f32 Newton with the
+    hardware log storms the step controller on TPU, measured r2), and
+    in the compensated-f32 form otherwise.
+    """
     par = mp.par
     Kff, kt, RSa = mp.Kff, mp.kt, mp.RSa
+    if newton_dtype is None:
+        newton_dtype = (jnp.float64 if jax.config.jax_enable_x64
+                        else Kff.dtype)
+    nd = newton_defaults(newton_dtype)
     if newton_tol is None:
-        newton_tol = 1e-9 if Kff.dtype == jnp.float64 else 1.2e-4
+        newton_tol = nd["tol"]
     eta, sigma_n = par.eta, par.sigma_n
     V0, b, Dc, f0 = par.RSV0, par.RSb, par.RSDc, par.RSf0
     tau_z0 = mp.tau_z0
     n = mp.n_fault
+    state_dt = Kff.dtype
 
     def rhs(t, y, args):
         psi, delta = y[:n], y[n:]
@@ -216,21 +226,22 @@ def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20):
         tau_n = dtau + tau_z0
         tau_ok = jnp.all(jnp.isfinite(tau_n))
 
-        VR = jnp.abs(tau_n / eta)
-        Vg = jnp.clip(slip_rate_estimate(psi, tau_n, sigma_n, RSa, V0),
-                      -0.95 * VR, 0.95 * VR)
-
-        def one(pi, ti, ai, vri, x0i):
-            f = lambda V: rateandstate(V, pi, sigma_n, ti, eta, ai, V0)
-            return newtbndv_fixed(f, -vri, vri, x0i, iters=newton_iters,
-                                  ftol=newton_tol, atolx=newton_tol,
-                                  rtolx=newton_tol)
-
-        V, fv, it = jax.vmap(one)(psi, tau_n, RSa, VR, Vg)
+        V, it = newton_slip_rates(
+            psi, tau_n, RSa, sigma_n=sigma_n, eta=eta, V0=V0,
+            newton_dtype=newton_dtype, newton_tol=newton_tol,
+            newton_iters=newton_iters, newton_polish=nd["polish"],
+            newton_xtol_rel=nd["xtol_rel"])
         ok = tau_ok & jnp.all(jnp.isfinite(V)) & jnp.all(it >= 0)
-        dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi) / b) - jnp.abs(V) / V0)
+        # aging law in the widest available dtype (near-cancellation
+        # along the creeping manifold — DESIGN.md §5)
+        hi_dt = jnp.float64 if jax.config.jax_enable_x64 else state_dt
+        psi_hi = psi.astype(hi_dt)
+        V_hi = V.astype(hi_dt)
+        dpsi = ((b * V0 / Dc)
+                * (jnp.exp((f0 - psi_hi) / b) - jnp.abs(V_hi) / V0))
         ok = ok & jnp.all(jnp.isfinite(dpsi))
-        return jnp.concatenate([dpsi, V]), ok
+        return jnp.concatenate([dpsi.astype(state_dt),
+                                V.astype(state_dt)]), ok
 
     return rhs
 
@@ -252,12 +263,15 @@ def default_stations(mp: MultiBP1Problem, spacing=2.5):
 
 
 def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
-        max_steps=100_000, save_every=1, stations=None):
+        max_steps=100_000, save_every=1, stations=None,
+        newton_dtype=None):
     """Integrate the multiblock cycle.  ``stations``: fault-dof indices
     at which to record (delta, psi, tau, V) time series (default: the
-    SEAS depths within the fault extent, :func:`default_stations`)."""
+    SEAS depths within the fault extent, :func:`default_stations`).
+    ``newton_dtype``: friction-Newton dtype (see :func:`make_odefun`;
+    jnp.float32 = the pure-f32 TPU serving path)."""
     sim_years = sim_years or mp.par.sim_years
-    rhs = make_odefun(mp)
+    rhs = make_odefun(mp, newton_dtype=newton_dtype)
     n = mp.n_fault
     if stations is None:
         nominal_depths, stations = default_stations(mp)
