@@ -47,3 +47,24 @@ def test_multiblock_station_files(tmp_path):
     # tau is finite and near the BP1 pre-stress scale (tens of MPa)
     assert np.all(np.isfinite(dat[:, 3]))
     assert 1.0 < np.abs(dat[:, 3]).max() < 100.0
+
+
+def test_multiblock_pure_f32_newton_matches_f64():
+    """The compensated pure-f32 friction Newton (shared with the
+    single-block path — the TPU serving mode) integrates the same short
+    cycle as the f64 Newton: same slip to f32 levels, healthy
+    rejection rate (the plain-f32 Newton stormed the controller)."""
+    import jax.numpy as jnp
+
+    mp = mb.setup(N=8, dtype=jnp.float32)
+    s64 = mb.run(mp, sim_years=30.0, max_steps=20000)
+    s32 = mb.run(mp, sim_years=30.0, max_steps=20000,
+                 newton_dtype=jnp.float32)
+    assert bool(s64.stats.success) and bool(s32.stats.success)
+    n = mp.n_fault
+    d64 = float(np.asarray(s64.y_final)[n:].max())
+    d32 = float(np.asarray(s32.y_final)[n:].max())
+    np.testing.assert_allclose(d32, d64, rtol=5e-3)
+    rej = int(s32.stats.nreject)
+    acc = int(s32.stats.naccept)
+    assert rej < 0.4 * acc, f"f32 Newton storming: {acc} acc / {rej} rej"
