@@ -172,21 +172,31 @@ def assemble_level(p, N_per_block, mesh_data=None):
 
 
 def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
-               stencil="auto", repeats=3, binv_dtype=None):
+               stencil="auto", repeats=3, binv_dtype=None,
+               method="displacements"):
     """Solve ONE refinement level of the square_circle problem on the
     device (the reference's finest level is p=6, N=136/block — ~1.05M
     volume DOF on the 56-block curved mesh, square_circle.jl:22,40,209):
-    f32 blocked operator, Woodbury two-level preconditioner (fastdiag
-    inner CG + the assembled trace inverse as one MXU matmul), flexible
-    CG.  Reports warm per-solve wall time and the error against the
-    host f64 direct solve.
+    f32 blocked operator; ``method``:
+
+    - 'displacements': CG on the eliminated SPD system with the
+      Woodbury two-level preconditioner (fastdiag inner CG + the
+      assembled trace inverse as one MXU matmul), flexible CG.
+    - 'trace': the reference's DEFAULT hybrid method
+      (square_circle.jl:374-388) — flexible CG on the trace Schur
+      complement B with batched fastdiag-CG inner block solves and the
+      assembled B^{-1} as outer preconditioner.
+
+    Reports warm per-solve wall time and the error against the host
+    f64 direct solve.
     """
     import time
 
     import jax
     import jax.numpy as jnp
 
-    from hybridsbp_tpu.tpu import build_blocked, solve_displacements
+    from hybridsbp_tpu.tpu import (build_blocked, solve_displacements,
+                                   solve_trace)
     from hybridsbp_tpu.tpu.multiblock import (blocked_rhs_from_host,
                                               build_woodbury,
                                               woodbury_precond)
@@ -230,6 +240,13 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
         def solve_fn(a, gbi, gdi):
             bp2 = bp_with(bp, a)
             ti2 = trace_inv._replace(Binv=a["Binv"])
+            if method == "trace":
+                u, lam, res = solve_trace(bp2, gbi, gdi, tol=tol,
+                                          maxiter=200,
+                                          inner_tol=1e-30,
+                                          inner_maxiter=inner_iters * 2,
+                                          stencil=stencil, Binv_pad=ti2)
+                return res._replace(x=u)
             Ms = woodbury_precond(bp2, ti2, inner_iters=inner_iters,
                                   stencil=stencil)
             return solve_displacements(bp2, gbi, gdi, tol=tol,
@@ -377,8 +394,12 @@ if __name__ == "__main__":
         import jax.numpy as _jnp
         bd = {None: None, "float32": _jnp.float32,
               "bfloat16": _jnp.bfloat16}[a.binv_dtype]
+        if a.method == "monolithic":
+            raise SystemExit("--device-solve supports methods "
+                             "'displacements' and 'trace'")
         run_device(p=a.p, N=a.N0, tol=a.tol, inner_iters=a.inner_iters,
-                   stencil=a.stencil, binv_dtype=bd)
+                   stencil=a.stencil, binv_dtype=bd,
+                   method=a.method)
     else:
         run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
             plot_mesh=a.plot_mesh)

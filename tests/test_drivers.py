@@ -60,6 +60,18 @@ def test_square_circle_run_device():
     assert out["rel_err"] < 1e-3, out
 
 
+def test_square_circle_run_device_trace():
+    """--device-solve --method trace: the reference's default hybrid
+    method (Schur on the trace) on the device path, O(1) outer FCG
+    iterations with the assembled B^-1 outer preconditioner."""
+    out = square_circle.run_device(p=2, N=8, tol=1e-6, inner_iters=4,
+                                   verbose=False, repeats=1,
+                                   method="trace")
+    assert out["converged"], out
+    assert out["iters"] <= 25, out
+    assert out["rel_err"] < 1e-3, out
+
+
 def test_flower_fault_network():
     _, _, _, worst = flower_run(N=8, verbose=False)
     assert worst < 0.05, f"fault jump error {worst}"
