@@ -84,6 +84,20 @@ def test_short_cycle_run():
     assert np.isfinite(lv[valid]).all()
 
 
+def test_higher_order_cycle_runs():
+    """BP1 cycles integrate with the p=4 SBP operator (the reference's
+    BP1 driver is hard-wired to p=2, BP1.jl:28; the operator factory
+    here serves any supported order to the same hot loop)."""
+    par = bp1.BP1Params(N=24, p=4, sim_years=5.0, el=10.0)
+    prob, sol = bp1.run(par, max_steps=20_000)
+    assert bool(sol.stats.success), f"stats: {sol.stats}"
+    y = np.asarray(sol.y_final)
+    assert np.isfinite(y).all()
+    delta = y[par.N + 1:]
+    T = 5.0 * bp1.YEAR_SECONDS
+    np.testing.assert_allclose(delta[-1], par.Vp * T, rtol=0.5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     par = bp1.BP1Params(N=8, sim_years=1.0)
     y = jnp.arange(18, dtype=jnp.float64)
