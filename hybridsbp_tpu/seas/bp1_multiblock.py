@@ -264,12 +264,13 @@ def default_stations(mp: MultiBP1Problem, spacing=2.5):
 
 def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
         max_steps=100_000, save_every=1, stations=None,
-        newton_dtype=None):
+        newton_dtype=None, t0=0.0, y0=None, dt0=None):
     """Integrate the multiblock cycle.  ``stations``: fault-dof indices
     at which to record (delta, psi, tau, V) time series (default: the
     SEAS depths within the fault extent, :func:`default_stations`).
     ``newton_dtype``: friction-Newton dtype (see :func:`make_odefun`;
-    jnp.float32 = the pure-f32 TPU serving path)."""
+    jnp.float32 = the pure-f32 TPU serving path).  ``t0``/``y0``/
+    ``dt0`` resume an interrupted run (see :func:`run_chunked`)."""
     sim_years = sim_years or mp.par.sim_years
     rhs = make_odefun(mp, newton_dtype=newton_dtype)
     n = mp.n_fault
@@ -291,8 +292,10 @@ def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
                 "delta": delta[stations], "psi": psi[stations],
                 "tau": tau[stations], "V": V[stations]}
 
-    sol = solve_tsit5(rhs, initial_state(mp), 0.0,
-                      sim_years * YEAR_SECONDS, YEAR_SECONDS,
+    if y0 is None:
+        y0 = initial_state(mp)
+    sol = solve_tsit5(rhs, y0, t0,
+                      sim_years * YEAR_SECONDS, dt0 or YEAR_SECONDS,
                       rtol=rtol, atol=atol, max_steps=max_steps,
                       save_fn=save_fn, save_every=save_every)
     # record which stations the histories were sampled at, so the
@@ -300,6 +303,64 @@ def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
     # (ADVICE r1: counts alone can coincidentally match)
     return sol._replace(meta={"stations": np.asarray(stations),
                               "station_depths": nominal_depths})
+
+
+def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
+                checkpoint_path=None, progress=False, **kw):
+    """Chunked multiblock cycle (the multiblock counterpart of
+    :func:`..bp1.run_chunked`): each device while_loop launch is bounded
+    to ``chunk_steps`` and resumed from (t, y, dt) on the host — needed
+    on remote/tunneled accelerators, and gives checkpoint boundaries
+    (``checkpoint_path`` saves (t, y) each chunk via
+    :func:`..bp1.save_checkpoint`).
+
+    Returns ``(history, stats)``: stitched time series (incl. the
+    station depths under "station_depths") and accept/reject totals.
+    """
+    from .bp1 import save_checkpoint
+
+    sim_years = kw.pop("sim_years", None) or mp.par.sim_years
+    t_end = sim_years * YEAR_SECONDS
+    t, y, dt0 = 0.0, None, YEAR_SECONDS
+    ts_all, save_all = [], []
+    nacc = nrej = 0
+    t_prev = -1.0
+    meta = {}
+    for chunk in range(max_chunks):
+        sol = run(mp, sim_years=sim_years, max_steps=chunk_steps,
+                  t0=t, y0=y, dt0=dt0, **kw)
+        meta = sol.meta
+        dt0 = float(sol.dt_final)
+        ts = np.asarray(sol.ts)
+        valid = np.isfinite(ts)
+        # the integrator records the launch state at index 0, which for
+        # a resumed chunk duplicates the previous chunk's last entry
+        sl = slice(1, None) if chunk else slice(None)
+        ts_all.append(ts[valid][sl])
+        save_all.append({k: np.asarray(v)[valid][sl]
+                         for k, v in sol.save.items()})
+        nacc += int(sol.stats.naccept)
+        nrej += int(sol.stats.nreject)
+        t, y = float(sol.t_final), sol.y_final
+        if progress:
+            print(f"  chunk {chunk + 1}: t = {t / YEAR_SECONDS:.1f} yr "
+                  f"({nacc} acc / {nrej} rej)", flush=True)
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, t, y, mp.par)
+        if t >= t_end * (1.0 - 1e-6):
+            break
+        if t <= t_prev and int(sol.stats.naccept) == 0:
+            raise RuntimeError(
+                f"integration stalled at t={t / YEAR_SECONDS:.3f} yr "
+                f"(dt={dt0:.3e}s): step size collapsed")
+        t_prev = t
+    history = {"t": np.concatenate(ts_all)}
+    for k in save_all[0]:
+        history[k] = np.concatenate([s[k] for s in save_all])
+    history.update(meta)
+    stats = {"naccept": nacc, "nreject": nrej,
+             "t_final_years": t / YEAR_SECONDS}
+    return history, stats
 
 
 def write_station_files(mp: MultiBP1Problem, history, outdir, *,

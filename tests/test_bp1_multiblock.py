@@ -49,6 +49,31 @@ def test_multiblock_station_files(tmp_path):
     assert 1.0 < np.abs(dat[:, 3]).max() < 100.0
 
 
+def test_multiblock_chunked_equals_single_run(tmp_path):
+    """run_chunked stitches the same trajectory as one launch and
+    writes resumable checkpoints (aux 5.4 parity for the multiblock
+    family)."""
+    mp = mb.setup(N=6)
+    sol = mb.run(mp, sim_years=20.0, max_steps=10000)
+    ck = tmp_path / "mb_ckpt.npz"
+    hist, stats = mb.run_chunked(mp, sim_years=20.0, chunk_steps=40,
+                                 checkpoint_path=str(ck))
+    assert ck.exists()
+    # stitched time series: strictly increasing, horizon reached, no
+    # duplicated chunk-boundary entries
+    assert np.all(np.diff(hist["t"]) > 0)
+    assert stats["t_final_years"] >= 20.0 * (1 - 1e-6)
+    # chunk boundaries restart the controller's PI state, so the step
+    # sequences differ — the trajectory itself must agree (same
+    # contract as the single-block chunked gate)
+    ts = np.asarray(sol.ts)
+    valid = np.isfinite(ts)
+    np.testing.assert_allclose(
+        hist["delta_max"][-1],
+        np.asarray(sol.save["delta_max"])[valid][-1], rtol=2e-4)
+    assert "station_depths" in hist
+
+
 def test_multiblock_pure_f32_newton_matches_f64():
     """The compensated pure-f32 friction Newton (shared with the
     single-block path — the TPU serving mode) integrates the same short
