@@ -187,12 +187,18 @@ def bench_hybrid_sub():
 
     # one jitted program for the whole solve: called eagerly, each setup
     # op outside the CG while_loop pays the ~27 ms tunnel RTT (measured
-    # 23 ms/iter = pure dispatch overhead; jitted it is device-bound)
-    solve_jit = jax.jit(lambda gb, gdf: solve_displacements(
-        bp, gb, gdf, tol=1e-5, maxiter=500))
+    # 23 ms/iter = pure dispatch overhead; jitted it is device-bound).
+    # Operator arrays enter as ARGUMENTS (closure arrays lower to HLO
+    # literals duplicated per while-loop computation — see
+    # tpu.multiblock.bp_arrays).
+    from hybridsbp_tpu.tpu.multiblock import bp_arrays, bp_with
+
+    arrs = bp_arrays(bp)
+    solve_jit = jax.jit(lambda a, gb, gdf: solve_displacements(
+        bp_with(bp, a), gb, gdf, tol=1e-5, maxiter=500))
 
     def solve():
-        res = solve_jit(g, gd)
+        res = solve_jit(arrs, g, gd)
         return int(res.iters), float(res.resnorm)
 
     iters, _ = solve()                        # compile + warm

@@ -52,15 +52,18 @@ def main():
 
     ndt = {None: None, "float64": jnp.float64,
            "float32": jnp.float32}[a.newton_dtype]
+    # build the cycle closures once: repeated run() calls with fresh
+    # closures would recompile the whole while_loop each time
+    fns = mb.make_cycle_fns(mp, newton_dtype=ndt)
     t0 = time.time()
-    sol = mb.run(mp, sim_years=a.years, newton_dtype=ndt)
+    sol = mb.run(mp, sim_years=a.years, _fns=fns)
     wall = time.time() - t0
     nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
     print(f"integrated {float(sol.t_final) / YEAR_SECONDS:.1f} years in "
           f"{wall:.1f}s: {nacc} accepted / {nrej} rejected")
     for _ in range(a.repeat):
         t0 = time.time()
-        sol = mb.run(mp, sim_years=a.years, newton_dtype=ndt)
+        sol = mb.run(mp, sim_years=a.years, _fns=fns)
         float(sol.t_final)            # scalar fetch = sync
         print(f"  warm re-run: {time.time() - t0:.2f}s")
 

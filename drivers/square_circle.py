@@ -241,10 +241,16 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
             bp2 = bp_with(bp, a)
             ti2 = trace_inv._replace(Binv=a["Binv"])
             if method == "trace":
+                # tol-driven inner block solves: the outer FCG tolerates
+                # an inexact matvec, but the trace RHS b = gδ − F̄ M̃⁻¹g
+                # and the final u reconstruction shift the SOLUTION when
+                # the inner solves are truncated (a fixed 8-iteration
+                # inner solve left a 6.6e-3 relative error while the
+                # outer still reported converged)
                 u, lam, res = solve_trace(bp2, gbi, gdi, tol=tol,
                                           maxiter=200,
-                                          inner_tol=1e-30,
-                                          inner_maxiter=inner_iters * 2,
+                                          inner_tol=tol * 0.05,
+                                          inner_maxiter=200,
                                           stencil=stencil, Binv_pad=ti2)
                 return res._replace(x=u)
             Ms = woodbury_precond(bp2, ti2, inner_iters=inner_iters,

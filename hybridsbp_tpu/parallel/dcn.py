@@ -33,13 +33,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tpu.cg import cg
-from ..tpu.multiblock import (
-    BlockedHybrid,
-    _gather_layers,
-    banded_scatter_1f,
-    banded_trace_1f,
-)
-from .sharded import pad_blocks
+from ..tpu.multiblock import BlockedHybrid
+from .sharded import face_combination_meta, make_face_kernels, pad_blocks
 
 
 def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
@@ -56,20 +51,11 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     parts = np.arange(E_pad) // E_per        # slice-contiguous layout
 
     offsets = bpp.offsets
-    layers = bpp.faces.layers
-    face_offs = bpp.faces.offs
     L = bpp.Dinv.shape[1]
     nfaces = bpp.Dinv.shape[0]
 
-    FToE, FToLF = bpp.FToE, bpp.FToLF
-    em, fm = FToE[0].copy(), FToLF[0].copy()
-    ep, fp = FToE[1].copy(), FToLF[1].copy()
-    has_plus = ep >= 0
-    # padded/boundary faces: point at block 0 with zero weight
-    em[em < 0] = 0
-    ep[~has_plus], fp[~has_plus] = 0, 0
-    pflip = bpp.flip[fp, ep] & has_plus
-    interior = bpp.interior
+    # padded/boundary faces point at block 0 with zero weight
+    em, fm, ep, fp, has_plus, pflip, interior = face_combination_meta(bpp)
 
     # --- static cut-face export tables -------------------------------
     cut = interior & (parts[em] != parts[ep]) & has_plus
@@ -99,28 +85,7 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     slot_m = jnp.asarray(slot[0])
     slot_p = jnp.asarray(slot[1])
 
-    def local_traces(u, T):
-        E_loc = u.shape[0]
-        t = jnp.zeros((E_loc, 4, L), dtype=u.dtype)
-        for lf in range(4):
-            sub = _gather_layers(u, layers[lf], lf)
-            tl = banded_trace_1f(T[lf], face_offs[lf], sub)
-            t = t.at[:, lf, :tl.shape[-1]].set(tl)
-        return t
-
-    def scatter(w, T, etof_loc, flip_loc, shape):
-        out = jnp.zeros(shape, dtype=w.dtype)
-        for lf in range(4):
-            wf = w[etof_loc[:, lf], :]
-            wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
-            A = T[lf].shape[-1]
-            vals = banded_scatter_1f(T[lf], face_offs[lf], wf[:, :A])
-            lay = list(layers[lf])
-            if lf < 2:
-                out = out.at[:, :, lay].add(vals.transpose(0, 2, 1))
-            else:
-                out = out.at[:, lay, :].add(vals)
-        return out
+    local_traces, scatter = make_face_kernels(bpp)
 
     both = P((slice_axis, block_axis))
 
@@ -142,10 +107,12 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         t = jnp.where(jnp.asarray(interior)[:, None], t_m + t_p, 0.0)
         return t * Dinv
 
+    coef_spec = P() if bpp.shared else both
+
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(both, both, tuple(both for _ in range(4)), both, both,
-                  P()),
+        in_specs=(both, coef_spec, tuple(both for _ in range(4)), both,
+                  both, P()),
         out_specs=both)
     def matvec_sm(u, coefs, T, etof_loc, flip_loc, Dinv):
         from ..tpu.pallas_stencil import dia_apply_batched, dia_apply_shared
@@ -162,7 +129,6 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         return y - scatter(w, T, etof_loc, flip_loc, u.shape)
 
     diag_k = offsets.index((0, 0))
-    coef_spec = P() if bpp.shared else both
     sh = lambda spec: NamedSharding(mesh, spec)
 
     # large arrays as jit arguments, not closure literals (see

@@ -79,32 +79,30 @@ class ShardedSolver(NamedTuple):
     solve: callable            # (g_padded, gdelta_faces, tol) -> CGResult
 
 
-def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
-                        axis="block") -> ShardedSolver:
-    ndev = mesh.shape[axis]
-    E = bp.nblocks
-    E_pad = ((E + ndev - 1) // ndev) * ndev
-    bpp = pad_blocks(bp, E_pad)
-    offsets = bpp.offsets
-    layers = bpp.faces.layers
-    nfaces = bpp.Dinv.shape[0]
-    L = bpp.Dinv.shape[1]
-
-    # replicated global-combination metadata (static numpy)
-    FToE, FToLF = bpp.FToE, bpp.FToLF
-    em, fm = FToE[0], FToLF[0]
-    ep, fp = FToE[1].copy(), FToLF[1].copy()
+def face_combination_meta(bpp: BlockedHybrid):
+    """Static minus/plus-side metadata for the face combination, shared
+    by the 1D and two-level solvers: (em, fm, ep, fp, has_plus, pflip,
+    interior), with boundary/padded faces pointed at block 0."""
+    em, fm = bpp.FToE[0].copy(), bpp.FToLF[0].copy()
+    ep, fp = bpp.FToE[1].copy(), bpp.FToLF[1].copy()
+    em[em < 0] = 0
     has_plus = ep >= 0
     ep[~has_plus], fp[~has_plus] = 0, 0
     pflip = bpp.flip[fp, ep] & has_plus
-    interior = bpp.interior
+    return em, fm, ep, fp, has_plus, pflip, bpp.interior
 
-    EToF_t = jnp.asarray(bpp.EToF.T)                 # (E_pad, 4)
-    flip_t = jnp.asarray(bpp.flip.T)                 # (E_pad, 4)
 
+def make_face_kernels(bpp: BlockedHybrid):
+    """(local_traces, scatter) over the banded face tensors of a padded
+    BlockedHybrid — the per-shard face extraction and correction used
+    identically by the 1D block-sharded and two-level (slice x block)
+    solvers."""
     from ..tpu.multiblock import (_gather_layers, banded_scatter_1f,
                                   banded_trace_1f)
+
+    layers = bpp.faces.layers
     face_offs = bpp.faces.offs
+    L = bpp.Dinv.shape[1]
 
     def local_traces(u, T):
         E_loc = u.shape[0]
@@ -119,7 +117,8 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         out = jnp.zeros(shape, dtype=w.dtype)
         for lf in range(4):
             wf = w[etof_loc[:, lf], :]
-            wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
+            wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf),
+                           wf)
             A = T[lf].shape[-1]
             vals = banded_scatter_1f(T[lf], face_offs[lf], wf[:, :A])
             lay = list(layers[lf])
@@ -128,6 +127,28 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             else:
                 out = out.at[:, lay, :].add(vals)
         return out
+
+    return local_traces, scatter
+
+
+def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
+                        axis="block") -> ShardedSolver:
+    ndev = mesh.shape[axis]
+    E = bp.nblocks
+    E_pad = ((E + ndev - 1) // ndev) * ndev
+    bpp = pad_blocks(bp, E_pad)
+    offsets = bpp.offsets
+    layers = bpp.faces.layers
+    nfaces = bpp.Dinv.shape[0]
+    L = bpp.Dinv.shape[1]
+
+    # replicated global-combination metadata (static numpy)
+    em, fm, ep, fp, has_plus, pflip, interior = face_combination_meta(bpp)
+
+    EToF_t = jnp.asarray(bpp.EToF.T)                 # (E_pad, 4)
+    flip_t = jnp.asarray(bpp.flip.T)                 # (E_pad, 4)
+
+    local_traces, scatter = make_face_kernels(bpp)
 
     def combine(t_all, Dinv):
         t_m = t_all[em, fm]

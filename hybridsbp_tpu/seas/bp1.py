@@ -40,7 +40,7 @@ from .. import BC_DIRICHLET, BC_NEUMANN
 from ..mesh import create_metrics
 from ..ode import solve_tsit5
 from ..ops2d import locoperator
-from ..physics.rateandstate import newton_slip_rates
+from ..physics.rateandstate import newton_defaults, newton_slip_rates
 
 YEAR_SECONDS = 31556926.0
 
@@ -223,21 +223,16 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
     if newton_dtype is None:
         newton_dtype = (jnp.float64 if jax.config.jax_enable_x64
                         else K.dtype)
+    # per-dtype knobs (tight f64 ftol; compensated-f32 ftol + polish +
+    # bracket-collapse acceptance) live in ONE place —
+    # physics.rateandstate.newton_defaults — shared with the multiblock
+    # path; see its docstring for the f32-storm rationale
+    nd = newton_defaults(newton_dtype)
     if newton_tol is None:
-        # the compensated f32 formulation supports a tight ftol again
-        newton_tol = 1e-9 if newton_dtype == jnp.float64 else 3e-5
+        newton_tol = nd["tol"]
     if newton_polish is None:
-        # f32 path: two unsafeguarded polish steps push V to the
-        # evaluation-noise floor of the compensated balance
-        newton_polish = 0 if newton_dtype == jnp.float64 else 2
-    # f32 path: accept bracket collapse as convergence.  The TPU f32
-    # log has ~2e-5 relative error, giving the strength balance a
-    # ~1e-4*(sigma a) evaluation-noise floor that no reachable ftol can
-    # undercut — without this, marginal nodes flag "Newton failed"
-    # every step and the rejections storm the controller (the round-1
-    # f32 storm, diagnosed r2; see newtbndv_fixed docstring)
-    newton_xtol_rel = (None if newton_dtype == jnp.float64
-                       else 8 * float(jnp.finfo(newton_dtype).eps))
+        newton_polish = nd["polish"]
+    newton_xtol_rel = nd["xtol_rel"]
     tau1, sJ1, RSa = prob.tau1, prob.sJ1, prob.RSa
     mu, eta, sigma_n = par.mu_shear, par.eta, par.sigma_n
     V0, b, Dc, f0, Vp = par.RSV0, par.RSb, par.RSDc, par.RSf0, par.Vp

@@ -21,6 +21,7 @@ evaluation in the cycle is then a single dense matvec + the vmapped
 rate-and-state Newton — identical machinery to the single-block driver.
 """
 from dataclasses import dataclass
+from typing import NamedTuple
 
 
 import jax
@@ -262,23 +263,29 @@ def default_stations(mp: MultiBP1Problem, spacing=2.5):
     return depths, idx
 
 
-def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
-        max_steps=100_000, save_every=1, stations=None,
-        newton_dtype=None, t0=0.0, y0=None, dt0=None):
-    """Integrate the multiblock cycle.  ``stations``: fault-dof indices
-    at which to record (delta, psi, tau, V) time series (default: the
-    SEAS depths within the fault extent, :func:`default_stations`).
-    ``newton_dtype``: friction-Newton dtype (see :func:`make_odefun`;
-    jnp.float32 = the pure-f32 TPU serving path).  ``t0``/``y0``/
-    ``dt0`` resume an interrupted run (see :func:`run_chunked`)."""
-    sim_years = sim_years or mp.par.sim_years
+class CycleFns(NamedTuple):
+    """Per-problem closures for the cycle integration.  Build ONCE (per
+    (mp, newton_dtype, stations)) and pass to repeated :func:`run`
+    calls as ``_fns``: solve_tsit5's jit keys on the rhs/save_fn
+    function identities, so fresh closures per call force a full
+    recompile of the cycle while_loop (minutes through remote-compile;
+    the single-block path's make_solver_fns exists for the same
+    reason)."""
+    rhs: callable
+    save_fn: callable
+    stations: np.ndarray
+    station_depths: np.ndarray
+
+
+def make_cycle_fns(mp: MultiBP1Problem, *, newton_dtype=None,
+                   stations=None) -> CycleFns:
     rhs = make_odefun(mp, newton_dtype=newton_dtype)
     n = mp.n_fault
     if stations is None:
         nominal_depths, stations = default_stations(mp)
     else:
         nominal_depths = np.asarray(mp.depth)[np.asarray(stations)]
-    stations = jnp.asarray(stations)
+    stations_j = jnp.asarray(stations)
     Kff, kt, tau_z0 = mp.Kff, mp.kt, mp.tau_z0
 
     def save_fn(t, y, args):
@@ -289,20 +296,40 @@ def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
                + jnp.asarray(t).astype(Kff.dtype) * kt) + tau_z0
         return {"log10_vmax": jnp.log10(jnp.max(jnp.abs(V)) + 1e-40),
                 "delta_max": jnp.max(delta),
-                "delta": delta[stations], "psi": psi[stations],
-                "tau": tau[stations], "V": V[stations]}
+                "delta": delta[stations_j], "psi": psi[stations_j],
+                "tau": tau[stations_j], "V": V[stations_j]}
+
+    return CycleFns(rhs=rhs, save_fn=save_fn,
+                    stations=np.asarray(stations),
+                    station_depths=nominal_depths)
+
+
+def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
+        max_steps=100_000, save_every=1, stations=None,
+        newton_dtype=None, t0=0.0, y0=None, dt0=None, _fns=None):
+    """Integrate the multiblock cycle.  ``stations``: fault-dof indices
+    at which to record (delta, psi, tau, V) time series (default: the
+    SEAS depths within the fault extent, :func:`default_stations`).
+    ``newton_dtype``: friction-Newton dtype (see :func:`make_odefun`;
+    jnp.float32 = the pure-f32 TPU serving path).  ``t0``/``y0``/
+    ``dt0`` resume an interrupted run (see :func:`run_chunked`).
+    ``_fns``: a :func:`make_cycle_fns` result — pass it for repeated
+    calls so the compiled cycle is reused."""
+    sim_years = sim_years or mp.par.sim_years
+    fns = _fns if _fns is not None else make_cycle_fns(
+        mp, newton_dtype=newton_dtype, stations=stations)
 
     if y0 is None:
         y0 = initial_state(mp)
-    sol = solve_tsit5(rhs, y0, t0,
+    sol = solve_tsit5(fns.rhs, y0, t0,
                       sim_years * YEAR_SECONDS, dt0 or YEAR_SECONDS,
                       rtol=rtol, atol=atol, max_steps=max_steps,
-                      save_fn=save_fn, save_every=save_every)
+                      save_fn=fns.save_fn, save_every=save_every)
     # record which stations the histories were sampled at, so the
     # station writer labels columns by the depths actually recorded
     # (ADVICE r1: counts alone can coincidentally match)
-    return sol._replace(meta={"stations": np.asarray(stations),
-                              "station_depths": nominal_depths})
+    return sol._replace(meta={"stations": fns.stations,
+                              "station_depths": fns.station_depths})
 
 
 def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
@@ -320,23 +347,29 @@ def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
     from .bp1 import save_checkpoint
 
     sim_years = kw.pop("sim_years", None) or mp.par.sim_years
+    fns = kw.pop("_fns", None) or make_cycle_fns(
+        mp, newton_dtype=kw.pop("newton_dtype", None),
+        stations=kw.pop("stations", None))
     t_end = sim_years * YEAR_SECONDS
     t, y, dt0 = 0.0, None, YEAR_SECONDS
     ts_all, save_all = [], []
     nacc = nrej = 0
     t_prev = -1.0
-    meta = {}
     for chunk in range(max_chunks):
         sol = run(mp, sim_years=sim_years, max_steps=chunk_steps,
-                  t0=t, y0=y, dt0=dt0, **kw)
-        meta = sol.meta
+                  t0=t, y0=y, dt0=dt0, _fns=fns, **kw)
         dt0 = float(sol.dt_final)
         ts = np.asarray(sol.ts)
         valid = np.isfinite(ts)
-        # the integrator records the launch state at index 0, which for
-        # a resumed chunk duplicates the previous chunk's last entry
-        sl = slice(1, None) if chunk else slice(None)
-        ts_all.append(ts[valid][sl])
+        tv = ts[valid]
+        # the integrator records the launch state at index 0; on a
+        # resumed chunk drop it only when it actually duplicates the
+        # previous chunk's last stitched entry (with save_every > 1
+        # the boundary state may be a real, otherwise-unsaved sample)
+        drop = (chunk > 0 and tv.size and ts_all
+                and ts_all[-1].size and tv[0] == ts_all[-1][-1])
+        sl = slice(1, None) if drop else slice(None)
+        ts_all.append(tv[sl])
         save_all.append({k: np.asarray(v)[valid][sl]
                          for k, v in sol.save.items()})
         nacc += int(sol.stats.naccept)
@@ -357,9 +390,11 @@ def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
     history = {"t": np.concatenate(ts_all)}
     for k in save_all[0]:
         history[k] = np.concatenate([s[k] for s in save_all])
-    history.update(meta)
+    history["stations"] = fns.stations
+    history["station_depths"] = fns.station_depths
     stats = {"naccept": nacc, "nreject": nrej,
-             "t_final_years": t / YEAR_SECONDS}
+             "t_final_years": t / YEAR_SECONDS,
+             "success": t >= t_end * (1.0 - 1e-6)}
     return history, stats
 
 

@@ -174,6 +174,45 @@ def test_two_level_dcn_solver_matches_host():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_two_level_dcn_solver_shared_coefs():
+    """Shared-operator layout through the two-level solver: the
+    broadcast (1, noff, ...) coefficient stack must ride a replicated
+    spec over the 2D mesh (it crashed with the per-block spec).  Gate:
+    a few CG iterations on an artificially-shared operator agree with
+    the 1D sharded solver running the same operator."""
+    from hybridsbp_tpu.parallel import make_two_level_solver
+
+    p, N = 2, 12
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_LOCKED_INTERFACE
+    Narr = np.full(2, N)
+    prob, _ = build_problem(p, VERTS, ETOV, ETOF, FToB, Narr, Narr)
+    bp = build_blocked(prob)
+    # force the shared layout (block 0's stack everywhere): not the
+    # host problem's operator, but identical math in both solvers
+    bp_sh = bp._replace(coefs=bp.coefs[:1], shared=True)
+
+    rng = np.random.default_rng(7)
+    g = rng.standard_normal((4, N + 1, N + 1))
+
+    mesh1 = Mesh(np.array(jax.devices()[:4]), ("block",))
+    s1 = make_sharded_solver(bp_sh, mesh1)
+    g_pad = np.zeros((s1.bp.nblocks, N + 1, N + 1))
+    g_pad[:2] = g[:2]
+    r1 = s1.solve(jnp.asarray(g_pad), jnp.zeros_like(s1.bp.Dinv),
+                  tol=1e-30, cg_maxiter=5)
+
+    mesh2 = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                 ("slice", "block"))
+    bpp2, _, _, solve2 = make_two_level_solver(bp_sh, mesh2)
+    g2 = np.zeros((bpp2.nblocks, N + 1, N + 1))
+    g2[:2] = g[:2]
+    r2 = solve2(jnp.asarray(g2), jnp.zeros_like(bpp2.Dinv),
+                tol=1e-30, cg_maxiter=5)
+    np.testing.assert_allclose(np.asarray(r2.x[:2]), np.asarray(r1.x[:2]),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_partition_blocks_for_dcn():
     """Greedy block partitioner: balanced slice-contiguous parts with a
     small face cut on the real mesh assets, and a permuted mesh solves
