@@ -222,13 +222,20 @@ def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20,
 
     def rhs(t, y, args):
         psi, delta = y[:n], y[n:]
+        # per-member friction overrides for ensemble runs (same
+        # convention as the single-block rhs)
+        if isinstance(args, dict):
+            a_arr = args.get("RSa", RSa)
+            tz0_ = args.get("tau_z0", tau_z0)
+        else:
+            a_arr, tz0_ = RSa, tau_z0
         dtau = jnp.matmul(Kff, delta, precision=jax.lax.Precision.HIGHEST) \
             + jnp.asarray(t).astype(Kff.dtype) * kt
-        tau_n = dtau + tau_z0
+        tau_n = dtau + tz0_
         tau_ok = jnp.all(jnp.isfinite(tau_n))
 
         V, it = newton_slip_rates(
-            psi, tau_n, RSa, sigma_n=sigma_n, eta=eta, V0=V0,
+            psi, tau_n, a_arr, sigma_n=sigma_n, eta=eta, V0=V0,
             newton_dtype=newton_dtype, newton_tol=newton_tol,
             newton_iters=newton_iters, newton_polish=nd["polish"],
             newton_xtol_rel=nd["xtol_rel"])
@@ -292,8 +299,10 @@ def make_cycle_fns(mp: MultiBP1Problem, *, newton_dtype=None,
         psi, delta = y[:n], y[n:]
         dy, _ = rhs(t, y, args)
         V = dy[n:]
+        tz0_ = (args.get("tau_z0", mp.tau_z0) if isinstance(args, dict)
+                else mp.tau_z0)
         tau = (jnp.matmul(Kff, delta, precision=jax.lax.Precision.HIGHEST)
-               + jnp.asarray(t).astype(Kff.dtype) * kt) + tau_z0
+               + jnp.asarray(t).astype(Kff.dtype) * kt) + tz0_
         return {"log10_vmax": jnp.log10(jnp.max(jnp.abs(V)) + 1e-40),
                 "delta_max": jnp.max(delta),
                 "delta": delta[stations_j], "psi": psi[stations_j],
@@ -396,6 +405,53 @@ def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
              "t_final_years": t / YEAR_SECONDS,
              "success": t >= t_end * (1.0 - 1e-6)}
     return history, stats
+
+
+def run_ensemble(mp: MultiBP1Problem, RSa_batch, *, tau_z0_batch=None,
+                 sim_years=None, rtol=1e-3, atol=1e-5, max_steps=50_000,
+                 save_every=1, stations=None, newton_dtype=None):
+    """Vmapped ensemble of multiblock fault-network cycles over
+    friction-parameter sets (the multiblock counterpart of
+    :func:`..bp1.run_ensemble`).
+
+    All M members share the precomputed fault response operator Kff
+    (194-block geometry, one setup) and differ in the rate-and-state
+    ``a`` profile / pre-stress: Kff@delta becomes an (M, nf) x (nf, nf)
+    MXU matmul and the friction Newton runs across M*nf nodes in
+    lockstep, with per-member adaptive (t, dt).  Returns the vmapped
+    Tsit5Solution (leading axis M).
+    """
+    par = mp.par
+    sim_years = sim_years or par.sim_years
+    fns = make_cycle_fns(mp, newton_dtype=newton_dtype,
+                         stations=stations)
+    M, nf = RSa_batch.shape
+    assert nf == mp.n_fault, (nf, mp.n_fault)
+    dt = mp.Kff.dtype
+    RSa_batch = jnp.asarray(RSa_batch, dtype=dt)
+    if tau_z0_batch is None:
+        tau_z0_batch = jnp.full((M,), mp.tau_z0, dtype=dt)
+    else:
+        tau_z0_batch = jnp.asarray(tau_z0_batch, dtype=dt)
+
+    # per-member consistent initial state (stress balance at Vinit)
+    th = (par.RSDc / par.RSV0) * jnp.exp(
+        (RSa_batch / par.RSb) * jnp.log(
+            (2 * par.RSV0 / par.RSVinit)
+            * jnp.sinh((tau_z0_batch[:, None] - par.eta * par.RSVinit)
+                       / (RSa_batch * par.sigma_n)))
+        - par.RSf0 / par.RSb)
+    psi0 = par.RSf0 + par.RSb * jnp.log(par.RSV0 * th / par.RSDc)
+    y0 = jnp.concatenate([psi0, jnp.zeros_like(psi0)], axis=1).astype(dt)
+
+    def solve_one(y0_m, a_m, tz_m):
+        return solve_tsit5(fns.rhs, y0_m, 0.0,
+                           sim_years * YEAR_SECONDS, YEAR_SECONDS,
+                           args={"RSa": a_m, "tau_z0": tz_m},
+                           rtol=rtol, atol=atol, max_steps=max_steps,
+                           save_fn=fns.save_fn, save_every=save_every)
+
+    return jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
 
 
 def write_station_files(mp: MultiBP1Problem, history, outdir, *,

@@ -74,6 +74,26 @@ def test_multiblock_chunked_equals_single_run(tmp_path):
     assert "station_depths" in hist
 
 
+def test_multiblock_ensemble_cycles():
+    """Vmapped ensemble over friction-parameter sets on the multiblock
+    fault network: one shared Kff, per-member adaptive cycles."""
+    mp = mb.setup(N=6)
+    M = 3
+    base = np.asarray(mp.RSa)
+    RSa_batch = np.stack([base * s for s in np.linspace(0.95, 1.1, M)])
+    sols = mb.run_ensemble(mp, RSa_batch, sim_years=10.0, max_steps=5000)
+    assert bool(np.all(np.asarray(sols.stats.success)))
+    y = np.asarray(sols.y_final)              # (M, 2n)
+    assert np.isfinite(y).all()
+    n = mp.n_fault
+    T = 10.0 * YEAR_SECONDS
+    smax = y[:, n:].max(axis=1)
+    assert (smax > 0.01 * mp.par.Vp * T).all()
+    assert (smax < 20 * mp.par.Vp * T).all()
+    # members genuinely differ
+    assert np.std(y[:, :n].mean(axis=1)) > 1e-6
+
+
 def test_multiblock_pure_f32_newton_matches_f64():
     """The compensated pure-f32 friction Newton (shared with the
     single-block path — the TPU serving mode) integrates the same short
