@@ -374,7 +374,7 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
 
 def run_ensemble(prob: BP1Problem, RSa_batch, *, tau_z0_batch=None,
                  sim_years=None, rtol=1e-3, atol=1e-5, max_steps=50_000,
-                 save_every=1, stations=None):
+                 save_every=1, stations=None, _fns=None):
     """Vmapped ensemble of earthquake cycles over friction-parameter sets.
 
     All M members share the precomputed reduced elliptic operator K (the
@@ -391,7 +391,10 @@ def run_ensemble(prob: BP1Problem, RSa_batch, *, tau_z0_batch=None,
     """
     par = prob.par
     sim_years = sim_years or par.sim_years
-    rhs, save_fn = make_solver_fns(prob, stations=stations)
+    # reuse prebuilt closures on repeated calls: fresh ones would
+    # recompile the batched while_loop (jit keys on function identity)
+    rhs, save_fn = (_fns if _fns is not None
+                    else make_solver_fns(prob, stations=stations))
     M, n = RSa_batch.shape
     assert n == par.N + 1
     RSa_batch = jnp.asarray(RSa_batch, dtype=prob.K.dtype)

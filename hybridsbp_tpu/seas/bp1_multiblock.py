@@ -409,7 +409,8 @@ def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
 
 def run_ensemble(mp: MultiBP1Problem, RSa_batch, *, tau_z0_batch=None,
                  sim_years=None, rtol=1e-3, atol=1e-5, max_steps=50_000,
-                 save_every=1, stations=None, newton_dtype=None):
+                 save_every=1, stations=None, newton_dtype=None,
+                 _fns=None):
     """Vmapped ensemble of multiblock fault-network cycles over
     friction-parameter sets (the multiblock counterpart of
     :func:`..bp1.run_ensemble`).
@@ -423,8 +424,8 @@ def run_ensemble(mp: MultiBP1Problem, RSa_batch, *, tau_z0_batch=None,
     """
     par = mp.par
     sim_years = sim_years or par.sim_years
-    fns = make_cycle_fns(mp, newton_dtype=newton_dtype,
-                         stations=stations)
+    fns = _fns if _fns is not None else make_cycle_fns(
+        mp, newton_dtype=newton_dtype, stations=stations)
     M, nf = RSa_batch.shape
     assert nf == mp.n_fault, (nf, mp.n_fault)
     dt = mp.Kff.dtype
