@@ -226,43 +226,18 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
         print(f"device setup (blocked extract + B^-1): "
               f"{time.time() - t0:.1f}s")
 
-    # one jitted program for the full solve — eager dispatch through the
-    # axon tunnel costs ~27 ms RTT per op outside the CG while_loop.
-    # The operator arrays go in as jit ARGUMENTS (bp_arrays/bp_with):
-    # closed over, they serialize into the HLO as literals (per
-    # while-loop computation!) and 413 the remote-compile endpoint.
-    from hybridsbp_tpu.tpu.multiblock import bp_arrays, bp_with
-
-    arrs = bp_arrays(bp)
-    arrs["Binv"] = trace_inv.Binv
+    # one jitted program for the full solve; operator arrays enter as
+    # jit arguments — see tpu.multiblock.make_jit_solver for the two
+    # tunnel lessons (eager-dispatch RTT, closure-literal HLO bloat)
+    from hybridsbp_tpu.tpu.multiblock import make_jit_solver
 
     def make_solve(stencil):
-        def solve_fn(a, gbi, gdi):
-            bp2 = bp_with(bp, a)
-            ti2 = trace_inv._replace(Binv=a["Binv"])
-            if method == "trace":
-                # tol-driven inner block solves: the outer FCG tolerates
-                # an inexact matvec, but the trace RHS b = gδ − F̄ M̃⁻¹g
-                # and the final u reconstruction shift the SOLUTION when
-                # the inner solves are truncated (a fixed 8-iteration
-                # inner solve left a 6.6e-3 relative error while the
-                # outer still reported converged)
-                u, lam, res = solve_trace(bp2, gbi, gdi, tol=tol,
-                                          maxiter=200,
-                                          inner_tol=tol * 0.05,
-                                          inner_maxiter=200,
-                                          stencil=stencil, Binv_pad=ti2)
-                return res._replace(x=u)
-            Ms = woodbury_precond(bp2, ti2, inner_iters=inner_iters,
-                                  stencil=stencil)
-            return solve_displacements(bp2, gbi, gdi, tol=tol,
-                                       maxiter=200, precond=Ms,
-                                       flexible=True, stencil=stencil)
-
-        solve_jit = jax.jit(solve_fn)
+        sj = make_jit_solver(bp, method=method, trace_inv=trace_inv,
+                             tol=tol, maxiter=200,
+                             inner_iters=inner_iters, stencil=stencil)
 
         def solve():
-            res = solve_jit(arrs, gb, gd)
+            res = sj(gb, gd)
             res.x.block_until_ready()
             float(res.resnorm)    # scalar fetch = real sync over the tunnel
             return res

@@ -9,12 +9,17 @@ from .stencil import (  # noqa: F401
 from .multiblock import (  # noqa: F401
     BlockedHybrid,
     block_solve,
+    bp_arrays,
+    bp_with,
     build_blocked,
+    build_woodbury,
     displacement_matvec,
     displacement_rhs,
+    make_jit_solver,
     solve_displacements,
     solve_trace,
     with_coef_dtype,
+    woodbury_precond,
 )
 from .refine import (  # noqa: F401
     iterative_refinement,

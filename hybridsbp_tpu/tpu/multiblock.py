@@ -644,6 +644,56 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
     return u, res.x, res
 
 
+def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
+                    trace_inv=None, tol=1e-6, maxiter=200,
+                    inner_iters=8, stencil="auto"):
+    """One-compile serving solver: returns ``solve(g, gdelta_faces)``
+    — a single jitted program for the whole hybrid solve.
+
+    This is the supported way to run repeated solves on an
+    accelerator: the operator arrays enter the program as jit
+    arguments (see :func:`bp_arrays` — closure arrays lower to HLO
+    literals duplicated per while-loop computation), and nothing
+    outside the CG while_loop dispatches eagerly (each eager op costs
+    a host-device round trip).
+
+    ``method``: 'displacements' (CG on the eliminated SPD system;
+    Woodbury two-level preconditioning when ``trace_inv`` is given,
+    else fastdiag) or 'trace' (the reference's default Schur-on-the-
+    trace method, square_circle.jl:374-388; requires ``trace_inv`` for
+    the O(1)-iteration outer preconditioner, else Jacobi-D).
+    ``trace_inv``: a :func:`build_woodbury` result.
+    """
+    if method not in ("displacements", "trace"):
+        raise ValueError(f"unknown method {method!r}")
+    arrs = bp_arrays(bp)
+    if trace_inv is not None:
+        arrs["Binv"] = trace_inv.Binv
+
+    def solve_fn(a, g, gdelta_faces):
+        bp2 = bp_with(bp, a)
+        ti2 = (trace_inv._replace(Binv=a["Binv"])
+               if trace_inv is not None else None)
+        if method == "trace":
+            u, lam, res = solve_trace(
+                bp2, g, gdelta_faces, tol=tol, maxiter=maxiter,
+                inner_tol=tol * 0.05, inner_maxiter=200,
+                stencil=stencil, Binv_pad=ti2)
+            return res._replace(x=u)
+        if ti2 is not None:
+            precond = woodbury_precond(bp2, ti2, inner_iters=inner_iters,
+                                       stencil=stencil)
+            flexible = True
+        else:
+            precond, flexible = "auto", False
+        return solve_displacements(bp2, g, gdelta_faces, tol=tol,
+                                   maxiter=maxiter, precond=precond,
+                                   flexible=flexible, stencil=stencil)
+
+    solve_jit = jax.jit(solve_fn)
+    return lambda g, gdelta_faces: solve_jit(arrs, g, gdelta_faces)
+
+
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
                         maxiter=2000, precond="auto", stencil="auto",
                         flexible=False):
