@@ -84,7 +84,8 @@ def make_arc_override(verts, EToV, EToF, FToB, frac=0.1):
     return override
 
 
-def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0):
+def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
+        device=False):
     bc_map = [BC_DIRICHLET, BC_NEUMANN, 3, 4, 5, 6, BC_JUMP_INTERFACE]
     verts, EToV, EToF, FToB, EToBlock = read_inp_2d(MESH, bc_map=bc_map)
     nelems, nfaces = EToV.shape[1], len(FToB)
@@ -146,6 +147,49 @@ def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0):
         worst = max(worst, np.abs(jump[2:-2] - slip).max())
     if verbose:
         print(f"max |[[u]] - slip| on fault interiors: {worst:.3e}")
+
+    if device:
+        # the 67-block fault network through the f32 device path
+        # (make_jit_solver: one jitted program, Woodbury-preconditioned
+        # when the host trace solve assembled B)
+        import time
+
+        import jax.numpy as jnp
+
+        from hybridsbp_tpu.tpu import (build_blocked, build_woodbury,
+                                       make_jit_solver)
+        from hybridsbp_tpu.tpu.multiblock import blocked_rhs_from_host
+
+        bp = build_blocked(prob, dtype=jnp.float32)
+        gb, gd = blocked_rhs_from_host(prob, g, gdelta)
+        gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
+        ti = build_woodbury(bp, prob) if hasattr(prob, "B") else None
+        dev_method = "displacements" if method == "monolithic" else method
+        sj = make_jit_solver(bp, method=dev_method, trace_inv=ti,
+                             tol=1e-6, maxiter=2000)
+
+        def dsolve():
+            res = sj(gb, gd)
+            res.x.block_until_ready()
+            float(res.resnorm)
+            return res
+
+        t0 = time.time()
+        res = dsolve()
+        t_first = time.time() - t0
+        t0 = time.time()
+        res = dsolve()
+        t_warm = time.time() - t0
+        derr = np.abs(np.asarray(res.x[:nelems]).ravel() - u).max() \
+            / max(np.abs(u).max(), 1e-30)
+        if verbose:
+            print(f"device ({dev_method}, f32): "
+                  f"{int(res.iters)} iters, converged="
+                  f"{bool(res.converged)}, first {t_first:.2f}s, "
+                  f"warm {t_warm * 1e3:.0f} ms, rel err vs host "
+                  f"{derr:.3e}")
+        assert derr < 1e-3, f"device vs host mismatch {derr}"
+
     return prob, u, lam, worst
 
 
@@ -169,7 +213,11 @@ if __name__ == "__main__":
     ap.add_argument("--curved", type=float, default=0.0, metavar="FRAC",
                     help="bend fault faces into arcs (sagitta = FRAC x "
                          "chord; SBP-differentiated edge metric)")
+    ap.add_argument("--device", action="store_true",
+                    help="also solve through the f32 device path and "
+                         "compare against the host solve")
     a = ap.parse_args()
-    _, _, _, worst = run(p=a.p, N=a.N, method=a.method, curved=a.curved)
+    _, _, _, worst = run(p=a.p, N=a.N, method=a.method, curved=a.curved,
+                         device=a.device)
     assert worst < 0.2, "fault jump not reproduced"
     print("PASS")

@@ -77,6 +77,14 @@ def test_flower_fault_network():
     assert worst < 0.05, f"fault jump error {worst}"
 
 
+def test_flower_device_solve():
+    """The 67-block fault network through the f32 device path (the
+    --device driver mode asserts <1e-3 agreement with the host solve
+    internally)."""
+    _, _, _, worst = flower_run(N=6, verbose=False, device=True)
+    assert worst < 0.1
+
+
 def test_flower_curved_fault_network():
     """Arc-bent fault faces with the SBP-differentiated edge metric
     (transfinite_blend_sbp in anger): the prescribed slip is still
