@@ -139,7 +139,10 @@ def log_precise(x):
     # z^5/11 tail is < 3e-9 relative — below f32 resolution
     p = 2.0 * r * (1.0 + z * (0.33333333 + z * (0.2 + z * (
         0.14285714 + z * 0.11111111))))
-    return e * _LN2_HI + (p + e * _LN2_LO)
+    res = e * _LN2_HI + (p + e * _LN2_LO)
+    # domain guard: frexp(0) = (0, 0) would walk the series to a finite
+    # wrong value; defer x <= 0 (and inf/nan) to jnp.log's -inf/NaN
+    return jnp.where((x > 0) & jnp.isfinite(x), res, jnp.log(x))
 
 
 def strength_balance_compensated(V, qp, qm, w32, e2w, sigma_a, eta, inv2V0):

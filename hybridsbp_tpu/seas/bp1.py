@@ -421,7 +421,11 @@ def run_ensemble(prob: BP1Problem, RSa_batch, *, tau_z0_batch=None,
                            rtol=rtol, atol=atol, max_steps=max_steps,
                            save_fn=save_fn, save_every=save_every)
 
-    return jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
+    sols = jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
+    depths = getattr(save_fn, "station_depths", None)
+    if depths is not None:
+        sols = sols._replace(meta={"station_depths": np.asarray(depths)})
+    return sols
 
 
 def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
@@ -473,6 +477,11 @@ def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
     history = {"t": np.concatenate(ts_all)}
     for k in save_all[0]:
         history[k] = np.concatenate([s[k] for s in save_all])
+    # depths the histories were actually sampled at (ADVICE r1: the
+    # station writer must never re-derive them from counts alone)
+    depths = getattr(fns[1], "station_depths", None)
+    if depths is not None:
+        history["station_depths"] = np.asarray(depths)
     stats = {"naccept": nacc, "nreject": nrej, "chunks": chunk + 1,
              "t_final": t, "success": t >= t_end * (1.0 - 1e-6),
              "y_final": np.asarray(y)}
@@ -503,6 +512,9 @@ def write_station_files(prob: BP1Problem, history, outdir, *,
         meta = getattr(history, "meta", None)
         if meta and "station_depths" in meta:
             station_depths = meta["station_depths"]
+        elif isinstance(history, dict) and "station_depths" in history:
+            # run_chunked histories carry the sampled depths inline
+            station_depths = history["station_depths"]
         else:
             station_depths = np.arange(0.0, 36.0, 2.5)
     return _write_station_data(prob.par, prob.yf, history, outdir,

@@ -452,7 +452,9 @@ def run_ensemble(mp: MultiBP1Problem, RSa_batch, *, tau_z0_batch=None,
                            rtol=rtol, atol=atol, max_steps=max_steps,
                            save_fn=fns.save_fn, save_every=save_every)
 
-    return jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
+    sols = jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
+    return sols._replace(meta={"stations": fns.stations,
+                               "station_depths": fns.station_depths})
 
 
 def write_station_files(mp: MultiBP1Problem, history, outdir, *,
@@ -467,6 +469,8 @@ def write_station_files(mp: MultiBP1Problem, history, outdir, *,
         if meta and "station_depths" in meta:
             # depths recorded by run() — always matches the histories
             station_depths = meta["station_depths"]
+        elif isinstance(history, dict) and "station_depths" in history:
+            station_depths = history["station_depths"]
         else:
             station_depths, _ = default_stations(mp)
     return _write_station_data(mp.par, mp.depth, history, outdir,

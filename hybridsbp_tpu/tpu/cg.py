@@ -24,13 +24,11 @@ def _dot(a, b):
     # elementwise-multiply + full reduction (no reshape: keeps GSPMD
     # shardings intact so sharded operands reduce with one psum).
     # Operands may be arbitrary pytrees (e.g. per-shape-bucket tuples
-    # of block fields): the dot is the sum over leaves.
-    la = jax.tree_util.tree_leaves(a)
-    lb = jax.tree_util.tree_leaves(b)
-    out = jnp.sum(la[0] * lb[0])
-    for x, y in zip(la[1:], lb[1:]):
-        out = out + jnp.sum(x * y)
-    return out
+    # of block fields): the dot is the sum over leaves.  tree_map
+    # validates the structures match (a leaf-zip would silently drop
+    # unmatched leaves and report convergence on a partial residual).
+    prods = jax.tree_util.tree_map(lambda x, y: jnp.sum(x * y), a, b)
+    return jax.tree_util.tree_reduce(lambda p, q: p + q, prods)
 
 
 def _axpy(alpha, x, y):

@@ -121,7 +121,9 @@ def _kernel_tiled(offsets, Nsp, Nrp, S, R, T, u_ref, coef_ref, out_ref):
     pl.run_scoped(
         body,
         upad=pltpu.VMEM((Nsp + 2 * SP, Nrp + 2 * R), out_ref.dtype),
-        cbuf=pltpu.VMEM((2, noff, T, Nrp), out_ref.dtype),
+        # the DMA source dtype must match: bf16-stored stacks stream as
+        # bf16 and upcast at the multiply (coef * strip promotes)
+        cbuf=pltpu.VMEM((2, noff, T, Nrp), coef_ref.dtype),
         sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -287,8 +289,11 @@ def _kernel_shared_stream(offsets, E, Nsp, Nrp, S, R,
 
     pl.run_scoped(
         body,
-        ubuf=pltpu.VMEM((2, Nsp, Nrp), coef_ref.dtype),
-        obuf=pltpu.VMEM((2, Nsp, Nrp), coef_ref.dtype),
+        # field-side buffers carry the FIELD dtype (u/out DMA endpoints
+        # must match; a bf16 coef stack upcasts at the multiply and the
+        # accumulator stays full precision)
+        ubuf=pltpu.VMEM((2, Nsp, Nrp), u_hbm.dtype),
+        obuf=pltpu.VMEM((2, Nsp, Nrp), out_hbm.dtype),
         sin=pltpu.SemaphoreType.DMA((2,)),
         sout=pltpu.SemaphoreType.DMA((2,)),
     )
@@ -343,7 +348,7 @@ def dia_apply_batched(op_coefs, offsets, u, *, use_pallas=None,
     if use_pallas is None:
         use_pallas = False
     if use_pallas or interpret:
-        coef_mb = noff * Nsp * Nrp * 4 / 1e6
+        coef_mb = noff * Nsp * Nrp * op_coefs.dtype.itemsize / 1e6
         S = max(abs(ds) for ds, _ in offsets)
         can_tile = Nsp % 8 == 0 and S <= 8 and Nsp >= 16
         if coef_mb > 4.0 and can_tile:

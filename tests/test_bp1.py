@@ -157,6 +157,7 @@ def test_full_cycle_events():
     ts = ts[valid] / bp1.YEAR_SECONDS
     seismic = lv > -3.0
     starts = ts[1:][seismic[1:] & ~seismic[:-1]]
+    assert starts.size, "no seismic events detected (V never crossed 1e-3)"
     # merge re-crossings within one event (< 1 yr apart)
     merged = [starts[0]]
     for t in starts[1:]:
@@ -219,6 +220,26 @@ def test_chunked_equals_single_run():
     assert stats["success"]
     np.testing.assert_allclose(stats["y_final"], np.asarray(sol.y_final),
                                rtol=2e-4, atol=1e-9)
+
+
+def test_chunked_station_depths_metadata(tmp_path):
+    """run_chunked histories carry the sampled station depths, and the
+    writer uses them — custom stations must never be labeled with the
+    default depth grid (ADVICE r1 class of bug)."""
+    import os
+
+    par = bp1.BP1Params(N=16, sim_years=2.0, el=10.0)
+    prob = bp1.setup(par)
+    custom = np.array([3, 7, 11])
+    _, hist, stats = bp1.run_chunked(par, prob=prob, chunk_steps=30,
+                                     stations=custom)
+    assert stats["success"]
+    expect = np.asarray(prob.yf)[custom]
+    np.testing.assert_allclose(hist["station_depths"], expect)
+    paths = bp1.write_station_files(prob, hist, str(tmp_path))
+    names = sorted(os.path.basename(p) for p in paths)
+    want = sorted(f"fltst_dp{int(round(d * 10)):03d}.txt" for d in expect)
+    assert names == want, (names, want)
 
 
 def test_ensemble_with_prestress_batch():

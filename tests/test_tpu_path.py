@@ -468,6 +468,37 @@ def test_pallas_tiled_and_shared_kernels_match():
                                    rtol=1e-12, atol=1e-12)
 
 
+def test_pallas_kernels_bf16_coefs():
+    """Mixed dtypes: bf16-stored coefficient stacks with f32 fields
+    through the manual-DMA kernels — buffers must carry the matching
+    endpoint dtypes (review r2: cbuf/ubuf typed from the wrong ref
+    broke the bf16-storage + pallas combination)."""
+    from hybridsbp_tpu.tpu.pallas_stencil import (
+        _dia_apply_pallas_tiled,
+        dia_apply_batched,
+        dia_apply_shared_stream,
+    )
+
+    rng = np.random.default_rng(5)
+    E, Nsp, Nrp = 3, 32, 16
+    offs = tuple((ds, dr) for ds in (-1, 0, 1) for dr in (-1, 0, 1))
+    coefs = jnp.asarray(rng.standard_normal((E, len(offs), Nsp, Nrp)),
+                        jnp.float32).astype(jnp.bfloat16)
+    u = jnp.asarray(rng.standard_normal((E, Nsp, Nrp)), jnp.float32)
+    want = dia_apply_batched(coefs.astype(jnp.float32), offs, u,
+                             use_pallas=False)
+    got = _dia_apply_pallas_tiled(coefs, u, offs, T=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    c1 = coefs[0]
+    got2 = dia_apply_shared_stream(c1, u, offs, interpret=True)
+    want2 = dia_apply_batched(
+        jnp.broadcast_to(c1.astype(jnp.float32), coefs.shape), offs, u,
+        use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def _same_op_prob(p=2, N=12):
     """Duck-typed two-block problem whose blocks carry the SAME local
     operator (block 0's), for gating the shared-representation path —
