@@ -164,10 +164,13 @@ def _run_sub(mode, timeout):
 
 def bench_hybrid_sub():
     """Hybrid elliptic solve time/step (BASELINE.md north star #2):
-    4-block strip, N=64, p=2, fastdiag-CG displacement solve, f32."""
+    4-block strip, N=64, p=2, f32 — both the fastdiag-CG path (no
+    host-side setup beyond extraction) and the Woodbury two-level
+    path (assembled trace inverse, the framework's fastest)."""
     from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE
     from hybridsbp_tpu.hybrid import build_problem
-    from hybridsbp_tpu.tpu import build_blocked, solve_displacements
+    from hybridsbp_tpu.tpu import (build_blocked, build_woodbury,
+                                   make_jit_solver, solve_displacements)
 
     E, N, p = 4, 64, 2
     verts = np.array(
@@ -185,33 +188,38 @@ def bench_hybrid_sub():
                     dtype=jnp.float32)
     gd = jnp.zeros_like(bp.Dinv)
 
-    # one jitted program for the whole solve: called eagerly, each setup
-    # op outside the CG while_loop pays the ~27 ms tunnel RTT (measured
-    # 23 ms/iter = pure dispatch overhead; jitted it is device-bound).
-    # Operator arrays enter as ARGUMENTS (closure arrays lower to HLO
-    # literals duplicated per while-loop computation — see
-    # tpu.multiblock.bp_arrays).
-    from hybridsbp_tpu.tpu.multiblock import bp_arrays, bp_with
+    # one jitted program per solve path (make_jit_solver: whole solve
+    # in one program, operator arrays as jit arguments — eager dispatch
+    # costs ~27 ms tunnel RTT per op, closure arrays bloat the HLO)
+    def timed(solver):
+        res = solver(g, gd)                   # compile + warm
+        iters = int(res.iters)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = solver(g, gd)
+            int(r.iters), float(r.resnorm)    # scalar fetch = sync
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), iters
 
-    arrs = bp_arrays(bp)
-    solve_jit = jax.jit(lambda a, gb, gdf: solve_displacements(
-        bp_with(bp, a), gb, gdf, tol=1e-5, maxiter=500))
-
-    def solve():
-        res = solve_jit(arrs, g, gd)
-        return int(res.iters), float(res.resnorm)
-
-    iters, _ = solve()                        # compile + warm
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        solve()
-        ts.append(time.perf_counter() - t0)
-    wall = float(np.median(ts))
+    wall_fd, it_fd = timed(
+        make_jit_solver(bp, tol=1e-5, maxiter=500))
+    # run the host trace solve once so prob.B exists for the Woodbury
+    # trace inverse, then time the two-level path
+    prob.solve(np.zeros(int(prob.vstarts[-1])),
+               np.zeros(int(prob.FToLstarts[-1])), method="trace")
+    ti = build_woodbury(bp, prob)
+    wall_wb, it_wb = timed(
+        make_jit_solver(bp, trace_inv=ti, tol=1e-5, maxiter=100))
+    wall, iters = min((wall_fd, it_fd), (wall_wb, it_wb))
     print(json.dumps({"hybrid_solve_ms": round(wall * 1e3, 2),
                       "hybrid_cg_iters": iters,
                       "hybrid_ms_per_iter": round(wall * 1e3 / max(iters, 1),
                                                   3),
+                      "hybrid_fastdiag_ms": round(wall_fd * 1e3, 2),
+                      "hybrid_fastdiag_iters": it_fd,
+                      "hybrid_woodbury_ms": round(wall_wb * 1e3, 2),
+                      "hybrid_woodbury_iters": it_wb,
                       "hybrid_dofs": E * (N + 1) ** 2}))
 
 
