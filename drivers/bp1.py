@@ -71,6 +71,12 @@ def main():
                          "(records full fault profiles)")
     ap.add_argument("--stations-out", default=None, metavar="DIR",
                     help="write SEAS-format fltst_dp* station files")
+    ap.add_argument("--ensemble", type=int, default=0, metavar="M",
+                    help="integrate M cycles at once (vmapped), the "
+                         "rate-and-state a profile perturbed per "
+                         "member (+---ensemble-spread)")
+    ap.add_argument("--ensemble-spread", type=float, default=0.08)
+    ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args()
 
     import jax.numpy as jnp
@@ -81,6 +87,35 @@ def main():
     print(f"setup: N={a.N} ({(a.N + 1) ** 2} volume DOF), "
           f"reduced operator K: {prob.K.shape} {a.dtype}, "
           f"{time.time() - t0:.1f}s", flush=True)
+
+    if a.ensemble:
+        M = a.ensemble
+        rng = np.random.default_rng(a.seed)
+        base = np.asarray(prob.RSa)
+        RSa_batch = base[None] * (
+            1.0 + a.ensemble_spread * (2 * rng.random((M, base.size)) - 1))
+        t0 = time.time()
+        sols = bp1.run_ensemble(prob, RSa_batch, sim_years=a.years,
+                                max_steps=a.max_steps,
+                                save_every=a.save_every)
+        ok = np.asarray(sols.stats.success)
+        wall = time.time() - t0
+        lv = np.asarray(sols.save["log10_vmax"])
+        events = []
+        for m in range(M):
+            lm = lv[m][np.isfinite(np.asarray(sols.ts)[m])]
+            s = lm > -3.0
+            events.append(int(np.sum(s[1:] & ~s[:-1])))
+        print(f"ensemble: {ok.sum()}/{M} members completed "
+              f"{a.years:.0f} yr in {wall:.1f}s wall "
+              f"({wall / M * 1e3:.0f} ms/cycle); event counts "
+              f"{sorted(set(events))}")
+        if a.out:
+            np.savez(a.out, t=np.asarray(sols.ts),
+                     log10_vmax=lv, y_final=np.asarray(sols.y_final),
+                     RSa_batch=RSa_batch)
+            print(f"wrote {a.out}")
+        return
 
     t0 = time.time()
     profiles = bool(a.slip_plot)

@@ -39,6 +39,11 @@ def main():
                     choices=[None, "float64", "float32"],
                     help="friction-Newton dtype (float32 = pure-f32 "
                          "compensated path, no f64 emulation on TPU)")
+    ap.add_argument("--ensemble", type=int, default=0, metavar="M",
+                    help="integrate M cycles at once (vmapped), the "
+                         "rate-and-state a profile perturbed per member")
+    ap.add_argument("--ensemble-spread", type=float, default=0.08)
+    ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args()
 
     t0 = time.time()
@@ -52,6 +57,26 @@ def main():
 
     ndt = {None: None, "float64": jnp.float64,
            "float32": jnp.float32}[a.newton_dtype]
+    if a.ensemble:
+        M = a.ensemble
+        rng = np.random.default_rng(a.seed)
+        base = np.asarray(mp.RSa)
+        RSa_batch = base[None] * (
+            1.0 + a.ensemble_spread * (2 * rng.random((M, base.size)) - 1))
+        t0 = time.time()
+        sols = mb.run_ensemble(mp, RSa_batch, sim_years=a.years,
+                               max_steps=a.max_steps if hasattr(a, "max_steps")
+                               else 50_000, newton_dtype=ndt)
+        ok = np.asarray(sols.stats.success)
+        wall = time.time() - t0
+        n = mp.n_fault
+        smax = np.asarray(sols.y_final)[:, n:].max(axis=1)
+        print(f"ensemble: {ok.sum()}/{M} members completed "
+              f"{a.years:.0f} yr in {wall:.1f}s wall "
+              f"({wall / M * 1e3:.0f} ms/cycle); max-slip range "
+              f"{smax.min():.2f}-{smax.max():.2f} m")
+        return
+
     # build the cycle closures once: repeated run() calls with fresh
     # closures would recompile the whole while_loop each time
     fns = mb.make_cycle_fns(mp, newton_dtype=ndt)
