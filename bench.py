@@ -170,7 +170,7 @@ def bench_hybrid_sub():
     from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE
     from hybridsbp_tpu.hybrid import build_problem
     from hybridsbp_tpu.tpu import (build_blocked, build_woodbury,
-                                   make_jit_solver, solve_displacements)
+                                   make_jit_solver)
 
     E, N, p = 4, 64, 2
     verts = np.array(
@@ -193,25 +193,27 @@ def bench_hybrid_sub():
     # costs ~27 ms tunnel RTT per op, closure arrays bloat the HLO)
     def timed(solver):
         res = solver(g, gd)                   # compile + warm
-        iters = int(res.iters)
+        iters, conv = int(res.iters), bool(res.converged)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             r = solver(g, gd)
             int(r.iters), float(r.resnorm)    # scalar fetch = sync
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)), iters
+        return float(np.median(ts)), iters, conv
 
-    wall_fd, it_fd = timed(
+    wall_fd, it_fd, ok_fd = timed(
         make_jit_solver(bp, tol=1e-5, maxiter=500))
-    # run the host trace solve once so prob.B exists for the Woodbury
-    # trace inverse, then time the two-level path
-    prob.solve(np.zeros(int(prob.vstarts[-1])),
-               np.zeros(int(prob.FToLstarts[-1])), method="trace")
+    # B is assembled by HybridProblem.build(); the Woodbury trace
+    # inverse reuses it directly
     ti = build_woodbury(bp, prob)
-    wall_wb, it_wb = timed(
-        make_jit_solver(bp, trace_inv=ti, tol=1e-5, maxiter=100))
-    wall, iters = min((wall_fd, it_fd), (wall_wb, it_wb))
+    wall_wb, it_wb, ok_wb = timed(
+        make_jit_solver(bp, trace_inv=ti, tol=1e-5, maxiter=500))
+    # headline = fastest CONVERGED path (never report an unconverged
+    # solve's wall time as the metric)
+    ranked = [(w, i) for w, i, ok in
+              ((wall_fd, it_fd, ok_fd), (wall_wb, it_wb, ok_wb)) if ok]
+    wall, iters = min(ranked) if ranked else (wall_fd, it_fd)
     print(json.dumps({"hybrid_solve_ms": round(wall * 1e3, 2),
                       "hybrid_cg_iters": iters,
                       "hybrid_ms_per_iter": round(wall * 1e3 / max(iters, 1),

@@ -74,7 +74,7 @@ def main():
     ap.add_argument("--ensemble", type=int, default=0, metavar="M",
                     help="integrate M cycles at once (vmapped), the "
                          "rate-and-state a profile perturbed per "
-                         "member (+---ensemble-spread)")
+                         "member (spread set by --ensemble-spread)")
     ap.add_argument("--ensemble-spread", type=float, default=0.08)
     ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args()
@@ -89,11 +89,16 @@ def main():
           f"{time.time() - t0:.1f}s", flush=True)
 
     if a.ensemble:
+        ignored = [f for f, v in (("--stations-out", a.stations_out),
+                                  ("--plot", a.plot),
+                                  ("--slip-plot", a.slip_plot),
+                                  ("--chunk-steps", a.chunk_steps),
+                                  ("--ckpt", a.ckpt)) if v]
+        if ignored:
+            print(f"note: {', '.join(ignored)} ignored in ensemble mode")
         M = a.ensemble
-        rng = np.random.default_rng(a.seed)
-        base = np.asarray(prob.RSa)
-        RSa_batch = base[None] * (
-            1.0 + a.ensemble_spread * (2 * rng.random((M, base.size)) - 1))
+        RSa_batch = bp1.perturb_rsa(prob.RSa, M, a.ensemble_spread,
+                                    a.seed)
         t0 = time.time()
         sols = bp1.run_ensemble(prob, RSa_batch, sim_years=a.years,
                                 max_steps=a.max_steps,

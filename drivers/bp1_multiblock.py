@@ -44,6 +44,7 @@ def main():
                          "rate-and-state a profile perturbed per member")
     ap.add_argument("--ensemble-spread", type=float, default=0.08)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-steps", type=int, default=100_000)
     a = ap.parse_args()
 
     t0 = time.time()
@@ -58,15 +59,13 @@ def main():
     ndt = {None: None, "float64": jnp.float64,
            "float32": jnp.float32}[a.newton_dtype]
     if a.ensemble:
+        from hybridsbp_tpu.seas.bp1 import perturb_rsa
+
         M = a.ensemble
-        rng = np.random.default_rng(a.seed)
-        base = np.asarray(mp.RSa)
-        RSa_batch = base[None] * (
-            1.0 + a.ensemble_spread * (2 * rng.random((M, base.size)) - 1))
+        RSa_batch = perturb_rsa(mp.RSa, M, a.ensemble_spread, a.seed)
         t0 = time.time()
         sols = mb.run_ensemble(mp, RSa_batch, sim_years=a.years,
-                               max_steps=a.max_steps if hasattr(a, "max_steps")
-                               else 50_000, newton_dtype=ndt)
+                               max_steps=a.max_steps, newton_dtype=ndt)
         ok = np.asarray(sols.stats.success)
         wall = time.time() - t0
         n = mp.n_fault
@@ -81,14 +80,14 @@ def main():
     # closures would recompile the whole while_loop each time
     fns = mb.make_cycle_fns(mp, newton_dtype=ndt)
     t0 = time.time()
-    sol = mb.run(mp, sim_years=a.years, _fns=fns)
+    sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps, _fns=fns)
     wall = time.time() - t0
     nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
     print(f"integrated {float(sol.t_final) / YEAR_SECONDS:.1f} years in "
           f"{wall:.1f}s: {nacc} accepted / {nrej} rejected")
     for _ in range(a.repeat):
         t0 = time.time()
-        sol = mb.run(mp, sim_years=a.years, _fns=fns)
+        sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps, _fns=fns)
         float(sol.t_final)            # scalar fetch = sync
         print(f"  warm re-run: {time.time() - t0:.2f}s")
 

@@ -150,8 +150,9 @@ def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
 
     if device:
         # the 67-block fault network through the f32 device path
-        # (make_jit_solver: one jitted program, Woodbury-preconditioned
-        # when the host trace solve assembled B)
+        # (make_jit_solver: one jitted program; B is assembled by
+        # HybridProblem.build, so the Woodbury preconditioner is
+        # always available)
         import time
 
         import jax.numpy as jnp
@@ -163,7 +164,7 @@ def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
         bp = build_blocked(prob, dtype=jnp.float32)
         gb, gd = blocked_rhs_from_host(prob, g, gdelta)
         gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
-        ti = build_woodbury(bp, prob) if hasattr(prob, "B") else None
+        ti = build_woodbury(bp, prob) if prob.B is not None else None
         dev_method = "displacements" if method == "monolithic" else method
         sj = make_jit_solver(bp, method=dev_method, trace_inv=ti,
                              tol=1e-6, maxiter=2000)

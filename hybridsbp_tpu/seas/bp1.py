@@ -325,11 +325,15 @@ def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False,
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
         dy, _ = rhs(t, y, args)
         V = dy[n:]
+        # honor the per-member pre-stress override (ensemble runs): the
+        # rhs integrates with it, so the recorded tau must too
+        tz0_ = (args.get("tau_z0", tau_z0) if isinstance(args, dict)
+                else tau_z0)
         out = {
             "log10_vmax": jnp.log10(jnp.max(jnp.abs(V)) + 1e-40),
             "delta": delta[stations],
             "psi": psi[stations],
-            "tau": (dtau + tau_z0)[stations],
+            "tau": (dtau + tz0_)[stations],
             "V": V[stations],
         }
         if save_profiles:
@@ -370,6 +374,16 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
     if depths is not None:
         sol = sol._replace(meta={"station_depths": depths})
     return prob, sol
+
+
+def perturb_rsa(base, M, spread=0.08, seed=0):
+    """M multiplicative-uniform perturbations (1 +- spread) of a
+    rate-and-state ``a`` profile — the ensemble drivers' member
+    generator (shared so both BP1 variants sweep identically)."""
+    rng = np.random.default_rng(seed)
+    base = np.asarray(base)
+    return base[None] * (1.0 + spread
+                         * (2 * rng.random((M, base.size)) - 1))
 
 
 def run_ensemble(prob: BP1Problem, RSa_batch, *, tau_z0_batch=None,
