@@ -132,7 +132,15 @@ def make_face_kernels(bpp: BlockedHybrid):
 
 
 def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
-                        axis="block") -> ShardedSolver:
+                        axis="block", trace_inv=None,
+                        inner_iters=8) -> ShardedSolver:
+    """``trace_inv``: an optional :func:`..tpu.multiblock.build_woodbury`
+    result — enables the Woodbury two-level preconditioner under
+    sharding (fastdiag inner solves are block-local; the dense B^{-1}
+    matmul and face contractions run in GSPMD-land where XLA inserts
+    the collectives), cutting iteration counts ~10x vs plain fastdiag.
+    The face layout is padding-invariant, so the unpadded problem's
+    trace inverse applies directly."""
     ndev = mesh.shape[axis]
     E = bp.nblocks
     E_pad = ((E + ndev - 1) // ndev) * ndev
@@ -191,7 +199,8 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     # remote-compile size limit at scale — see tpu.multiblock.bp_arrays)
     arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
-            "diag": bpp.coefs[:, diag_k]}
+            "diag": bpp.coefs[:, diag_k],
+            "Binv": None if trace_inv is None else trace_inv.Binv}
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):
@@ -203,7 +212,15 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         T = tuple(constrain(t) for t in a["T"])
         etof = constrain(a["etof"])
         flps = constrain(a["flip"])
-        if a["fd"] is not None:
+        flexible = False
+        if trace_inv is not None:
+            from ..tpu.multiblock import woodbury_precond
+            bp2 = bpp._replace(coefs=a["coefs"], Dinv=Dinv,
+                               faces=bpp.faces._replace(Tb=T), fd=a["fd"])
+            ti2 = trace_inv._replace(Binv=a["Binv"])
+            precond = woodbury_precond(bp2, ti2, inner_iters=inner_iters)
+            flexible = inner_iters > 0
+        elif a["fd"] is not None:
             from ..tpu.fastdiag import fastdiag_apply
             precond = lambda r: jax.vmap(fastdiag_apply)(a["fd"], r)
         else:
@@ -218,7 +235,8 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         b = g - corr
 
         return cg(lambda u: matvec_sm(u, coefs, T, etof, flps, Dinv), b,
-                  tol=tol, maxiter=cg_maxiter, precond=precond)
+                  tol=tol, maxiter=cg_maxiter, precond=precond,
+                  flexible=flexible)
 
     def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
         """g: (E_pad, Nsp, Nrp) (zeros on padded blocks);

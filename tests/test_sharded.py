@@ -174,6 +174,54 @@ def test_two_level_dcn_solver_matches_host():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_sharded_solver_woodbury_precond():
+    """The Woodbury two-level preconditioner composes with the
+    block-sharded solver: fastdiag inner solves stay block-local, the
+    dense B^-1 matmul runs under GSPMD, and the iteration count drops
+    ~10x vs the fastdiag-only sharded solve."""
+    from hybridsbp_tpu.ops2d import locbcarray_mod
+    from hybridsbp_tpu.tpu import build_woodbury
+
+    verts = np.array(
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    E = 4
+    ETOV4 = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
+    ETOF4 = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
+    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:4] = BC_LOCKED_INTERFACE
+    N = 12
+    Narr = np.full(E, N)
+    prob, _ = build_problem(2, verts, ETOV4, ETOF4, FToB, Narr, Narr)
+    bp = build_blocked(prob)
+
+    uex = lambda x, y: np.sin(x) * np.cosh(y)
+    ux = lambda x, y: np.cos(x) * np.cosh(y)
+    uy = lambda x, y: np.sin(x) * np.sinh(y)
+    g = np.zeros(int(prob.vstarts[-1]))
+    for e in range(E):
+        lop = prob.lops[e]
+        ge = locbcarray_mod(
+            lop, lop.bctype, lambda lf, x, y: uex(x, y),
+            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
+        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
+                           method="displacements")
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("block",))
+    solver = make_sharded_solver(bp, mesh,
+                                 trace_inv=build_woodbury(bp, prob),
+                                 inner_iters=8)
+    g_pad = np.zeros((solver.bp.nblocks, N + 1, N + 1))
+    g_pad[:E] = g.reshape(E, N + 1, N + 1)
+    res = solver.solve(jnp.asarray(g_pad), jnp.zeros_like(solver.bp.Dinv),
+                       tol=1e-11)
+    assert bool(res.converged)
+    assert int(res.iters) <= 6, f"woodbury sharded took {int(res.iters)}"
+    np.testing.assert_allclose(np.asarray(res.x[:E]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_two_level_dcn_solver_shared_coefs():
     """Shared-operator layout through the two-level solver: the
     broadcast (1, noff, ...) coefficient stack must ride a replicated
