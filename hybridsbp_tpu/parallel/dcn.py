@@ -38,10 +38,14 @@ from .sharded import face_combination_meta, make_face_kernels, pad_blocks
 
 
 def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
-                          slice_axis="slice", block_axis="block"):
+                          slice_axis="slice", block_axis="block",
+                          trace_inv=None, inner_iters=8):
     """Returns (bp_padded, parts, ncut, solve).  ``solve(g_padded,
     gdelta_faces, tol)`` -> CGResult; fields (E_pad, Nsp, Nrp) sharded
-    over (slice, block)."""
+    over (slice, block).  ``trace_inv``: optional
+    :func:`..tpu.multiblock.build_woodbury` result — Woodbury
+    two-level preconditioning at the GSPMD level (see
+    :func:`.sharded.make_sharded_solver`)."""
     nsl = mesh.shape[slice_axis]
     nb = mesh.shape[block_axis]
     E = bp.nblocks
@@ -135,7 +139,8 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     # tpu.multiblock.bp_arrays for the rationale)
     arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
-            "diag": bpp.coefs[:, diag_k]}
+            "diag": bpp.coefs[:, diag_k],
+            "Binv": None if trace_inv is None else trace_inv.Binv}
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):
@@ -146,7 +151,15 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         etof = jax.lax.with_sharding_constraint(a["etof"], sh(both))
         flps = jax.lax.with_sharding_constraint(a["flip"], sh(both))
         Dinv = a["Dinv"]
-        if a["fd"] is not None:
+        flexible = False
+        if trace_inv is not None:
+            from ..tpu.multiblock import woodbury_precond
+            bp2 = bpp._replace(coefs=a["coefs"], Dinv=Dinv,
+                               faces=bpp.faces._replace(Tb=T), fd=a["fd"])
+            ti2 = trace_inv._replace(Binv=a["Binv"])
+            precond = woodbury_precond(bp2, ti2, inner_iters=inner_iters)
+            flexible = inner_iters > 0
+        elif a["fd"] is not None:
             from ..tpu.fastdiag import fastdiag_apply
             precond = lambda r: jax.vmap(fastdiag_apply)(a["fd"], r)
         else:
@@ -159,7 +172,8 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             out_specs=both)(w0, T, etof, flps, g)
         b = g - corr
         return cg(lambda u: matvec_sm(u, coefs, T, etof, flps, Dinv), b,
-                  tol=tol, maxiter=cg_maxiter, precond=precond)
+                  tol=tol, maxiter=cg_maxiter, precond=precond,
+                  flexible=flexible)
 
     def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
         return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)

@@ -173,6 +173,17 @@ def test_two_level_dcn_solver_matches_host():
     np.testing.assert_allclose(np.asarray(res.x[:E]).ravel(), u_host,
                                rtol=1e-6, atol=1e-8)
 
+    # Woodbury two-level preconditioning composes here too
+    from hybridsbp_tpu.tpu import build_woodbury
+    _, _, _, solve_w = make_two_level_solver(
+        bp, mesh, trace_inv=build_woodbury(bp, prob), inner_iters=8)
+    res_w = solve_w(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv),
+                    tol=1e-11)
+    assert bool(res_w.converged)
+    assert int(res_w.iters) <= 6, f"two-level woodbury {int(res_w.iters)}"
+    np.testing.assert_allclose(np.asarray(res_w.x[:E]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+
 
 def test_sharded_solver_woodbury_precond():
     """The Woodbury two-level preconditioner composes with the
