@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tpu.cg import cg
 from ..tpu.multiblock import BlockedHybrid
-from .sharded import face_combination_meta, make_face_kernels, pad_blocks
+from .sharded import (face_combination_meta, make_face_kernels,
+                      pad_blocks, two_level_precond)
 
 
 def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
@@ -151,19 +152,10 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         etof = jax.lax.with_sharding_constraint(a["etof"], sh(both))
         flps = jax.lax.with_sharding_constraint(a["flip"], sh(both))
         Dinv = a["Dinv"]
-        flexible = False
-        if trace_inv is not None:
-            from ..tpu.multiblock import woodbury_precond
-            bp2 = bpp._replace(coefs=a["coefs"], Dinv=Dinv,
-                               faces=bpp.faces._replace(Tb=T), fd=a["fd"])
-            ti2 = trace_inv._replace(Binv=a["Binv"])
-            precond = woodbury_precond(bp2, ti2, inner_iters=inner_iters)
-            flexible = inner_iters > 0
-        elif a["fd"] is not None:
-            from ..tpu.fastdiag import fastdiag_apply
-            precond = lambda r: jax.vmap(fastdiag_apply)(a["fd"], r)
-        else:
-            precond = lambda r: r / a["diag"]
+        precond, flexible = two_level_precond(
+            {"coefs": coefs, "T": T, "Dinv": Dinv, "fd": a["fd"],
+             "diag": a["diag"], "Binv": a["Binv"]},
+            bpp, trace_inv, inner_iters)
         w0 = gdelta_faces * Dinv
         corr = jax.shard_map(
             lambda w, Tl, el, fl, su: scatter(w, Tl, el, fl, su.shape),

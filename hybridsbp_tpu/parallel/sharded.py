@@ -131,6 +131,26 @@ def make_face_kernels(bpp: BlockedHybrid):
     return local_traces, scatter
 
 
+def two_level_precond(a, bpp, trace_inv, inner_iters):
+    """(precond, flexible) for a jitted sharded solve, from the traced
+    array dict: the Woodbury two-level preconditioner when a trace
+    inverse is given (fastdiag/Jacobi inner sweeps are block-local;
+    the B^{-1} matmul runs under GSPMD), else fastdiag, else Jacobi.
+    Shared by the 1D and two-level solvers."""
+    if trace_inv is not None:
+        from ..tpu.multiblock import woodbury_precond
+        bp2 = bpp._replace(coefs=a["coefs"], Dinv=a["Dinv"],
+                           faces=bpp.faces._replace(Tb=tuple(a["T"])),
+                           fd=a["fd"])
+        ti2 = trace_inv._replace(Binv=a["Binv"])
+        return (woodbury_precond(bp2, ti2, inner_iters=inner_iters),
+                inner_iters > 0)
+    if a["fd"] is not None:
+        from ..tpu.fastdiag import fastdiag_apply
+        return (lambda r: jax.vmap(fastdiag_apply)(a["fd"], r)), False
+    return (lambda r: r / a["diag"]), False
+
+
 def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                         axis="block", trace_inv=None,
                         inner_iters=8) -> ShardedSolver:
@@ -212,19 +232,10 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         T = tuple(constrain(t) for t in a["T"])
         etof = constrain(a["etof"])
         flps = constrain(a["flip"])
-        flexible = False
-        if trace_inv is not None:
-            from ..tpu.multiblock import woodbury_precond
-            bp2 = bpp._replace(coefs=a["coefs"], Dinv=Dinv,
-                               faces=bpp.faces._replace(Tb=T), fd=a["fd"])
-            ti2 = trace_inv._replace(Binv=a["Binv"])
-            precond = woodbury_precond(bp2, ti2, inner_iters=inner_iters)
-            flexible = inner_iters > 0
-        elif a["fd"] is not None:
-            from ..tpu.fastdiag import fastdiag_apply
-            precond = lambda r: jax.vmap(fastdiag_apply)(a["fd"], r)
-        else:
-            precond = lambda r: r / a["diag"]
+        precond, flexible = two_level_precond(
+            {"coefs": coefs, "T": T, "Dinv": Dinv, "fd": a["fd"],
+             "diag": a["diag"], "Binv": a["Binv"]},
+            bpp, trace_inv, inner_iters)
 
         corr = jax.shard_map(
             lambda w, Tl, el, fl, sh_u: scatter(w, Tl, el, fl, sh_u.shape),

@@ -91,6 +91,39 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
     return CGResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)
 
 
+def cg_fixed(matvec: Callable, b, iters: int, x0=None,
+             precond: Optional[Callable] = None):
+    """Fixed-iteration preconditioned CG (``lax.fori_loop``): returns x
+    after exactly ``iters`` steps, no convergence test.
+
+    For INNER solves nested inside an outer iteration: a tolerance-free
+    truncated solve compiled as a data-dependent while_loop inside
+    another while_loop explodes XLA compile time (CLAUDE.md; the same
+    reason the friction Newton has newtbndv_fixed).  Guarded divisions
+    keep post-convergence iterations inert (0/0-free)."""
+    M = precond if precond is not None else (lambda r: r)
+    x0 = (jax.tree_util.tree_map(jnp.zeros_like, b) if x0 is None else x0)
+    r0 = _axpy(-1.0, matvec(x0), b)
+    z0 = M(r0)
+    gamma0 = jnp.real(_dot(r0, z0))
+
+    def body(_, st):
+        x, r, p, gamma = st
+        Ap = matvec(p)
+        pAp = jnp.real(_dot(p, Ap))
+        alpha = gamma / jnp.where(pAp == 0, 1.0, pAp)
+        x = _axpy(alpha, p, x)
+        r = _axpy(-alpha, Ap, r)
+        z = M(r)
+        gamma_new = jnp.real(_dot(r, z))
+        beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
+        p = _axpy(beta, p, z)
+        return (x, r, p, gamma_new)
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, gamma0))
+    return x
+
+
 def cg_solve(matvec: Callable, b, *, tol=1e-10, maxiter=500,
              precond: Optional[Callable] = None):
     """Differentiable SPD solve: x = A^{-1} b with implicit gradients.

@@ -548,14 +548,22 @@ def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
     then *variable* (CG is a nonlinear map at finite k): use it with a
     flexible outer iteration (``solve_displacements(...,
     flexible=True)``)."""
+    from .cg import cg_fixed
     from .fastdiag import fastdiag_apply
 
-    if inner_iters:
-        minv = lambda r: block_solve(bp, r, tol=1e-30,
-                                     maxiter=inner_iters,
-                                     stencil=stencil).x
+    if bp.fd is not None:
+        fd_apply = lambda r: jax.vmap(fastdiag_apply)(bp.fd, r)
     else:
-        minv = lambda r: jax.vmap(fastdiag_apply)(bp.fd, r)
+        diag = bp.coefs[:, bp.offsets.index((0, 0))]
+        fd_apply = lambda r: r / diag
+    if inner_iters:
+        # fixed-length inner sweep (fori_loop): a tolerance-free CG as
+        # a nested data-dependent while_loop explodes compile time
+        minv = lambda r: cg_fixed(
+            lambda u: _dia_apply_batched(bp, u, stencil), r, inner_iters,
+            precond=fd_apply)
+    else:
+        minv = fd_apply
 
     def M(r):
         z1 = minv(r)

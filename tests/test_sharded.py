@@ -17,6 +17,39 @@ ETOV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
 ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
 
 
+def strip4_problem(N, p=2):
+    """Shared fixture: 4-block strip with locked interiors, a smooth
+    manufactured BC field, the host reference solve, and the blocked
+    device form.  Returns (prob, bp, g (E,Np,Np), u_host)."""
+    from hybridsbp_tpu.ops2d import locbcarray_mod
+
+    verts = np.array(
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    E = 4
+    etov = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
+    etof = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
+    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:4] = BC_LOCKED_INTERFACE
+    Narr = np.full(E, N)
+    prob, _ = build_problem(p, verts, etov, etof, FToB, Narr, Narr)
+    bp = build_blocked(prob)
+
+    uex = lambda x, y: np.sin(x) * np.cosh(y)
+    ux = lambda x, y: np.cos(x) * np.cosh(y)
+    uy = lambda x, y: np.sin(x) * np.sinh(y)
+    g = np.zeros(int(prob.vstarts[-1]))
+    for e in range(E):
+        lop = prob.lops[e]
+        ge = locbcarray_mod(
+            lop, lop.bctype, lambda lf, x, y: uex(x, y),
+            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
+        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
+                           method="displacements")
+    return prob, bp, g.reshape(E, N + 1, N + 1), u_host
+
+
 def test_sharded_solve_matches_host():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     p, N = 2, 12
@@ -80,40 +113,15 @@ def test_2d_mesh_block_and_space_sharding():
     """Full 2D-mesh composition: 4 blocks over a (2 block x 4 space)
     device grid, CG solve matches the host direct solve."""
     from hybridsbp_tpu.parallel.sharded2d import make_sharded_solver_2d
-    from hybridsbp_tpu.ops2d import locbcarray_mod, locsourcearray
 
-    # 4-block strip mesh with locked interfaces
-    verts = np.array(
-        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
-         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
-    E = 4
-    ETOV4 = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
-    ETOF4 = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
-    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
-    FToB[1:4] = BC_LOCKED_INTERFACE
-    N = 47                      # Nsp = 48 -> 12 rows per space shard
-    Narr = np.full(E, N)
-    prob, _ = build_problem(2, verts, ETOV4, ETOF4, FToB, Narr, Narr)
-    bp = build_blocked(prob)
-
-    uex = lambda x, y: np.sin(x) * np.cosh(y)
-    ux = lambda x, y: np.cos(x) * np.cosh(y)
-    uy = lambda x, y: np.sin(x) * np.sinh(y)
-    g = np.zeros(int(prob.vstarts[-1]))
-    for e in range(E):
-        lop = prob.lops[e]
-        ge = locbcarray_mod(
-            lop, lop.bctype, lambda lf, x, y: uex(x, y),
-            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
-        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
-    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
-                           method="displacements")
+    E, N = 4, 47                # Nsp = 48 -> 12 rows per space shard
+    prob, bp, g, u_host = strip4_problem(N)
 
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("block", "space"))
     bpp, solve = make_sharded_solver_2d(bp, mesh)
     E_pad = bpp.nblocks
     g_pad = np.zeros((E_pad, N + 1, N + 1))
-    g_pad[:E] = g.reshape(E, N + 1, N + 1)
+    g_pad[:E] = g
     res = solve(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv), tol=1e-11)
     assert bool(res.converged), f"resnorm {float(res.resnorm)}"
     np.testing.assert_allclose(np.asarray(res.x[:E]).ravel(), u_host,
@@ -132,33 +140,9 @@ def test_two_level_dcn_solver_matches_host():
     the host solve.  A 4-block strip over a (2 slice x 2 block) mesh
     puts the middle interface on the slice boundary (1 cut face)."""
     from hybridsbp_tpu.parallel import make_two_level_solver
-    from hybridsbp_tpu.ops2d import locbcarray_mod
 
-    verts = np.array(
-        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
-         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
-    E = 4
-    ETOV4 = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
-    ETOF4 = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
-    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
-    FToB[1:4] = BC_LOCKED_INTERFACE
-    N = 12
-    Narr = np.full(E, N)
-    prob, _ = build_problem(2, verts, ETOV4, ETOF4, FToB, Narr, Narr)
-    bp = build_blocked(prob)
-
-    uex = lambda x, y: np.sin(x) * np.cosh(y)
-    ux = lambda x, y: np.cos(x) * np.cosh(y)
-    uy = lambda x, y: np.sin(x) * np.sinh(y)
-    g = np.zeros(int(prob.vstarts[-1]))
-    for e in range(E):
-        lop = prob.lops[e]
-        ge = locbcarray_mod(
-            lop, lop.bctype, lambda lf, x, y: uex(x, y),
-            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
-        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
-    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
-                           method="displacements")
+    E, N = 4, 12
+    prob, bp, g, u_host = strip4_problem(N)
 
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
                 ("slice", "block"))
@@ -167,7 +151,7 @@ def test_two_level_dcn_solver_matches_host():
     assert ncut == 1, ncut
     np.testing.assert_array_equal(parts, [0, 0, 1, 1])
     g_pad = np.zeros((bpp.nblocks, N + 1, N + 1))
-    g_pad[:E] = g.reshape(E, N + 1, N + 1)
+    g_pad[:E] = g
     res = solve(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv), tol=1e-12)
     assert bool(res.converged), f"resnorm {float(res.resnorm)}"
     np.testing.assert_allclose(np.asarray(res.x[:E]).ravel(), u_host,
@@ -190,41 +174,17 @@ def test_sharded_solver_woodbury_precond():
     block-sharded solver: fastdiag inner solves stay block-local, the
     dense B^-1 matmul runs under GSPMD, and the iteration count drops
     ~10x vs the fastdiag-only sharded solve."""
-    from hybridsbp_tpu.ops2d import locbcarray_mod
     from hybridsbp_tpu.tpu import build_woodbury
 
-    verts = np.array(
-        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
-         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
-    E = 4
-    ETOV4 = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
-    ETOF4 = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
-    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
-    FToB[1:4] = BC_LOCKED_INTERFACE
-    N = 12
-    Narr = np.full(E, N)
-    prob, _ = build_problem(2, verts, ETOV4, ETOF4, FToB, Narr, Narr)
-    bp = build_blocked(prob)
-
-    uex = lambda x, y: np.sin(x) * np.cosh(y)
-    ux = lambda x, y: np.cos(x) * np.cosh(y)
-    uy = lambda x, y: np.sin(x) * np.sinh(y)
-    g = np.zeros(int(prob.vstarts[-1]))
-    for e in range(E):
-        lop = prob.lops[e]
-        ge = locbcarray_mod(
-            lop, lop.bctype, lambda lf, x, y: uex(x, y),
-            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
-        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
-    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
-                           method="displacements")
+    E, N = 4, 12
+    prob, bp, g, u_host = strip4_problem(N)
 
     mesh = Mesh(np.array(jax.devices()[:4]), ("block",))
     solver = make_sharded_solver(bp, mesh,
                                  trace_inv=build_woodbury(bp, prob),
                                  inner_iters=8)
     g_pad = np.zeros((solver.bp.nblocks, N + 1, N + 1))
-    g_pad[:E] = g.reshape(E, N + 1, N + 1)
+    g_pad[:E] = g
     res = solver.solve(jnp.asarray(g_pad), jnp.zeros_like(solver.bp.Dinv),
                        tol=1e-11)
     assert bool(res.converged)
