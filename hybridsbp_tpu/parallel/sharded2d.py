@@ -33,7 +33,13 @@ from .spatial import halo_exchange_s
 
 
 def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
-                           block_axis="block", space_axis="space"):
+                           block_axis="block", space_axis="space",
+                           trace_inv=None, inner_iters=8):
+    """``trace_inv``: optional :func:`..tpu.multiblock.build_woodbury`
+    result — Woodbury two-level preconditioning at the GSPMD level
+    (see :func:`.sharded.make_sharded_solver`; the preconditioner's
+    banded face ops and inner block sweeps shard automatically over
+    the 2D mesh)."""
     nb = mesh.shape[block_axis]
     ns = mesh.shape[space_axis]
     E = bp.nblocks
@@ -196,10 +202,13 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     sh_e = NamedSharding(mesh, P(block_axis))
 
     # large arrays as jit arguments, not closure literals (see
-    # tpu.multiblock.bp_arrays for the rationale)
+    # tpu.multiblock.bp_arrays for the rationale).  Tb: the banded
+    # face tensors for the (optional) Woodbury preconditioner's face
+    # ops — the matvec itself uses the dense T for the sharded einsums
     arrs = {"coefs": bpp.coefs, "T": T_dense, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
-            "diag": bpp.coefs[:, diag_k]}
+            "diag": bpp.coefs[:, diag_k], "Tb": bpp.faces.Tb,
+            "Binv": None if trace_inv is None else trace_inv.Binv}
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):
@@ -211,8 +220,16 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         etof = jax.lax.with_sharding_constraint(a["etof"], sh_e)
         flps = jax.lax.with_sharding_constraint(a["flip"], sh_e)
         Dinv = a["Dinv"]
-        precond = (make_precond(a["fd"]) if make_precond is not None
-                   else (lambda r: r / a["diag"]))
+        flexible = False
+        if trace_inv is not None:
+            from .sharded import two_level_precond
+            precond, flexible = two_level_precond(
+                {"coefs": a["coefs"], "T": a["Tb"], "Dinv": Dinv,
+                 "fd": a["fd"], "diag": a["diag"], "Binv": a["Binv"]},
+                bpp, trace_inv, inner_iters)
+        else:
+            precond = (make_precond(a["fd"]) if make_precond is not None
+                       else (lambda r: r / a["diag"]))
 
         w0 = gdelta_faces * Dinv
         corr = jax.shard_map(
@@ -227,7 +244,8 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         b = g - corr
         return cg(lambda u: matvec_sm(u, coefs, T_we, T_sn, etof, flps,
                                       Dinv), b,
-                  tol=tol, maxiter=cg_maxiter, precond=precond)
+                  tol=tol, maxiter=cg_maxiter, precond=precond,
+                  flexible=flexible)
 
     def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
         return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)

@@ -133,6 +133,17 @@ def test_2d_mesh_block_and_space_sharding():
     # iterations on this problem; Jacobi takes ~90+
     assert int(res.iters) <= 60, f"2D-mesh CG took {int(res.iters)} iters"
 
+    # Woodbury two-level preconditioning over the 2D mesh
+    from hybridsbp_tpu.tpu import build_woodbury
+    _, solve_w = make_sharded_solver_2d(
+        bp, mesh, trace_inv=build_woodbury(bp, prob), inner_iters=8)
+    res_w = solve_w(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv),
+                    tol=1e-10)
+    assert bool(res_w.converged)
+    assert int(res_w.iters) <= 8, f"2D-mesh woodbury {int(res_w.iters)}"
+    np.testing.assert_allclose(np.asarray(res_w.x[:E]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+
 
 def test_two_level_dcn_solver_matches_host():
     """(slice x block) two-level solver: intra-slice all_gather plus a
