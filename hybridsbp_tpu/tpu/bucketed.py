@@ -170,17 +170,62 @@ def _precond(bk: Bucketed):
     return M
 
 
+def build_woodbury_bucketed(bk: Bucketed, prob, dtype=None):
+    """Trace inverse for the mixed-shape path (see
+    multiblock.build_woodbury; the layout is the bucketed global
+    (nfaces, L) trace array)."""
+    from .multiblock import trace_inv_from_B
+
+    return trace_inv_from_B(bk.Dinv.shape, prob,
+                            dtype or bk.buckets[0].coefs.dtype)
+
+
+def woodbury_precond_bucketed(bk: Bucketed, trace_inv, inner_iters=8,
+                              stencil="auto"):
+    """Woodbury two-level preconditioner over shape buckets
+    (multiblock.woodbury_precond on the bucket-tuple pytree):
+    r -> M̃⁻¹r + M̃⁻¹Fbar' B⁻¹ Fbar M̃⁻¹r with fixed-length per-bucket
+    inner fastdiag-CG sweeps.  Variable when inner_iters > 0 — use
+    with a flexible outer CG."""
+    from .cg import cg_fixed
+    from .multiblock import apply_traceinv
+
+    Mpre = _precond(bk)
+    if inner_iters:
+        decoupled = lambda us: tuple(
+            _dia_apply_batched(b, u, stencil)
+            for b, u in zip(bk.buckets, us))
+        minv = lambda rs: cg_fixed(decoupled, rs, inner_iters,
+                                   precond=Mpre)
+    else:
+        minv = Mpre
+
+    def M(rs):
+        z1 = minv(rs)
+        y = apply_traceinv(trace_inv, fbar(bk, z1))
+        z2 = minv(fbarT(bk, y))
+        return tuple(a + c for a, c in zip(z1, z2))
+
+    return M
+
+
 def solve_displacements(bk: Bucketed, gs, gdelta_faces, *, tol=1e-10,
-                        maxiter=2000, stencil="auto"):
+                        maxiter=2000, stencil="auto", precond=None,
+                        flexible=False):
     """CG on the eliminated SPD system over shape buckets.
 
     gs: tuple of (E_b, Nsp_b, Nrp_b); gdelta_faces: (nfaces, L) raw gδ.
+    ``precond``: optional callable (e.g.
+    :func:`woodbury_precond_bucketed` — pass ``flexible=True`` with
+    its inner-CG form); default per-bucket fastdiag/Jacobi.
     """
     w0 = gdelta_faces * bk.Dinv
     corr = fbarT(bk, w0)
     b = tuple(g - c for g, c in zip(gs, corr))
     return cg(lambda us: displacement_matvec(bk, us, stencil=stencil), b,
-              tol=tol, maxiter=maxiter, precond=_precond(bk))
+              tol=tol, maxiter=maxiter,
+              precond=precond if precond is not None else _precond(bk),
+              flexible=flexible)
 
 
 def solve_trace(bk: Bucketed, gs, gdelta_faces, *, tol=1e-10, maxiter=500,

@@ -507,8 +507,15 @@ def build_woodbury(bp: BlockedHybrid, prob, dtype=None):
     (interior faces x (N+1)); its dense inverse applies as one MXU
     matmul.
     """
-    dtype = dtype or bp.coefs.dtype
-    nfaces, L = bp.Dinv.shape
+    return trace_inv_from_B((bp.Dinv.shape), prob,
+                            dtype or bp.coefs.dtype)
+
+
+def trace_inv_from_B(dinv_shape, prob, dtype) -> TraceInv:
+    """Core of :func:`build_woodbury`: invert the host-assembled B and
+    index it into the (nfaces, L) face-padded layout given by
+    ``dinv_shape`` (shared with the bucketed mixed-shape path)."""
+    nfaces, L = dinv_shape
     Binv = np.linalg.inv(prob.B.toarray())
     idx = []
     for f in range(nfaces):

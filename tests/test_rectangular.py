@@ -89,6 +89,18 @@ def test_two_bucket_mixed_shapes():
     np.testing.assert_allclose(bkt.scatter_solution(bk, prob, us),
                                u_host, rtol=1e-6, atol=1e-8)
 
+    # Woodbury two-level preconditioning on the bucketed path: O(1)
+    # flexible-CG iterations
+    Mw = bkt.woodbury_precond_bucketed(
+        bk, bkt.build_woodbury_bucketed(bk, prob), inner_iters=8)
+    res_w = bkt.solve_displacements(bk, gs, gdf, tol=1e-11,
+                                    maxiter=100, precond=Mw,
+                                    flexible=True)
+    assert bool(res_w.converged)
+    assert int(res_w.iters) <= 8, f"bucketed woodbury {int(res_w.iters)}"
+    np.testing.assert_allclose(bkt.scatter_solution(bk, prob, res_w.x),
+                               u_host, rtol=1e-6, atol=1e-8)
+
 
 def test_nonconforming_mesh_rejected():
     """Mismatched trace lengths across a shared face are rejected at
