@@ -131,19 +131,22 @@ def make_face_kernels(bpp: BlockedHybrid):
     return local_traces, scatter
 
 
-def two_level_precond(a, bpp, trace_inv, inner_iters):
+def two_level_precond(a, bpp, trace_inv, inner_iters, block_precond=None):
     """(precond, flexible) for a jitted sharded solve, from the traced
     array dict: the Woodbury two-level preconditioner when a trace
     inverse is given (fastdiag/Jacobi inner sweeps are block-local;
     the B^{-1} matmul runs under GSPMD), else fastdiag, else Jacobi.
-    Shared by the 1D and two-level solvers."""
+    Shared by the sharded solvers.  ``block_precond`` overrides the
+    inner sweep's per-block preconditioner (e.g. the space-sharded
+    fastdiag form of the 2D mesh)."""
     if trace_inv is not None:
         from ..tpu.multiblock import woodbury_precond
         bp2 = bpp._replace(coefs=a["coefs"], Dinv=a["Dinv"],
                            faces=bpp.faces._replace(Tb=tuple(a["T"])),
                            fd=a["fd"])
         ti2 = trace_inv._replace(Binv=a["Binv"])
-        return (woodbury_precond(bp2, ti2, inner_iters=inner_iters),
+        return (woodbury_precond(bp2, ti2, inner_iters=inner_iters,
+                                 block_precond=block_precond),
                 inner_iters > 0)
     if a["fd"] is not None:
         from ..tpu.fastdiag import fastdiag_apply

@@ -207,7 +207,8 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     # ops — the matvec itself uses the dense T for the sharded einsums
     arrs = {"coefs": bpp.coefs, "T": T_dense, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
-            "diag": bpp.coefs[:, diag_k], "Tb": bpp.faces.Tb,
+            "diag": bpp.coefs[:, diag_k],
+            "Tb": bpp.faces.Tb if trace_inv is not None else None,
             "Binv": None if trace_inv is None else trace_inv.Binv}
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
@@ -223,10 +224,15 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         flexible = False
         if trace_inv is not None:
             from .sharded import two_level_precond
+            # the inner sweeps use the space-sharded fastdiag form
+            # (fd_sm's owner-computes tiled all_gathers), not the
+            # unsharded vmap that GSPMD would have to repartition
+            bpc = (make_precond(a["fd"]) if make_precond is not None
+                   else None)
             precond, flexible = two_level_precond(
                 {"coefs": a["coefs"], "T": a["Tb"], "Dinv": Dinv,
                  "fd": a["fd"], "diag": a["diag"], "Binv": a["Binv"]},
-                bpp, trace_inv, inner_iters)
+                bpp, trace_inv, inner_iters, block_precond=bpc)
         else:
             precond = (make_precond(a["fd"]) if make_precond is not None
                        else (lambda r: r / a["diag"]))

@@ -188,7 +188,7 @@ def woodbury_precond_bucketed(bk: Bucketed, trace_inv, inner_iters=8,
     inner fastdiag-CG sweeps.  Variable when inner_iters > 0 — use
     with a flexible outer CG."""
     from .cg import cg_fixed
-    from .multiblock import apply_traceinv
+    from .multiblock import make_woodbury_M
 
     Mpre = _precond(bk)
     if inner_iters:
@@ -200,13 +200,8 @@ def woodbury_precond_bucketed(bk: Bucketed, trace_inv, inner_iters=8,
     else:
         minv = Mpre
 
-    def M(rs):
-        z1 = minv(rs)
-        y = apply_traceinv(trace_inv, fbar(bk, z1))
-        z2 = minv(fbarT(bk, y))
-        return tuple(a + c for a, c in zip(z1, z2))
-
-    return M
+    return make_woodbury_M(minv, lambda zs: fbar(bk, zs),
+                           lambda y: fbarT(bk, y), trace_inv)
 
 
 def solve_displacements(bk: Bucketed, gs, gdelta_faces, *, tol=1e-10,

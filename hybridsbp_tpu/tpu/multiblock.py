@@ -544,8 +544,21 @@ def _fbar_raw(bp: BlockedHybrid, u):
     return t / jnp.where(bp.Dinv == 0, 1.0, bp.Dinv)
 
 
+def make_woodbury_M(minv, fbar_fn, fbarT_fn, trace_inv):
+    """Assemble the Woodbury application r -> M̃⁻¹r + M̃⁻¹Fbar'B⁻¹FbarM̃⁻¹r
+    from its pieces (pytree-generic; shared by the batched and bucketed
+    preconditioners)."""
+    def M(r):
+        z1 = minv(r)
+        y = apply_traceinv(trace_inv, fbar_fn(z1))
+        z2 = minv(fbarT_fn(y))
+        return jax.tree_util.tree_map(lambda a, c: a + c, z1, z2)
+
+    return M
+
+
 def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
-                     stencil="auto"):
+                     stencil="auto", block_precond=None):
     """SPD two-level preconditioner r -> FD r + FD Fbar' B^{-1} Fbar FD r.
 
     With ``inner_iters=k > 0`` the fastdiag block solve FD is upgraded
@@ -554,11 +567,17 @@ def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
     where the rank-1 separable fit is loose.  The preconditioner is
     then *variable* (CG is a nonlinear map at finite k): use it with a
     flexible outer iteration (``solve_displacements(...,
-    flexible=True)``)."""
+    flexible=True)``).
+
+    ``block_precond``: override for the per-block preconditioner
+    inside the inner sweep (e.g. a mesh-aware sharded fastdiag form —
+    see parallel/sharded2d); default: fastdiag, else Jacobi."""
     from .cg import cg_fixed
     from .fastdiag import fastdiag_apply
 
-    if bp.fd is not None:
+    if block_precond is not None:
+        fd_apply = block_precond
+    elif bp.fd is not None:
         fd_apply = lambda r: jax.vmap(fastdiag_apply)(bp.fd, r)
     else:
         diag = bp.coefs[:, bp.offsets.index((0, 0))]
@@ -572,14 +591,9 @@ def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
     else:
         minv = fd_apply
 
-    def M(r):
-        z1 = minv(r)
-        t = _fbar_raw(bp, z1)
-        y = apply_traceinv(Binv_pad, t)
-        z2 = minv(face_scatter(bp, y, 0, r.shape[0]))
-        return z1 + z2
-
-    return M
+    return make_woodbury_M(
+        minv, lambda z: _fbar_raw(bp, z),
+        lambda y: face_scatter(bp, y, 0, bp.nblocks), Binv_pad)
 
 
 def recover_lambda(bp: BlockedHybrid, u, gdelta_faces):
