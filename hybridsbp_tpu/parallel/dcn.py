@@ -40,20 +40,48 @@ from .sharded import (face_combination_meta, make_face_kernels,
 
 def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                           slice_axis="slice", block_axis="block",
-                          trace_inv=None, inner_iters=8):
+                          trace_inv=None, inner_iters=8, parts=None):
     """Returns (bp_padded, parts, ncut, solve).  ``solve(g_padded,
     gdelta_faces, tol)`` -> CGResult; fields (E_pad, Nsp, Nrp) sharded
     over (slice, block).  ``trace_inv``: optional
     :func:`..tpu.multiblock.build_woodbury` result — Woodbury
     two-level preconditioning at the GSPMD level (see
-    :func:`.sharded.make_sharded_solver`)."""
+    :func:`.sharded.make_sharded_solver`).
+
+    ``parts``: optional (E,) slice id per block from
+    :func:`.partition.partition_blocks` — blocks are then *placed* so
+    each part occupies exactly its slice's slot range, realizing the
+    partitioner's minimized cut even when padding makes E_pad/nslices
+    exceed ceil(E/nslices) (ADVICE r2).  The returned ``solve`` has a
+    ``.slots`` attribute: scatter per-block fields with
+    :func:`.sharded.place_fields(x, solve.slots, E_pad)`, and read
+    block e of the solution at ``res.x[solve.slots[e]]``.  Without
+    ``parts``, blocks keep their order (slots = arange(E)) and slices
+    are equal contiguous chunks."""
     nsl = mesh.shape[slice_axis]
     nb = mesh.shape[block_axis]
     E = bp.nblocks
     E_pad = ((E + nsl * nb - 1) // (nsl * nb)) * (nsl * nb)
-    bpp = pad_blocks(bp, E_pad)
     E_per = E_pad // nsl                     # blocks per slice
-    parts = np.arange(E_pad) // E_per        # slice-contiguous layout
+    if parts is not None:
+        pin = np.asarray(parts, dtype=np.int64)
+        assert pin.shape == (E,)
+        assert pin.min() >= 0 and pin.max() < nsl, "part id out of range"
+        sizes = np.bincount(pin, minlength=nsl)
+        assert sizes.max() <= E_per, \
+            f"a part has {sizes.max()} blocks > slice capacity {E_per}"
+        rank = np.zeros(E, dtype=np.int64)
+        cnt = np.zeros(nsl, dtype=np.int64)
+        for e in range(E):
+            rank[e] = cnt[pin[e]]
+            cnt[pin[e]] += 1
+        slots = pin * E_per + rank
+        from .sharded import place_blocks
+        bpp = place_blocks(bp, slots, E_pad)
+    else:
+        slots = np.arange(E)
+        bpp = pad_blocks(bp, E_pad)
+    parts = np.arange(E_pad) // E_per        # slice id per SLOT
 
     offsets = bpp.offsets
     L = bpp.Dinv.shape[1]
@@ -170,4 +198,5 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
         return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)
 
+    solve.slots = slots
     return bpp, parts, ncut, solve

@@ -72,6 +72,50 @@ def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
                        EToF=EToF, flip=flip, JH=JH, fd=fd)
 
 
+def place_blocks(bp: BlockedHybrid, slots, E_pad: int) -> BlockedHybrid:
+    """Place block ``e`` at slot ``slots[e]`` (injective, < E_pad);
+    remaining slots get decoupled identity padding.
+
+    Generalizes :func:`pad_blocks` (which is the identity placement):
+    it lets a partitioner's parts land exactly on the slice boundaries
+    of the two-level solver instead of being split by end-of-axis
+    padding (ADVICE r2: with end padding, E_pad//nslices can exceed
+    the partitioner's ceil(E/nslices) capacity, silently pulling
+    blocks of one part across the DCN boundary)."""
+    E = bp.nblocks
+    slots = np.asarray(slots, dtype=np.int64)
+    assert slots.shape == (E,) and len(np.unique(slots)) == E
+    assert 0 <= slots.min() and slots.max() < E_pad
+    if E_pad == E and np.array_equal(slots, np.arange(E)):
+        return bp
+    # pad first (guaranteeing at least one padding template), then
+    # gather every block-indexed array into slot order
+    bpe = pad_blocks(bp, max(E_pad, E + 1))
+    src = np.full(E_pad, E, dtype=np.int64)   # default: a padding block
+    src[slots] = np.arange(E)
+    gidx = jnp.asarray(src)
+    coefs = bpe.coefs if bp.shared else bpe.coefs[gidx]
+    T = tuple(t[gidx] for t in bpe.faces.Tb)
+    EToF = bpe.EToF[:, src]
+    flip = bpe.flip[:, src]
+    JH = bpe.JH[gidx]
+    fd = bpe.fd
+    if fd is not None:
+        fd = type(fd)(*(a[gidx] for a in fd))
+    # FToE references block ids (only original blocks appear): remap
+    mask = bp.FToE >= 0
+    FToE = np.where(mask, slots[np.clip(bp.FToE, 0, E - 1)], -1)
+    return bpe._replace(coefs=coefs, faces=bpe.faces._replace(Tb=T),
+                        EToF=EToF, flip=flip, JH=JH, fd=fd, FToE=FToE)
+
+
+def place_fields(x, slots, E_pad: int):
+    """Scatter per-block fields (E, ...) into their placed slots
+    (zeros elsewhere) — the RHS companion of :func:`place_blocks`."""
+    out = jnp.zeros((E_pad,) + tuple(x.shape[1:]), dtype=x.dtype)
+    return out.at[jnp.asarray(np.asarray(slots, dtype=np.int64))].set(x)
+
+
 class ShardedSolver(NamedTuple):
     mesh: Mesh
     bp: BlockedHybrid          # padded

@@ -335,7 +335,7 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
     if bp.shared:
         from .pallas_stencil import dia_apply_shared
         return dia_apply_shared(bp.coefs[0], u, bp.offsets,
-                                use_pallas=bool(use_pallas))
+                                use_pallas=use_pallas)
     from .pallas_stencil import dia_apply_batched as _apply
 
     return _apply(bp.coefs, bp.offsets, u, use_pallas=use_pallas)

@@ -169,7 +169,7 @@ def _kernel_shared(offsets, Nsp, Nrp, S, R, u_ref, coef_ref, out_ref):
     out_ref[0] = acc
 
 
-def dia_apply_shared(coefs, u, offsets, *, use_pallas=False,
+def dia_apply_shared(coefs, u, offsets, *, use_pallas=None,
                      interpret=False):
     """Shared-coefficient batched DIA apply: every block uses the SAME
     operator (structured/affine meshes, replicated-geometry ensembles).
@@ -184,6 +184,10 @@ def dia_apply_shared(coefs, u, offsets, *, use_pallas=False,
 
     coefs: (noff, Nsp, Nrp) — one stack, no block axis; u: (E, Nsp, Nrp).
     """
+    if use_pallas is None:
+        # auto: same heuristic as dia_apply_batched — XLA wins at every
+        # measured plane count on the shared layout too (RESULTS.md)
+        use_pallas = False
     if not (use_pallas or interpret):
         Nsp, Nrp = u.shape[-2:]
         E = u.shape[0]

@@ -17,20 +17,20 @@ ETOV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
 ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
 
 
-def strip4_problem(N, p=2):
-    """Shared fixture: 4-block strip with locked interiors, a smooth
+def strip_problem(E, N, p=2):
+    """Shared fixture: E-block strip with locked interiors, a smooth
     manufactured BC field, the host reference solve, and the blocked
     device form.  Returns (prob, bp, g (E,Np,Np), u_host)."""
     from hybridsbp_tpu.ops2d import locbcarray_mod
 
-    verts = np.array(
-        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
-         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
-    E = 4
-    etov = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
-    etof = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
-    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
-    FToB[1:4] = BC_LOCKED_INTERFACE
+    xs = np.arange(E + 1, dtype=float)
+    verts = np.array([np.concatenate([xs, xs]),
+                      np.concatenate([np.zeros(E + 1), np.ones(E + 1)])])
+    etov = np.array([[e, e + 1, e + E + 1, e + E + 2] for e in range(E)]).T
+    etof = np.array([[e, e + 1, E + 1 + e, 2 * E + 1 + e]
+                     for e in range(E)]).T
+    FToB = np.full(3 * E + 1, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:E] = BC_LOCKED_INTERFACE
     Narr = np.full(E, N)
     prob, _ = build_problem(p, verts, etov, etof, FToB, Narr, Narr)
     bp = build_blocked(prob)
@@ -48,6 +48,10 @@ def strip4_problem(N, p=2):
     u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
                            method="displacements")
     return prob, bp, g.reshape(E, N + 1, N + 1), u_host
+
+
+def strip4_problem(N, p=2):
+    return strip_problem(4, N, p)
 
 
 def test_sharded_solve_matches_host():
@@ -298,3 +302,38 @@ def test_partition_blocks_for_dcn():
     np.testing.assert_allclose(u2[nvol:], u0[perm[1] * nvol:
                                              (perm[1] + 1) * nvol],
                                rtol=1e-9, atol=1e-11)
+
+
+def test_two_level_partition_placement():
+    """ADVICE r2: when padding makes E_pad/nslices exceed the
+    partitioner's ceil(E/nslices) capacity, blocks must be *placed*
+    (per-part padding) so slice boundaries respect the partition —
+    here 6 blocks over a (2 slice x 2 block) mesh pad to 8 slots
+    (capacity 4 > ceil(6/2)=3).  With parts=(0,0,0,1,1,1), the cut
+    stays the partitioner's single middle face and the placed solve
+    matches the host."""
+    from hybridsbp_tpu.parallel import make_two_level_solver, place_fields
+
+    E, N = 6, 8
+    prob, bp, g, u_host = strip_problem(E, N)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("slice", "block"))
+    parts_in = np.array([0, 0, 0, 1, 1, 1])
+    bpp, parts, ncut, solve = make_two_level_solver(bp, mesh,
+                                                    parts=parts_in)
+    assert bpp.nblocks == 8
+    # the partitioner's cut (one face, between blocks 2 and 3) is
+    # realized exactly — end-padding would also have claimed 1 here,
+    # but the slot layout must put part 1 entirely in slice 1
+    assert ncut == 1, ncut
+    np.testing.assert_array_equal(solve.slots, [0, 1, 2, 4, 5, 6])
+    np.testing.assert_array_equal(parts, [0, 0, 0, 0, 1, 1, 1, 1])
+
+    g_pad = place_fields(jnp.asarray(g), solve.slots, bpp.nblocks)
+    res = solve(g_pad, jnp.zeros_like(bpp.Dinv), tol=1e-12)
+    assert bool(res.converged), f"resnorm {float(res.resnorm)}"
+    got = np.asarray(res.x)[solve.slots].ravel()
+    np.testing.assert_allclose(got, u_host, rtol=1e-6, atol=1e-8)
+    # padding slots (3 and 7) stay exactly zero
+    np.testing.assert_allclose(np.asarray(res.x)[[3, 7]], 0.0, atol=1e-12)
