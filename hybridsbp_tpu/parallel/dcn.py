@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tpu.cg import cg
-from ..tpu.multiblock import BlockedHybrid
+from ..tpu.multiblock import BlockedHybrid, traceinv_arrays as _tia
 from .sharded import (face_combination_meta, make_face_kernels,
                       pad_blocks, two_level_precond)
 
@@ -169,7 +169,7 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
             "diag": bpp.coefs[:, diag_k],
-            "Binv": None if trace_inv is None else trace_inv.Binv}
+            "Binv": None if trace_inv is None else _tia(trace_inv)}
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):

@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 from ..tpu.cg import cg
-from ..tpu.multiblock import BlockedHybrid
+from ..tpu.multiblock import BlockedHybrid, traceinv_arrays as _tia
 
 
 
@@ -184,11 +184,11 @@ def two_level_precond(a, bpp, trace_inv, inner_iters, block_precond=None):
     inner sweep's per-block preconditioner (e.g. the space-sharded
     fastdiag form of the 2D mesh)."""
     if trace_inv is not None:
-        from ..tpu.multiblock import woodbury_precond
+        from ..tpu.multiblock import traceinv_with, woodbury_precond
         bp2 = bpp._replace(coefs=a["coefs"], Dinv=a["Dinv"],
                            faces=bpp.faces._replace(Tb=tuple(a["T"])),
                            fd=a["fd"])
-        ti2 = trace_inv._replace(Binv=a["Binv"])
+        ti2 = traceinv_with(trace_inv, a["Binv"])
         return (woodbury_precond(bp2, ti2, inner_iters=inner_iters,
                                  block_precond=block_precond),
                 inner_iters > 0)
@@ -267,7 +267,7 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
             "diag": bpp.coefs[:, diag_k],
-            "Binv": None if trace_inv is None else trace_inv.Binv}
+            "Binv": None if trace_inv is None else _tia(trace_inv)}
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):

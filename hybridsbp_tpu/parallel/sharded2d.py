@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tpu.cg import cg
-from ..tpu.multiblock import BlockedHybrid, dense_face_tensor
+from ..tpu.multiblock import (BlockedHybrid, dense_face_tensor,
+                              traceinv_arrays as _tia)
 from .sharded import pad_blocks
 from .spatial import halo_exchange_s
 
@@ -209,7 +210,7 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
             "diag": bpp.coefs[:, diag_k],
             "Tb": bpp.faces.Tb if trace_inv is not None else None,
-            "Binv": None if trace_inv is None else trace_inv.Binv}
+            "Binv": None if trace_inv is None else _tia(trace_inv)}
 
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):

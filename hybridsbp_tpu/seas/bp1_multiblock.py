@@ -151,10 +151,36 @@ def setup(par: BP1Params = None, N: int = 16, p: int = 2,
     # steady deep sliding loads the locked section (kt > 0).
     mu = par.mu_shear
     Kff = np.zeros((nf, nf))
+    # a unit-slip column's RHS has support ONLY in the two elements
+    # adjacent to its fault face (+ that face's gdelta row): assemble
+    # just those instead of walking all elements per column (the full
+    # walk made setup O(nelems·nf) in python-loop time — 194x slower)
+    face_of_dof = np.concatenate([
+        np.full(FTods[f + 1] - FTods[f], f) for f in fault_faces])
+    zero_d = lambda lf, x, y: np.zeros_like(x)
+    zero_n = lambda lf, x, y, nx, ny: np.zeros_like(x)
     for col, j in enumerate(fault_dofs):
         dj = np.zeros(nd)
         dj[j] = 1.0
-        g, gd = _assemble_rhs(prob, conn, FTods, dj, 0.0, par)
+        f = int(face_of_dof[col])
+
+        def in_jump(lf, x, y, e):
+            ff = prob.EToF[lf, e]
+            d = dj[FTods[ff]:FTods[ff + 1]]
+            if EToS[lf, e] == 0:
+                return -d
+            return d if EToO[lf, e] else d[::-1]
+
+        g = np.zeros(int(prob.vstarts[-1]))
+        gd = np.zeros(int(prob.FToLstarts[-1]))
+        for side in (0, 1):
+            e, lf = int(FToE[side, f]), int(FToLF[side, f])
+            ge, gde = locbcarray(lops[e], lops[e].bctype, zero_d, zero_n,
+                                 lambda lf_, x, y, e=e: in_jump(lf_, x, y,
+                                                                e))
+            g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+            if gde[lf] is not None:
+                prob.scatter_face(gd, f, gde[lf], e, lf, EToO)
         u, lam = prob.solve(g, gd, method="trace")
         Kff[:, col] = mu * _fault_tractions(prob, conn, FTods, fault_faces,
                                              u, lam, dj)

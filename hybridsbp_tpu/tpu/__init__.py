@@ -13,6 +13,7 @@ from .multiblock import (  # noqa: F401
     bp_with,
     build_blocked,
     build_woodbury,
+    build_woodbury_banded,
     displacement_matvec,
     displacement_rhs,
     make_jit_solver,

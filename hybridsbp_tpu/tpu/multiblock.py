@@ -526,16 +526,130 @@ def trace_inv_from_B(dinv_shape, prob, dtype) -> TraceInv:
                     idx=jnp.asarray(idx))
 
 
+class TraceBanded(NamedTuple):
+    """Banded face-block form of the trace Schur complement B: face f
+    couples only to faces sharing one of its two elements (≤ 7 incl.
+    itself on quad meshes), so B is block-sparse with (L, L) blocks on
+    a bounded-degree face graph.  B^{-1} applies as ``iters`` steps of
+    block-Jacobi-preconditioned CG (fixed-length fori_loop — a
+    *variable* preconditioner, so the outer iteration must be
+    flexible; every Woodbury/trace outer in this package already is).
+
+    Memory/transfer is O(nif · K · L²) — at the reference's finest
+    level ~50 MB vs the ~700 MB dense nλ² inverse — and setup does no
+    dense nλ³ inversion (only nif L³ diagonal-block factorizations).
+    Replaces the host ``inv(B.toarray())`` scaling wall (VERDICT r2
+    next #3); the reference's own assembly walks the same face-pair
+    block structure (global_curved.jl:743-797).
+    """
+    blocks: jnp.ndarray          # (nif, K, L, L) neighbor blocks of B
+    diag_inv: jnp.ndarray        # (nif, L, L) inverted diagonal blocks
+    nbr: np.ndarray              # static (nif, K) compact neighbor ids
+    faceids: np.ndarray          # static (nif,) global face id per row
+    mask: np.ndarray             # static (nif, L) valid-entry mask
+    iters: int                   # static fixed CG count for B^{-1}
+
+
+def traceinv_arrays(ti):
+    """The device-resident arrays of a trace preconditioner, as a dict
+    suitable for jit ARGUMENTS (closure arrays lower to HLO literals;
+    see :func:`make_jit_solver`).  Static metadata stays behind."""
+    if isinstance(ti, TraceBanded):
+        return {"blocks": ti.blocks, "diag_inv": ti.diag_inv}
+    return {"Binv": ti.Binv}
+
+
+def traceinv_with(ti, arrs):
+    """Rebuild ``ti`` with the traced arrays from :func:`traceinv_arrays`."""
+    return ti._replace(**arrs)
+
+
+def _banded_matvec(tb: "TraceBanded", t):
+    """B t on the compact (nif, L) layout via gathered block matmuls."""
+    tn = t[jnp.asarray(tb.nbr)]                       # (nif, K, L)
+    return jnp.einsum("akij,akj->ai", tb.blocks, tn,
+                      preferred_element_type=t.dtype)
+
+
 def apply_traceinv(Binv_pad, t):
     """Apply B^{-1} to a face-padded (nfaces, L) tensor.  Accepts a
-    :class:`TraceInv` (compact gather → matmul → scatter) or a legacy
-    dense (nfaces*L, nfaces*L) embedded matrix."""
+    :class:`TraceInv` (compact gather → matmul → scatter), a
+    :class:`TraceBanded` (fixed-iteration block-Jacobi CG on the
+    banded B — inexact: use a flexible outer), or a legacy dense
+    (nfaces*L, nfaces*L) embedded matrix."""
+    if isinstance(Binv_pad, TraceBanded):
+        from .cg import cg_fixed
+        tb = Binv_pad
+        mask = jnp.asarray(tb.mask, dtype=t.dtype)
+        tc = t[jnp.asarray(tb.faceids)].astype(tb.diag_inv.dtype) * mask
+        jac = lambda r: jnp.einsum("aij,aj->ai", tb.diag_inv, r,
+                                   preferred_element_type=r.dtype)
+        yc = cg_fixed(lambda v: _banded_matvec(tb, v), tc, tb.iters,
+                      precond=jac) * mask
+        y = jnp.zeros(t.shape, dtype=t.dtype)
+        y = y.at[jnp.asarray(tb.faceids)].set(yc.astype(t.dtype))
+        return y
     if isinstance(Binv_pad, TraceInv):
         tc = t.reshape(-1)[Binv_pad.idx].astype(Binv_pad.Binv.dtype)
         yc = (Binv_pad.Binv @ tc).astype(t.dtype)
         y = jnp.zeros(t.size, dtype=t.dtype).at[Binv_pad.idx].set(yc)
         return y.reshape(t.shape)
     return (Binv_pad @ t.reshape(-1)).reshape(t.shape)
+
+
+def build_woodbury_banded(bp: BlockedHybrid, prob, dtype=None,
+                          iters=16) -> TraceBanded:
+    """Banded-B alternative to :func:`build_woodbury`: extract the
+    face-pair (L, L) blocks of the host-assembled sparse B into a
+    bounded-degree neighbor tensor and invert only the diagonal
+    blocks.  No dense nλ² matrix is ever formed (host or device).
+
+    ``iters``: fixed block-Jacobi-CG count used per B^{-1} application
+    (the preconditioner becomes variable — pair with flexible outers,
+    which every caller in this package already uses).
+    """
+    import scipy.sparse as sp
+
+    dtype = dtype or bp.coefs.dtype
+    nfaces_pad, L = bp.Dinv.shape
+    FToLstarts = np.asarray(prob.FToLstarts)
+    lens = np.diff(FToLstarts)
+    faceids = np.nonzero(lens > 0)[0]
+    nif = len(faceids)
+    comp = -np.ones(len(prob.FToB), dtype=np.int64)
+    comp[faceids] = np.arange(nif)
+    assert faceids.max(initial=-1) < nfaces_pad
+
+    # face graph: two faces couple iff they share an element
+    nbrs = [set() for _ in range(nif)]
+    EToF = np.asarray(prob.EToF)
+    for e in range(EToF.shape[1]):
+        fs = [comp[EToF[lf, e]] for lf in range(4)
+              if comp[EToF[lf, e]] >= 0]
+        for a in fs:
+            nbrs[a].update(fs)
+    K = max((len(s) for s in nbrs), default=1)
+
+    B = sp.csr_matrix(prob.B)
+    blocks = np.zeros((nif, K, L, L))
+    nbr = np.zeros((nif, K), dtype=np.int64)
+    diag_inv = np.zeros((nif, L, L))
+    mask = np.zeros((nif, L), dtype=bool)
+    for a, f in enumerate(faceids):
+        r0, r1 = FToLstarts[f], FToLstarts[f + 1]
+        la = r1 - r0
+        mask[a, :la] = True
+        for k, bcomp in enumerate(sorted(nbrs[a])):
+            g = faceids[bcomp]
+            c0, c1 = FToLstarts[g], FToLstarts[g + 1]
+            blocks[a, k, :la, :c1 - c0] = B[r0:r1, c0:c1].toarray()
+            nbr[a, k] = bcomp
+        dblk = np.eye(L)                 # identity tail: padded entries
+        dblk[:la, :la] = B[r0:r1, r0:r1].toarray()   # stay decoupled
+        diag_inv[a] = np.linalg.inv(dblk)
+    return TraceBanded(blocks=jnp.asarray(blocks, dtype=dtype),
+                       diag_inv=jnp.asarray(diag_inv, dtype=dtype),
+                       nbr=nbr, faceids=faceids, mask=mask, iters=iters)
 
 
 def _fbar_raw(bp: BlockedHybrid, u):
@@ -697,11 +811,11 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
         raise ValueError(f"unknown method {method!r}")
     arrs = bp_arrays(bp)
     if trace_inv is not None:
-        arrs["Binv"] = trace_inv.Binv
+        arrs["Binv"] = traceinv_arrays(trace_inv)
 
     def solve_fn(a, g, gdelta_faces):
         bp2 = bp_with(bp, a)
-        ti2 = (trace_inv._replace(Binv=a["Binv"])
+        ti2 = (traceinv_with(trace_inv, a["Binv"])
                if trace_inv is not None else None)
         if method == "trace":
             u, lam, res = solve_trace(

@@ -208,6 +208,30 @@ def test_sharded_solver_woodbury_precond():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_sharded_solver_banded_trace_precond():
+    """The banded face-block trace preconditioner (inexact B^{-1} via
+    fixed-iteration block-Jacobi CG) composes with the block-sharded
+    solver exactly like the dense Woodbury inverse — the banded
+    gather/einsum runs under GSPMD."""
+    from hybridsbp_tpu.tpu.multiblock import build_woodbury_banded
+
+    E, N = 4, 12
+    prob, bp, g, u_host = strip4_problem(N)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("block",))
+    solver = make_sharded_solver(
+        bp, mesh, trace_inv=build_woodbury_banded(bp, prob, iters=16),
+        inner_iters=8)
+    g_pad = np.zeros((solver.bp.nblocks, N + 1, N + 1))
+    g_pad[:E] = g
+    res = solver.solve(jnp.asarray(g_pad), jnp.zeros_like(solver.bp.Dinv),
+                       tol=1e-11)
+    assert bool(res.converged)
+    assert int(res.iters) <= 8, f"banded sharded took {int(res.iters)}"
+    np.testing.assert_allclose(np.asarray(res.x[:E]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_two_level_dcn_solver_shared_coefs():
     """Shared-operator layout through the two-level solver: the
     broadcast (1, noff, ...) coefficient stack must ride a replicated
