@@ -85,7 +85,7 @@ def make_arc_override(verts, EToV, EToF, FToB, frac=0.1):
 
 
 def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
-        device=False):
+        device=False, profile=None):
     bc_map = [BC_DIRICHLET, BC_NEUMANN, 3, 4, 5, 6, BC_JUMP_INTERFACE]
     verts, EToV, EToF, FToB, EToBlock = read_inp_2d(MESH, bc_map=bc_map)
     nelems, nfaces = EToV.shape[1], len(FToB)
@@ -104,7 +104,54 @@ def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
     lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
     FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
 
+    fault_faces = np.where(FToB == BC_JUMP_INTERFACE)[0]
+    if profile == "smooth":
+        # smooth compatible slip, ~zero at every fault TIP and
+        # JUNCTION: a single-valued δ(x, y) is junction-compatible (a
+        # loop around a junction crosses each through-going fault
+        # twice with opposite sign), but generic smooth slip still
+        # excites corner singularities AT tips/junctions (measured:
+        # the uniform- and Gaussian-slip jump errors plateau at
+        # junction-adjacent faces while the median face converges).
+        # Multiplying in a C^∞ bump factor 1 - exp(-d²/2s²) per
+        # singular point (endpoint vertices shared by != 2 fault
+        # faces) makes the data vanish there, removing the
+        # singularities — this is the convergence-gate configuration
+        # (VERDICT r2 next #6); uniform slip stays the topology/
+        # robustness stress case.
+        ends, lengths = [], []
+        for f in fault_faces:
+            e, lf = FToE[0, f], FToLF[0, f]
+            fx = np.asarray(lops[e].facecoord[0][lf])
+            fy = np.asarray(lops[e].facecoord[1][lf])
+            ends.append(((fx[0], fy[0]), (fx[-1], fy[-1])))
+            lengths.append(float(np.hypot(fx[-1] - fx[0], fy[-1] - fy[0])))
+        from collections import Counter
+        cnt = Counter()
+        for a, b in ends:
+            for q in (a, b):
+                cnt[(round(float(q[0]), 6), round(float(q[1]), 6))] += 1
+        sing = np.array([pt for pt, c in cnt.items() if c != 2])
+        s = 0.25 * float(np.median(lengths))     # geometry-fixed width
+
+        def slip_profile(x, y):
+            x, y = np.asarray(x), np.asarray(y)
+            v = np.full_like(x, slip, dtype=float)
+            for sx, sy in sing:
+                d2 = (x - sx) ** 2 + (y - sy) ** 2
+                v = v * (1.0 - np.exp(-d2 / (2 * s * s)))
+            return v
+    elif profile is None:
+        slip_profile = None
+    else:
+        raise ValueError(f"unknown profile {profile!r}")
+
     delta = np.full(int(FTods[-1]), slip)
+    if slip_profile is not None:
+        for f in fault_faces:
+            e, lf = FToE[0, f], FToLF[0, f]      # minus side: face order
+            delta[FTods[f]:FTods[f + 1]] = slip_profile(
+                lops[e].facecoord[0][lf], lops[e].facecoord[1][lf])
 
     def in_jump(lf, x, y, e):
         f = EToF[lf, e]
@@ -143,8 +190,9 @@ def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
         if not EToO[lf2, e2]:
             u2 = u2[::-1]
         jump = u2 - u1
+        dref = delta[FTods[f]:FTods[f + 1]]      # minus-side ordering
         # interior fault points (closure rows are O(h^p) accurate)
-        worst = max(worst, np.abs(jump[2:-2] - slip).max())
+        worst = max(worst, np.abs(jump[2:-2] - dref[2:-2]).max())
     if verbose:
         print(f"max |[[u]] - slip| on fault interiors: {worst:.3e}")
 
@@ -217,8 +265,11 @@ if __name__ == "__main__":
     ap.add_argument("--device", action="store_true",
                     help="also solve through the f32 device path and "
                          "compare against the host solve")
+    ap.add_argument("--profile", choices=("smooth",), default=None,
+                    help="smooth compatible slip profile (convergence-"
+                         "gate configuration) instead of uniform slip")
     a = ap.parse_args()
     _, _, _, worst = run(p=a.p, N=a.N, method=a.method, curved=a.curved,
-                         device=a.device)
+                         device=a.device, profile=a.profile)
     assert worst < 0.2, "fault jump not reproduced"
     print("PASS")

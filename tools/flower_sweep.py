@@ -22,20 +22,23 @@ import flower  # noqa: E402
 def main():
     Ns = (8, 16, 32)
     out = {"N": list(Ns)}
-    for p in (2, 4):
-        for curved in (0.0, 0.1):
-            key = f"p{p}" + ("_curved" if curved else "")
-            errs = []
-            for N in Ns:
-                _, _, _, worst = flower.run(p=p, N=N, verbose=False,
-                                            curved=curved)
-                errs.append(float(worst))
-                print(f"# {key} N={N}: {worst:.3e}", file=sys.stderr,
-                      flush=True)
-            rates = [float(np.log2(errs[i] / errs[i + 1]))
-                     for i in range(len(errs) - 1)]
-            out[key] = {"err": [float(f"{e:.4g}") for e in errs],
-                        "rate": [round(r, 2) for r in rates]}
+    for profile in (None, "smooth"):
+        for p in (2, 4):
+            for curved in (0.0, 0.1):
+                key = (f"p{p}" + ("_curved" if curved else "")
+                       + (f"_{profile}" if profile else ""))
+                errs = []
+                for N in Ns:
+                    _, _, _, worst = flower.run(p=p, N=N, verbose=False,
+                                                curved=curved,
+                                                profile=profile)
+                    errs.append(float(worst))
+                    print(f"# {key} N={N}: {worst:.3e}", file=sys.stderr,
+                          flush=True)
+                rates = [float(np.log2(errs[i] / errs[i + 1]))
+                         for i in range(len(errs) - 1)]
+                out[key] = {"err": [float(f"{e:.4g}") for e in errs],
+                            "rate": [round(r, 2) for r in rates]}
     print(json.dumps(out))
 
 
