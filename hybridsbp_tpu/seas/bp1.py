@@ -67,6 +67,11 @@ class BP1Params:
     Lx: float = 80.0
     Ly: float = 80.0
     el: float = 1e13            # tan-stretch scale (~inf => uniform)
+    # imposed-creep depth: fault nodes deeper than Wf slide at exactly
+    # Vp (state frozen) — the canonical SEAS BP1 loading (Wf=40.0)
+    # instead of the reference variant's friction-everywhere fault
+    # (BP1.jl:8-31 has no such cutoff; None preserves that behavior)
+    Wf: float = None
 
     @property
     def mu_shear(self):
@@ -281,6 +286,14 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
         dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi_hi) / b)
                                 - jnp.abs(V_hi) / V0)
         psi_ok = jnp.all(jnp.isfinite(dpsi))
+
+        if par.Wf is not None:
+            # canonical SEAS BP1 loading: below Wf the fault slides at
+            # exactly Vp (imposed creep); the friction Newton still
+            # runs there (one program) but its result is discarded
+            deep = jnp.asarray(np.asarray(prob.yf) > par.Wf)
+            V = jnp.where(deep, jnp.asarray(Vp, dtype=V.dtype), V)
+            dpsi = jnp.where(deep, jnp.zeros((), dtype=dpsi.dtype), dpsi)
 
         ok = tau_ok & newton_ok & psi_ok
         dy = jnp.concatenate([dpsi.astype(y.dtype), V.astype(y.dtype)])
@@ -596,6 +609,14 @@ def load_checkpoint(path):
     d = np.load(path, allow_pickle=True)
     names = list(BP1Params.__dataclass_fields__)
     vals = d["par"]
-    par = BP1Params(**{k: type(getattr(BP1Params(), k))(v)
-                       for k, v in zip(names, vals)})
+
+    def restore(k, v):
+        # cast to the default's type; optional fields (default None,
+        # e.g. Wf) round-trip as None or float
+        ref = getattr(BP1Params(), k)
+        if ref is None:
+            return None if v is None else float(v)
+        return type(ref)(v)
+
+    par = BP1Params(**{k: restore(k, v) for k, v in zip(names, vals)})
     return float(d["t"]), jnp.asarray(d["y"]), par

@@ -152,9 +152,12 @@ def _face_layer_sets(p, Nr, Ns):
             tuple(range(Ns - nBS + 1, Ns + 1)))      # north
 
 
+_ASSEMBLY_DATA_CACHE = {}
+
+
 def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                   L=None, share_ops="auto",
-                  coef_dtype=None) -> BlockedHybrid:
+                  coef_dtype=None, assemble_on_device=False) -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
     Requires a uniform block shape (rectangular Nr != Ns allowed);

@@ -1,0 +1,73 @@
+"""On-device operator assembly parity (tpu/assemble_device.py).
+
+The device-assembled DIA planes must equal to_dia(locoperator(...).M)
+exactly (f64) — curved metrics, every bc mix, rectangular blocks,
+p in {2, 4, 6}.  Reference assembly: global_curved.jl:322-486.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE, BC_NEUMANN
+from hybridsbp_tpu.mesh import create_metrics
+from hybridsbp_tpu.ops2d import locoperator
+from hybridsbp_tpu.tpu.assemble_device import (assemble_planes,
+                                               extract_assembly_data)
+from hybridsbp_tpu.tpu.stencil import to_dia
+
+
+def _curved(p, Nr, Ns):
+    def xf(r, s):
+        return (r + 0.08 * np.sin(1.1 * r + 0.4 * s),
+                1 + 0.08 * 1.1 * np.cos(1.1 * r + 0.4 * s),
+                0.08 * 0.4 * np.cos(1.1 * r + 0.4 * s))
+
+    def yf(r, s):
+        return (s + 0.06 * np.cos(0.8 * r) * np.sin(0.9 * s),
+                -0.06 * 0.8 * np.sin(0.8 * r) * np.sin(0.9 * s),
+                1 + 0.06 * 0.9 * np.cos(0.8 * r) * np.cos(0.9 * s))
+
+    return create_metrics(p, Nr, Ns, xf, yf)
+
+
+def _compare(p, Nr, Ns, bctype):
+    m = _curved(p, Nr, Ns)
+    lop = locoperator(p, Nr, Ns, m, bctype)
+    want = to_dia(lop.M, Nr + 1, Ns + 1)
+
+    data = extract_assembly_data(p, Nr, Ns)
+    mask = jnp.asarray([1.0 if b == BC_NEUMANN else 0.0 for b in bctype])
+    got = assemble_planes(data, jnp.asarray(m.crr), jnp.asarray(m.css),
+                          jnp.asarray(m.crs), mask)
+
+    wmap = dict(zip(want.offsets, np.asarray(want.coefs)))
+    scale = max(np.abs(np.asarray(want.coefs)).max(), 1.0)
+    for k, off in enumerate(data.offsets):
+        g = np.asarray(got[k])
+        w = wmap.get(off, np.zeros_like(g))
+        err = np.abs(g - w).max()
+        assert err < 1e-11 * scale, \
+            f"plane {off}: max err {err:.3e} (scale {scale:.1e})"
+    # no host plane outside the canonical set
+    missing = set(want.offsets) - set(data.offsets)
+    assert not missing, f"host planes missing from canonical set: {missing}"
+
+
+@pytest.mark.parametrize("p", [2, 4, 6])
+def test_dirichlet_parity(p):
+    _compare(p, 3 * p + 6, 3 * p + 6, (BC_DIRICHLET,) * 4)
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_neumann_parity(p):
+    _compare(p, 3 * p + 6, 3 * p + 6,
+             (BC_DIRICHLET, BC_NEUMANN, BC_NEUMANN, BC_DIRICHLET))
+
+
+def test_mixed_interface_rectangular_parity():
+    _compare(2, 14, 11, (BC_LOCKED_INTERFACE, BC_NEUMANN, BC_DIRICHLET,
+                         BC_NEUMANN))
+
+
+def test_all_neumann_p6_parity():
+    _compare(6, 25, 25, (BC_NEUMANN,) * 4)

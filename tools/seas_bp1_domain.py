@@ -64,15 +64,22 @@ def main():
     ap.add_argument("--N", type=int, default=400)
     ap.add_argument("--el", type=float, default=10.0)
     ap.add_argument("--years", type=float, default=1200.0)
+    ap.add_argument("--canonical", action="store_true",
+                    help="canonical SEAS BP1 configuration: imposed "
+                         "creep below Wf=40 km and Dc=0.008 m (the "
+                         "reference variant has friction everywhere "
+                         "and Dc=0.016)")
     a = ap.parse_args()
 
     from hybridsbp_tpu.seas import bp1
     from hybridsbp_tpu.seas.bp1 import YEAR_SECONDS
 
-    out = {"N": a.N, "el": a.el, "years": a.years, "runs": {}}
+    out = {"N": a.N, "el": a.el, "years": a.years,
+           "canonical": a.canonical, "runs": {}}
+    extra = ({"Wf": 40.0, "RSDc": 0.008} if a.canonical else {})
     for L in a.L:
         par = bp1.BP1Params(N=a.N, Lx=L, Ly=L, el=a.el,
-                            sim_years=a.years)
+                            sim_years=a.years, **extra)
         t0 = time.time()
         prob = bp1.setup(par)
         t_setup = time.time() - t0
