@@ -173,18 +173,21 @@ def assemble_level(p, N_per_block, mesh_data=None):
 
 def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
                stencil="auto", repeats=3, binv_dtype=None,
-               method="displacements", trace_mode="dense"):
+               method="displacements", trace_mode="dense",
+               assemble_device=False):
     """Single-method wrapper over :func:`run_device_multi` (see there
     for the methodology); returns that method's result dict."""
     return run_device_multi(p=p, N=N, tol=tol, inner_iters=inner_iters,
                             verbose=verbose, stencil=stencil,
                             repeats=repeats, binv_dtype=binv_dtype,
-                            methods=(method,), trace_mode=trace_mode)[method]
+                            methods=(method,), trace_mode=trace_mode,
+                            assemble_device=assemble_device)[method]
 
 
 def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
                      stencil="auto", repeats=3, binv_dtype=None,
-                     methods=("displacements",), trace_mode="dense"):
+                     methods=("displacements",), trace_mode="dense",
+                     assemble_device=False):
     """Solve ONE refinement level of the square_circle problem on the
     device (the reference's finest level is p=6, N=136/block — ~1.05M
     volume DOF on the 56-block curved mesh, square_circle.jl:22,40,209):
@@ -227,7 +230,11 @@ def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
         print(f"host direct (trace) solve: {t_host:.2f}s")
 
     t0 = time.time()
-    bp = build_blocked(prob, dtype=jnp.float32)
+    # assemble_device: ship 3 metric planes/block (~13 MB at N=136)
+    # and assemble the DIA stack on-chip instead of transferring the
+    # ~560 MB host-extracted planes (tpu.assemble_device)
+    bp = build_blocked(prob, dtype=jnp.float32,
+                       assemble_on_device=assemble_device)
     gb, gd = blocked_rhs_from_host(prob, g, gdelta)
     gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
     # B^{-1} is only a preconditioner under flexible CG — bf16 storage
@@ -392,6 +399,10 @@ if __name__ == "__main__":
                          "device: f32 + Woodbury two-level FCG")
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--inner-iters", type=int, default=8)
+    ap.add_argument("--assemble-device", action="store_true",
+                    help="assemble the DIA operator stack ON the "
+                         "device from the metric planes (~13 MB "
+                         "transferred instead of ~560 MB at N=136)")
     ap.add_argument("--trace-mode", choices=("dense", "banded"),
                     default="dense",
                     help="B^-1 preconditioner form for --device-solve: "
@@ -413,7 +424,8 @@ if __name__ == "__main__":
                              "'displacements' and 'trace'")
         run_device(p=a.p, N=a.N0, tol=a.tol, inner_iters=a.inner_iters,
                    stencil=a.stencil, binv_dtype=bd,
-                   method=a.method, trace_mode=a.trace_mode)
+                   method=a.method, trace_mode=a.trace_mode,
+                   assemble_device=a.assemble_device)
     else:
         run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
             plot_mesh=a.plot_mesh)

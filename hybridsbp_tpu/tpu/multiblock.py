@@ -196,26 +196,70 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     assert L >= max(Nrp, Nsp)
     Lf_lf = (Nsp, Nsp, Nrp, Nrp)          # true trace length per local face
 
-    # --- stacked DIA operators (union of offsets across blocks)
-    dias = [to_dia(lops[e].M, Nrp, Nsp, dtype=dtype) for e in range(E)]
-    all_offs = sorted({o for d in dias for o in d.offsets})
-    noff = len(all_offs)
-    coefs = np.zeros((E, noff, Nsp, Nrp))
-    for e, d in enumerate(dias):
-        idx = {o: k for k, o in enumerate(all_offs)}
-        for k, o in enumerate(d.offsets):
-            coefs[e, idx[o]] = np.asarray(d.coefs[k])
+    if assemble_on_device:
+        # --- on-device assembly from the metric planes (VERDICT r2
+        # next #3): ships 3 metric planes per block (~13 MB at the
+        # reference's finest level) instead of the full DIA stack
+        # (~560 MB) and assembles with einsums on the accelerator.
+        # Bit-parity with the host path is gated in
+        # tests/test_assemble_device.py.
+        from .assemble_device import assemble_planes, extract_assembly_data
 
-    shared = False
-    if share_ops == "auto":
-        shared = E > 1 and all(np.array_equal(coefs[0], coefs[e])
-                               for e in range(1, E))
-    elif share_ops:
-        assert all(np.array_equal(coefs[0], coefs[e]) for e in range(1, E)), \
-            "share_ops=True requires identical block operators"
-        shared = True
-    if shared:
-        coefs = coefs[:1]
+        key = (p, Nr, Ns)
+        if key not in _ASSEMBLY_DATA_CACHE:
+            _ASSEMBLY_DATA_CACHE[key] = extract_assembly_data(p, Nr, Ns)
+        data = _ASSEMBLY_DATA_CACHE[key]
+        all_offs = list(data.offsets)
+        noff = len(all_offs)
+        crr = np.stack([np.asarray(lops[e].metrics.crr) for e in range(E)])
+        css = np.stack([np.asarray(lops[e].metrics.css) for e in range(E)])
+        crs = np.stack([np.asarray(lops[e].metrics.crs) for e in range(E)])
+        from .. import BC_NEUMANN as _BCN
+        masks = np.array([[1.0 if b == _BCN else 0.0
+                           for b in lops[e].bctype] for e in range(E)])
+        # shared-operator detection on the host INPUTS (identical
+        # metrics + bc => identical operator; avoids a device fetch)
+        shared = False
+        same_inputs = E > 1 and all(
+            np.array_equal(crr[0], crr[e]) and np.array_equal(css[0], css[e])
+            and np.array_equal(crs[0], crs[e])
+            and np.array_equal(masks[0], masks[e]) for e in range(1, E))
+        if share_ops == "auto":
+            shared = same_inputs
+        elif share_ops:
+            assert same_inputs, \
+                "share_ops=True requires identical block operators"
+            shared = True
+        if shared:
+            crr, css, crs, masks = (a[:1] for a in (crr, css, crs, masks))
+        assemble = jax.jit(jax.vmap(
+            lambda a, b, c, m: assemble_planes(data, a, b, c, m)))
+        coefs = assemble(jnp.asarray(crr, dtype=dtype),
+                         jnp.asarray(css, dtype=dtype),
+                         jnp.asarray(crs, dtype=dtype),
+                         jnp.asarray(masks, dtype=dtype))
+    else:
+        # --- stacked DIA operators (union of offsets across blocks)
+        dias = [to_dia(lops[e].M, Nrp, Nsp, dtype=dtype) for e in range(E)]
+        all_offs = sorted({o for d in dias for o in d.offsets})
+        noff = len(all_offs)
+        coefs = np.zeros((E, noff, Nsp, Nrp))
+        for e, d in enumerate(dias):
+            idx = {o: k for k, o in enumerate(all_offs)}
+            for k, o in enumerate(d.offsets):
+                coefs[e, idx[o]] = np.asarray(d.coefs[k])
+
+        shared = False
+        if share_ops == "auto":
+            shared = E > 1 and all(np.array_equal(coefs[0], coefs[e])
+                                   for e in range(1, E))
+        elif share_ops:
+            assert all(np.array_equal(coefs[0], coefs[e])
+                       for e in range(1, E)), \
+                "share_ops=True requires identical block operators"
+            shared = True
+        if shared:
+            coefs = coefs[:1]
 
     # --- banded layer-restricted face maps (see FaceOps)
     layer_sets = _face_layer_sets(p, Nr, Ns)

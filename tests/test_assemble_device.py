@@ -71,3 +71,31 @@ def test_mixed_interface_rectangular_parity():
 
 def test_all_neumann_p6_parity():
     _compare(6, 25, 25, (BC_NEUMANN,) * 4)
+
+
+def test_build_blocked_assemble_on_device():
+    """build_blocked(assemble_on_device=True) matches the host
+    extraction plane-by-plane on a curved 2-block problem (the device
+    offset set is the canonical superset)."""
+    from hybridsbp_tpu import BC_JUMP_INTERFACE
+    from hybridsbp_tpu.hybrid import build_problem
+    from hybridsbp_tpu.tpu import build_blocked
+
+    verts = np.array([[0.0, 1.0, 2.0, 0.0, 1.0, 2.0],
+                      [0.0, 0.1, 0.0, 1.0, 1.1, 1.0]])
+    etov = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+    etof = np.array([[0, 1], [1, 2], [3, 4], [5, 6]])
+    FToB = np.array([BC_DIRICHLET, BC_JUMP_INTERFACE, BC_DIRICHLET,
+                     BC_NEUMANN, BC_NEUMANN, BC_DIRICHLET, BC_DIRICHLET])
+    N = np.full(2, 11)
+    prob, _ = build_problem(2, verts, etov, etof, FToB, N, N)
+
+    bh = build_blocked(prob)
+    bd = build_blocked(prob, assemble_on_device=True)
+    assert set(bh.offsets) <= set(bd.offsets)
+    hmap = dict(zip(bh.offsets, np.asarray(bh.coefs).swapaxes(0, 1)))
+    scale = np.abs(np.asarray(bh.coefs)).max()
+    for k, off in enumerate(bd.offsets):
+        g = np.asarray(bd.coefs[:, k])
+        w = hmap.get(off, np.zeros_like(g))
+        assert np.abs(g - w).max() < 1e-11 * scale, off
