@@ -1,5 +1,8 @@
 """Multiblock BP1 gates (interior fault via the hybrid trace solver)."""
+import os
+
 import numpy as np
+import pytest
 
 from hybridsbp_tpu.seas import bp1_multiblock as mb
 from hybridsbp_tpu.seas.bp1 import YEAR_SECONDS
@@ -113,3 +116,58 @@ def test_multiblock_pure_f32_newton_matches_f64():
     rej = int(s32.stats.nreject)
     acc = int(s32.stats.naccept)
     assert rej < 0.4 * acc, f"f32 Newton storming: {acc} acc / {rej} rej"
+
+
+def _merged_events(sol):
+    ts = np.asarray(sol.ts)
+    valid = np.isfinite(ts)
+    lv = np.asarray(sol.save["log10_vmax"])[valid]
+    ts = ts[valid] / YEAR_SECONDS
+    seismic = lv > -3.0
+    starts = ts[1:][seismic[1:] & ~seismic[:-1]]
+    merged = [starts[0]]
+    for t in starts[1:]:
+        if t - merged[-1] > 1.0:
+            merged.append(t)
+    return np.asarray(merged)
+
+
+def test_multiblock_event_pin_quick():
+    """Quick regression pin of the N=16 event series at rtol=1e-4
+    (VERDICT r2 #5).  N=16 is spatially preasymptotic (~26-yr offset
+    from the converged series) — the CONVERGED pin (N=32 vs N=64
+    agree to 7.7 yr/1000 yr) runs under HYBRIDSBP_SLOW_TESTS; this
+    pins OUR trajectory cheaply (measured r3: 291.5, 437.9, 583.9)."""
+    mp = mb.setup(N=16)
+    sol = mb.run(mp, sim_years=600, max_steps=200_000,
+                 rtol=1e-4, atol=1e-6)
+    ev = _merged_events(sol)
+    assert len(ev) == 3, f"events {np.round(ev, 1)}"
+    np.testing.assert_allclose(ev, [291.47, 437.90, 583.93], atol=3.0)
+
+
+@pytest.mark.skipif(not os.environ.get('HYBRIDSBP_SLOW_TESTS'),
+                    reason='slow full-cycle gate (HYBRIDSBP_SLOW_TESTS=1)')
+def test_multiblock_event_pin_converged():
+    """Converged multiblock BP1_v1 event gate (VERDICT r2 #5): N=32,
+    rtol=1e-4, 1000 yr — series within 10 yr of the measured
+    convergence point (N=64 agrees to 7.7 yr), plus the quantitative
+    f32-acceptability criterion: equal count, per-event |dt| <= 20 yr
+    (measured max 15.2 yr)."""
+    import jax.numpy as jnp
+
+    want = np.array([271.81, 415.13, 558.14, 701.17, 843.73, 987.49])
+    mp = mb.setup(N=32)
+    sol = mb.run(mp, sim_years=1000, max_steps=400_000,
+                 rtol=1e-4, atol=1e-6)
+    ev = _merged_events(sol)
+    assert len(ev) == 6, f"events {np.round(ev, 1)}"
+    np.testing.assert_allclose(ev, want, atol=10.0)
+
+    mp32 = mb.setup(N=32, dtype=jnp.float32)
+    s32 = mb.run(mp32, sim_years=1000, max_steps=400_000,
+                 rtol=1e-4, atol=1e-6, newton_dtype=jnp.float32)
+    ev32 = _merged_events(s32)
+    assert len(ev32) == 6, f"f32 events {np.round(ev32, 1)}"
+    assert np.abs(ev32 - ev).max() <= 20.0, \
+        f"f32 event drift {np.abs(ev32 - ev).max():.1f} yr"
