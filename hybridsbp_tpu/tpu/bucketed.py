@@ -60,7 +60,8 @@ class Bucketed(NamedTuple):
     perm_face: np.ndarray              # (nfaces, L) reversal perms
 
 
-def build_bucketed(prob, dtype=jnp.float64, with_fastdiag=True) -> Bucketed:
+def build_bucketed(prob, dtype=jnp.float64, with_fastdiag=True,
+                   assemble_on_device=False) -> Bucketed:
     E = len(prob.lops)
     shapes = [(prob.lops[e].Nr, prob.lops[e].Ns) for e in range(E)]
     order = sorted(set(shapes))
@@ -82,7 +83,8 @@ def build_bucketed(prob, dtype=jnp.float64, with_fastdiag=True) -> Bucketed:
                     f"non-conforming face {f}: trace lengths {lm} != {lp}")
 
     buckets = tuple(build_blocked(_SubProb(prob, ids), dtype=dtype,
-                                  with_fastdiag=with_fastdiag, L=L)
+                                  with_fastdiag=with_fastdiag, L=L,
+                                  assemble_on_device=assemble_on_device)
                     for ids in groups)
 
     # global per-face reversal perms (plus-side face length)
@@ -170,14 +172,19 @@ def _precond(bk: Bucketed):
     return M
 
 
-def build_woodbury_bucketed(bk: Bucketed, prob, dtype=None):
+def build_woodbury_bucketed(bk: Bucketed, prob, dtype=None, mode="dense",
+                            iters=16):
     """Trace inverse for the mixed-shape path (see
     multiblock.build_woodbury; the layout is the bucketed global
-    (nfaces, L) trace array)."""
-    from .multiblock import trace_inv_from_B
+    (nfaces, L) trace array).  ``mode='banded'`` builds the
+    O(nfaces·L²) banded face-block form instead of the dense nλ²
+    inverse (multiblock.build_woodbury_banded)."""
+    from .multiblock import banded_from_B, trace_inv_from_B
 
-    return trace_inv_from_B(bk.Dinv.shape, prob,
-                            dtype or bk.buckets[0].coefs.dtype)
+    dtype = dtype or bk.buckets[0].coefs.dtype
+    if mode == "banded":
+        return banded_from_B(bk.Dinv.shape, prob, dtype, iters)
+    return trace_inv_from_B(bk.Dinv.shape, prob, dtype)
 
 
 def woodbury_precond_bucketed(bk: Bucketed, trace_inv, inner_iters=8,

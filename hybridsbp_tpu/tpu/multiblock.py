@@ -655,10 +655,17 @@ def build_woodbury_banded(bp: BlockedHybrid, prob, dtype=None,
     (the preconditioner becomes variable — pair with flexible outers,
     which every caller in this package already uses).
     """
+    return banded_from_B(bp.Dinv.shape, prob, dtype or bp.coefs.dtype,
+                         iters)
+
+
+def banded_from_B(dinv_shape, prob, dtype, iters=16) -> TraceBanded:
+    """Core of :func:`build_woodbury_banded`, parameterized by the
+    face-padded trace layout (shared with the bucketed mixed-shape
+    path, cf. :func:`trace_inv_from_B`)."""
     import scipy.sparse as sp
 
-    dtype = dtype or bp.coefs.dtype
-    nfaces_pad, L = bp.Dinv.shape
+    nfaces_pad, L = dinv_shape
     FToLstarts = np.asarray(prob.FToLstarts)
     lens = np.diff(FToLstarts)
     faceids = np.nonzero(lens > 0)[0]

@@ -133,3 +133,46 @@ def test_rectangular_blocks_flipped_face():
     EToO = conn[2]
     assert not np.all(EToO), "fixture must contain a flipped face"
     _check_device_vs_host(prob)
+
+
+def test_bucketed_banded_and_device_assembly():
+    """r3 features on the mixed-shape path: (a) build_bucketed with
+    assemble_on_device=True matches the host-extracted buckets,
+    (b) the banded face-block trace preconditioner
+    (build_woodbury_bucketed(mode='banded')) converges the flexible
+    solve in few outer iterations."""
+    from hybridsbp_tpu.tpu import bucketed as bkt
+
+    EToV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+    ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_JUMP_INTERFACE
+    Nr = np.array([8, 16])
+    Ns = np.array([12, 12])
+    prob, _ = build_problem(2, VERTS, EToV, ETOF, FToB, Nr, Ns)
+
+    rng = np.random.default_rng(31)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gd = rng.standard_normal(int(prob.FToLstarts[-1]))
+    u_host, _ = prob.solve(g, gd, method="trace")
+
+    bk = bkt.build_bucketed(prob)
+    bd = bkt.build_bucketed(prob, assemble_on_device=True)
+    for bh, bdev in zip(bk.buckets, bd.buckets):
+        hmap = dict(zip(bh.offsets, np.asarray(bh.coefs).swapaxes(0, 1)))
+        scale = np.abs(np.asarray(bh.coefs)).max()
+        for k, off in enumerate(bdev.offsets):
+            w = hmap.get(off, 0.0 * np.asarray(bdev.coefs[:, k]))
+            assert np.abs(np.asarray(bdev.coefs[:, k]) - w).max() \
+                < 1e-11 * scale, off
+
+    gs, gdf = bkt.bucketed_rhs_from_host(bd, prob, g, gd)
+    Mb = bkt.woodbury_precond_bucketed(
+        bd, bkt.build_woodbury_bucketed(bd, prob, mode="banded"),
+        inner_iters=8)
+    res = bkt.solve_displacements(bd, gs, gdf, tol=1e-11,
+                                  maxiter=100, precond=Mb, flexible=True)
+    assert bool(res.converged)
+    assert int(res.iters) <= 10, f"bucketed banded {int(res.iters)}"
+    np.testing.assert_allclose(bkt.scatter_solution(bd, prob, res.x),
+                               u_host, rtol=1e-6, atol=1e-8)
