@@ -246,7 +246,7 @@ def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
     if trace_mode == "banded":
         from hybridsbp_tpu.tpu.multiblock import build_woodbury_banded
         trace_inv = build_woodbury_banded(bp, prob, dtype=binv_dtype,
-                                          iters=16)
+                                          iters=32)
     else:
         trace_inv = build_woodbury(bp, prob, dtype=binv_dtype)
     if verbose:

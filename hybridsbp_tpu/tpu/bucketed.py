@@ -173,7 +173,7 @@ def _precond(bk: Bucketed):
 
 
 def build_woodbury_bucketed(bk: Bucketed, prob, dtype=None, mode="dense",
-                            iters=16):
+                            iters=32):
     """Trace inverse for the mixed-shape path (see
     multiblock.build_woodbury; the layout is the bucketed global
     (nfaces, L) trace array).  ``mode='banded'`` builds the

@@ -645,7 +645,7 @@ def apply_traceinv(Binv_pad, t):
 
 
 def build_woodbury_banded(bp: BlockedHybrid, prob, dtype=None,
-                          iters=16) -> TraceBanded:
+                          iters=32) -> TraceBanded:
     """Banded-B alternative to :func:`build_woodbury`: extract the
     face-pair (L, L) blocks of the host-assembled sparse B into a
     bounded-degree neighbor tensor and invert only the diagonal
@@ -659,7 +659,7 @@ def build_woodbury_banded(bp: BlockedHybrid, prob, dtype=None,
                          iters)
 
 
-def banded_from_B(dinv_shape, prob, dtype, iters=16) -> TraceBanded:
+def banded_from_B(dinv_shape, prob, dtype, iters=32) -> TraceBanded:
     """Core of :func:`build_woodbury_banded`, parameterized by the
     face-padded trace layout (shared with the bucketed mixed-shape
     path, cf. :func:`trace_inv_from_B`)."""
