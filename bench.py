@@ -262,12 +262,13 @@ def bench_hybrid_ref_sub():
     from square_circle import run_device_multi
 
     res = run_device_multi(p=6, N=68, tol=1e-6, inner_iters=8,
-                           verbose=False, repeats=3,
+                           verbose=False, repeats=5,
                            methods=("displacements", "trace"))
     d, t = res["displacements"], res["trace"]
     print(json.dumps({
         "hybrid_ref_dofs": d["nvol"],
         "hybrid_ref_ms": round(d["t_warm_s"] * 1e3, 1),
+        "hybrid_ref_ms_min": round(d["t_warm_min_s"] * 1e3, 1),
         "hybrid_ref_iters": d["iters"],
         "hybrid_ref_converged": d["converged"],
         "hybrid_ref_rel_err": float(f"{d['rel_err']:.3g}"),

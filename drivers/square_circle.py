@@ -300,6 +300,7 @@ def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
             res = solve()
             ts.append(time.time() - t0)
         t_warm = float(np.median(ts))
+        t_warm_min = float(np.min(ts))
 
         err = np.abs(np.asarray(res.x[:len(prob.lops)]).ravel()
                      - u_host).max()
@@ -314,7 +315,8 @@ def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
             print(f"  max err vs host f64: {err:.3e} (rel {rel:.3e})")
         out[method] = {"nvol": nvol, "iters": int(res.iters),
                        "converged": bool(res.converged),
-                       "t_warm_s": t_warm, "t_first_s": t_first,
+                       "t_warm_s": t_warm, "t_warm_min_s": t_warm_min,
+                       "t_first_s": t_first,
                        "t_host_s": t_host, "rel_err": rel}
     return out
 
