@@ -367,6 +367,7 @@ def main():
     # materialize the block batch ON the device: transferring one
     # block's planes (2.4 MB) instead of the full (E, noff, Nsp, Nrp)
     # batch (152 MB) saves ~150 s of host->device time over the tunnel
+    _log("materializing device batch (2.4 MB transfer + 2 small jits)")
     c1 = jnp.asarray(np.asarray(op.coefs), dtype=jnp.float32)
     coefs = jax.jit(
         lambda c: jnp.tile(c[None], (E, 1, 1, 1)))(c1)

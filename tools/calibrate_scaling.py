@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Measure the flagship-mesh DIA apply on-chip and calibrate the
+multi-chip strong-scaling model's t_apply term (VERDICT r2 next #9,
+"measured calibration" follow-up).
+
+The batched per-block apply time depends only on SHAPES (E blocks,
+noff offset planes, (Nsp, Nrp) block size), not coefficient values, so
+this tool:
+
+  1. assembles the 56-block square_circle mesh at a COARSE N to read
+     the union DIA offset pattern the real solver uses
+     (build_blocked(...).offsets — 133 planes for fully-curved p=6,
+     crs != 0),
+  2. synthesizes random coefficients at the flagship shape
+     (E, noff, N+1, N+1) ON the device (no 560 MB tunnel transfer),
+  3. times dia_apply_batched with the chained two-point fit
+     (bench.py methodology: traced trip count, scalar fetch,
+     median-of-5 per fit point),
+  4. prints one JSON line with the measured t_apply_us and the
+     scaling-model rows recomputed from it (vs the roofline-default
+     rows in tools/scaling_model.py).
+
+Usage: python tools/calibrate_scaling.py [--p 6] [--N 136] [--coarse 16]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "drivers"))
+
+os.environ.setdefault("HYBRIDSBP_X64", "0")
+
+
+def _log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--p", type=int, default=6)
+    ap.add_argument("--N", type=int, default=136,
+                    help="flagship per-block N (reference finest level)")
+    ap.add_argument("--coarse", type=int, default=16,
+                    help="coarse N used only to extract the offset "
+                         "pattern (host assembly stays cheap)")
+    ap.add_argument("--iters", type=int, nargs=2, default=(30, 90),
+                    help="two-point fit chain lengths")
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from square_circle import assemble_level
+    from hybridsbp_tpu.tpu import build_blocked
+    from hybridsbp_tpu.tpu.pallas_stencil import dia_apply_batched
+
+    backend = jax.default_backend()
+    _log(f"backend = {backend}")
+
+    _log(f"coarse assembly p={a.p} N={a.coarse} for the offset pattern")
+    prob, *_ = assemble_level(a.p, a.coarse)
+    bp = build_blocked(prob, dtype=jnp.float32, with_fastdiag=False)
+    offsets = tuple(tuple(int(x) for x in o) for o in np.asarray(bp.offsets))
+    E, noff = len(prob.lops), len(offsets)
+    Np = a.N + 1
+    _log(f"E={E} blocks, noff={noff} planes, block {Np}x{Np}")
+
+    # synthesize the flagship-shape operand set on-device: the apply
+    # streams coefs + u regardless of values; scale keeps the chain
+    # finite (normalize by the plane count)
+    key = jax.random.PRNGKey(0)
+    coefs = jax.jit(lambda k: jax.random.normal(
+        k, (E, noff, Np, Np), dtype=jnp.float32) / noff)(key)
+    u = jax.jit(lambda k: jax.random.normal(
+        k, (E, Np, Np), dtype=jnp.float32))(jax.random.PRNGKey(1))
+    jnp.sum(u).block_until_ready()
+
+    @jax.jit
+    def runner(x, iters):
+        def body(_, v):
+            y = dia_apply_batched(coefs, bp.offsets, v, use_pallas=False)
+            return y / (jnp.max(jnp.abs(y)) + 1e-30)
+        x = jax.lax.fori_loop(0, iters, body, x, unroll=1)
+        return jnp.sum(x)
+
+    def timed(iters, repeats=5):
+        k = jnp.asarray(iters, dtype=jnp.int32)
+        s = float(runner(u, k))
+        assert np.isfinite(s), "chain diverged"
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(runner(u, k))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    k1, k2 = a.iters
+    _log(f"timing chained apply (fit points {k1}, {k2})")
+    t1 = timed(k1)
+    t2 = timed(k2)
+    t_apply_us = (t2 - t1) / (k2 - k1) * 1e6
+    _log(f"t_apply = {t_apply_us:.1f} us "
+         f"({t1*1e3:.1f} ms @ {k1}, {t2*1e3:.1f} ms @ {k2})")
+
+    # roofline at (noff+2) f32 planes streamed per block
+    roof_us = E * (noff + 2) * Np * Np * 4 / 819e9 * 1e6
+    # recompute the scaling-model rows with the measured t_apply
+    from scaling_model import MESHES, model
+    m = MESHES["square_circle_p6"]
+    rows = []
+    for n in (1, 2, 4, 8, 16):
+        t_iter, eff = model(m["E"], m["ifaces"], m["L"],
+                            t_apply_us * 1e-6, n, 100.0, 1.0)
+        rows.append({"chips": n, "t_iter_us": round(t_iter * 1e6, 1),
+                     "efficiency": round(eff, 3)})
+        _log(f"  n={n}: {t_iter*1e6:8.1f} us/iter, eff {eff:.2f}")
+
+    print(json.dumps({
+        "backend": backend, "p": a.p, "N": a.N, "E": E, "noff": noff,
+        "t_apply_us": round(t_apply_us, 1),
+        "roofline_us": round(roof_us, 1),
+        "pct_roofline": round(100 * roof_us / t_apply_us, 1),
+        "calibrated_rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
