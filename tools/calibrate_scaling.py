@@ -82,22 +82,25 @@ def main():
         k, (E, Np, Np), dtype=jnp.float32))(jax.random.PRNGKey(1))
     jnp.sum(u).block_until_ready()
 
+    # coefs enters as a jit ARGUMENT — closure arrays serialize into
+    # the HLO as literal constants (560 MB at flagship shape -> remote-
+    # compile HTTP 413; see TODO.md environment constraints)
     @jax.jit
-    def runner(x, iters):
+    def runner(c, x, iters):
         def body(_, v):
-            y = dia_apply_batched(coefs, bp.offsets, v, use_pallas=False)
+            y = dia_apply_batched(c, bp.offsets, v, use_pallas=False)
             return y / (jnp.max(jnp.abs(y)) + 1e-30)
         x = jax.lax.fori_loop(0, iters, body, x, unroll=1)
         return jnp.sum(x)
 
     def timed(iters, repeats=5):
         k = jnp.asarray(iters, dtype=jnp.int32)
-        s = float(runner(u, k))
+        s = float(runner(coefs, u, k))
         assert np.isfinite(s), "chain diverged"
         ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(runner(u, k))
+            float(runner(coefs, u, k))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
