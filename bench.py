@@ -273,6 +273,7 @@ def bench_hybrid_ref_sub():
         "hybrid_ref_converged": d["converged"],
         "hybrid_ref_rel_err": float(f"{d['rel_err']:.3g}"),
         "hybrid_ref_trace_ms": round(t["t_warm_s"] * 1e3, 1),
+        "hybrid_ref_trace_ms_min": round(t["t_warm_min_s"] * 1e3, 1),
         "hybrid_ref_trace_iters": t["iters"],
         "hybrid_ref_trace_converged": t["converged"],
         "hybrid_ref_trace_rel_err": float(f"{t['rel_err']:.3g}"),
