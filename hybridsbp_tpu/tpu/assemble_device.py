@@ -174,7 +174,8 @@ def _band(M, d):
     return v
 
 
-def assemble_planes(data: AssemblyData, crr, css, crs, neumann_mask):
+def assemble_planes(data: AssemblyData, crr, css, crs, neumann_mask,
+                    precision=jax.lax.Precision.HIGHEST):
     """Assemble the DIA planes of one block operator on device.
 
     crr/css/crs: (Nsp, Nrp) metric coefficient planes (as produced by
@@ -183,6 +184,14 @@ def assemble_planes(data: AssemblyData, crr, css, crs, neumann_mask):
     serves any bc mix; all other codes share the Dirichlet/interface
     form, matching ops2d.locoperator).  Returns (noff, Nsp, Nrp) f64
     planes in ``data.offsets`` order.  vmap over blocks for a batch.
+
+    ``precision`` applies to every contracting einsum: the default
+    HIGHEST is required on TPU, where f32 einsums otherwise lower to
+    bf16 MXU passes — a ~3e-3 operator perturbation that the
+    fine-level system's conditioning amplifies to O(1) solution error
+    (measured r3: the N=136 flagship solve "converged" to rel err 0.82
+    with default precision; assembly is one-time setup, so HIGHEST
+    costs nothing that matters).
     """
     Nrp, Nsp = data.Nr + 1, data.Ns + 1
     nBS, ell = data.nBS, data.ell
@@ -200,13 +209,13 @@ def assemble_planes(data: AssemblyData, crr, css, crs, neumann_mask):
     # ---- Arr: per-s-line var-D2 in r, weighted by Hs
     # plane(0, d)[s, i] = Hs[s] * sum_k Wr[i, d, k] crr[s, k]
     Wr = jnp.asarray(data.Wr, dtype=dt)
-    arr = jnp.einsum("idk,sk->dsi", Wr, crr)
+    arr = jnp.einsum("idk,sk->dsi", Wr, crr, precision=precision)
     for di, d in enumerate(data.dr_list):
         coefs = add(coefs, 0, d, Hs[:, None] * arr[di])
 
     # ---- Ass: per-r-line var-D2 in s, weighted by Hr
     Ws = jnp.asarray(data.Ws, dtype=dt)
-    ass = jnp.einsum("jdk,ki->dji", Ws, css)
+    ass = jnp.einsum("jdk,ki->dji", Ws, css, precision=precision)
     for di, d in enumerate(data.ds_list):
         coefs = add(coefs, d, 0, Hr[None, :] * ass[di])
 
@@ -248,10 +257,14 @@ def assemble_planes(data: AssemblyData, crr, css, crs, neumann_mask):
         psi[Nsp - ell:, :], axis=0)
 
     # ---- boundary derivative rows S (linear in c) per face
-    S0r = jnp.einsum("ck,sk->sc", jnp.asarray(data.S0r, dtype=dt), crr)
-    SNr = jnp.einsum("ck,sk->sc", jnp.asarray(data.SNr, dtype=dt), crr)
-    S0s = jnp.einsum("ck,ki->ci", jnp.asarray(data.S0s, dtype=dt), css)
-    SNs = jnp.einsum("ck,ki->ci", jnp.asarray(data.SNs, dtype=dt), css)
+    S0r = jnp.einsum("ck,sk->sc", jnp.asarray(data.S0r, dtype=dt), crr,
+                     precision=precision)
+    SNr = jnp.einsum("ck,sk->sc", jnp.asarray(data.SNr, dtype=dt), crr,
+                     precision=precision)
+    S0s = jnp.einsum("ck,ki->ci", jnp.asarray(data.S0s, dtype=dt), css,
+                     precision=precision)
+    SNs = jnp.einsum("ck,ki->ci", jnp.asarray(data.SNs, dtype=dt), css,
+                     precision=precision)
 
     # C1 (west face, r=0), sign +  (C2 east mirrors with signs)
     for c in range(nBS):
@@ -318,12 +331,14 @@ def assemble_planes(data: AssemblyData, crr, css, crs, neumann_mask):
     # face tensors and push their product into the planes.
     coefs = _neumann_mod(data, coefs, kidx, crr, css, crs,
                          (tau1, tau2, tau3, tau4), (S0r, SNr, S0s, SNs),
-                         qs_bands, qr_bands, neumann_mask)
+                         qs_bands, qr_bands, neumann_mask,
+                         precision=precision)
     return coefs
 
 
 def _neumann_mod(data, coefs, kidx, crr, css, crs, taus, Smats,
-                 qs_bands, qr_bands, mask):
+                 qs_bands, qr_bands, mask,
+                 precision=jax.lax.Precision.HIGHEST):
     """Subtract F_lf diag(HfI/tau) F_lf^T for Neumann faces (masked).
 
     F1 = G1^T - kron(diag(tau1*Hs), e_r0) with
@@ -372,7 +387,7 @@ def _neumann_mod(data, coefs, kidx, crr, css, crs, taus, Smats,
         F = face_F(sign, S_face, tau_f, Q, crs_e, Hface, nface)
         w = (HfI / tau_f) * mask[lf]
         # dM[i, a, i2, a'] = sum_j F[i,a,j] w[j] F[i2,a',j]
-        dM = jnp.einsum("iaj,j,kbj->iakb", F, w, F)
+        dM = jnp.einsum("iaj,j,kbj->iakb", F, w, F, precision=precision)
         for i in range(nBS):
             ci = col(i)
             for i2 in range(nBS):
