@@ -161,3 +161,27 @@ def test_geometry_ensemble_vmapped_solve():
                             np.asarray(b[gmem]).ravel())
         np.testing.assert_allclose(np.asarray(xs[gmem]).ravel(), want,
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_assembly_contractions_pinned_to_highest_precision():
+    """Every contraction in assemble_planes must carry HIGHEST precision.
+
+    On TPU, f32 einsums otherwise lower to bf16 MXU passes — a ~3e-3
+    operator perturbation that fine-level conditioning amplifies to
+    O(1) solution error (measured: the N=136 flagship assemble-device
+    solve "converged" to rel err 0.82 before the pin).
+    """
+    p, N = 4, 18
+    m = _curved(p, N, N)
+    data = extract_assembly_data(p, N, N)
+    mask = jnp.zeros(4)
+    f32 = lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda a, b, c: assemble_planes(data, a, b, c, mask))(
+        f32(m.crr), f32(m.css), f32(m.crs))
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "expected dot_general contractions in the assembly jaxpr"
+    bad = [str(e.params["precision"]) for e in dots
+           if e.params.get("precision")
+           != (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)]
+    assert not bad, f"{len(bad)} contraction(s) without HIGHEST precision"
