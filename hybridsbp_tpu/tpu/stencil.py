@@ -110,6 +110,65 @@ def dia_apply_compact(op: DiaOperator, u: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def flatten_dia(coefs: jnp.ndarray, offsets, Nrp: int):
+    """Convert 2D-offset DIA planes to 1D raveled-diagonal form.
+
+    On the C-order raveled volume index (j*Nrp + i, r fastest) the
+    logical offset (ds, dr) is the single linear offset ds*Nrp + dr —
+    the true matrix diagonal.  Distinct (ds, dr) pairs can collide on
+    one linear offset when |dr| wraps a full row (tiny blocks only);
+    colliding planes are exactly mergeable by summing coefficients.
+
+    Why: TPU tiles the two minor dims to (8, 128) — a (noff, Nsp, Nrp)
+    stack at Nrp=137 pads the lane dim to 256 (~1.9x wasted HBM
+    traffic, measured 1.5x apply slowdown at the flagship shape).  The
+    flat (noff, Nsp*Nrp) layout pads only Nsp*Nrp -> next 128 multiple
+    (<1%).
+
+    coefs: (..., noff, Nsp, Nrp) -> returns (coefs_flat, offsets_flat)
+    with coefs_flat (..., nflat, Nsp*Nrp) and offsets_flat a sorted
+    tuple of ints.
+    """
+    *lead, noff, Nsp, Nrp_ = coefs.shape
+    assert Nrp_ == Nrp
+    lin = {}
+    for k, (ds, dr) in enumerate(offsets):
+        lin.setdefault(ds * Nrp + dr, []).append(k)
+    offs = sorted(lin)
+    cf = coefs.reshape(*lead, noff, Nsp * Nrp)
+    planes = []
+    for o in offs:
+        ks = lin[o]
+        pl = cf[..., ks[0], :]
+        for k in ks[1:]:
+            pl = pl + cf[..., k, :]
+        planes.append(pl)
+    return jnp.stack(planes, axis=-2), tuple(offs)
+
+
+def dia_apply_flat(coefs_flat: jnp.ndarray, offsets_flat, u: jnp.ndarray,
+                   shape=None) -> jnp.ndarray:
+    """Apply a flat-form DIA operator (see :func:`flatten_dia`).
+
+    u: (..., Nsp, Nrp) or (..., Nvol); returns the same shape.
+    coefs_flat: (..., nflat, Nvol) broadcastable against u's lead dims.
+    """
+    out_shape = u.shape
+    if shape is not None or u.ndim >= 2:
+        Nvol = coefs_flat.shape[-1]
+        if u.shape[-1] != Nvol:
+            u = u.reshape(*u.shape[:-2], Nvol)
+    Nvol = u.shape[-1]
+    L = max(abs(o) for o in offsets_flat)
+    pad = [(0, 0)] * (u.ndim - 1) + [(L, L)]
+    up = jnp.pad(u, pad)
+    out = jnp.zeros_like(u)
+    for k, off in enumerate(offsets_flat):
+        shifted = jax.lax.slice_in_dim(up, L + off, L + off + Nvol, axis=-1)
+        out = out + coefs_flat[..., k, :] * shifted
+    return out.reshape(out_shape)
+
+
 def dia_diagonal(op: DiaOperator) -> jnp.ndarray:
     """Main diagonal (for Jacobi preconditioning)."""
     for k, (ds, dr) in enumerate(op.offsets):

@@ -602,3 +602,28 @@ def test_bf16_coef_storage_and_refined_solve():
     assert float(jnp.sqrt(jnp.sum(r * r))) / bn < 1e-11
     np.testing.assert_allclose(np.asarray(x), np.asarray(want.x),
                                rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("p", [2, 4, 6])
+def test_dia_apply_flat_matches_sparse(p):
+    """1D raveled-diagonal layout (flatten_dia/dia_apply_flat) is exact
+    — including offset collisions at tiny Nrp (|dr| comparable to the
+    row length), which merge by coefficient summation."""
+    from hybridsbp_tpu.tpu.stencil import dia_apply_flat, flatten_dia
+
+    N = 3 * p + 5
+    lop = locoperator(p, N, N, create_metrics(p, N, N),
+                      (BC_DIRICHLET, BC_NEUMANN, BC_NEUMANN, BC_DIRICHLET))
+    op = to_dia(lop.M, N + 1, N + 1)
+    cf, offs = flatten_dia(op.coefs, op.offsets, N + 1)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((N + 1, N + 1))
+    got = np.asarray(dia_apply_flat(cf, offs, jnp.asarray(u)))
+    want = (lop.M @ u.ravel()).reshape(N + 1, N + 1)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # batched: (E, nflat, Nvol) coefs against (E, Nsp, Nrp) fields
+    cfb = jnp.stack([cf, 2.0 * cf])
+    ub = jnp.stack([jnp.asarray(u), jnp.asarray(u)])
+    gb = np.asarray(dia_apply_flat(cfb, offs, ub))
+    np.testing.assert_allclose(gb[0], want, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(gb[1], 2 * want, rtol=1e-12, atol=1e-12)

@@ -51,6 +51,14 @@ def main():
                          "pattern (host assembly stays cheap)")
     ap.add_argument("--iters", type=int, nargs=2, default=(30, 90),
                     help="two-point fit chain lengths")
+    ap.add_argument("--E", type=int, default=None,
+                    help="override the block count (default: the "
+                         "56-block square_circle mesh) — isolates "
+                         "batch-size effects on the apply kernel")
+    ap.add_argument("--flat", action="store_true",
+                    help="time the 1D raveled-diagonal layout "
+                         "(stencil.dia_apply_flat) instead of the 2D "
+                         "plane layout — no lane-dim tile padding")
     a = ap.parse_args()
 
     import jax
@@ -69,6 +77,8 @@ def main():
     bp = build_blocked(prob, dtype=jnp.float32, with_fastdiag=False)
     offsets = tuple(tuple(int(x) for x in o) for o in np.asarray(bp.offsets))
     E, noff = len(prob.lops), len(offsets)
+    if a.E is not None:
+        E = a.E
     Np = a.N + 1
     _log(f"E={E} blocks, noff={noff} planes, block {Np}x{Np}")
 
@@ -76,10 +86,20 @@ def main():
     # streams coefs + u regardless of values; scale keeps the chain
     # finite (normalize by the plane count)
     key = jax.random.PRNGKey(0)
-    coefs = jax.jit(lambda k: jax.random.normal(
-        k, (E, noff, Np, Np), dtype=jnp.float32) / noff)(key)
-    u = jax.jit(lambda k: jax.random.normal(
-        k, (E, Np, Np), dtype=jnp.float32))(jax.random.PRNGKey(1))
+    if a.flat:
+        from hybridsbp_tpu.tpu.stencil import dia_apply_flat
+        flat_offs = tuple(sorted({ds * Np + dr for ds, dr in offsets}))
+        noff = len(flat_offs)
+        coefs = jax.jit(lambda k: jax.random.normal(
+            k, (E, noff, Np * Np), dtype=jnp.float32) / noff)(key)
+        u = jax.jit(lambda k: jax.random.normal(
+            k, (E, Np * Np), dtype=jnp.float32))(jax.random.PRNGKey(1))
+        _log(f"flat layout: {noff} merged linear offsets")
+    else:
+        coefs = jax.jit(lambda k: jax.random.normal(
+            k, (E, noff, Np, Np), dtype=jnp.float32) / noff)(key)
+        u = jax.jit(lambda k: jax.random.normal(
+            k, (E, Np, Np), dtype=jnp.float32))(jax.random.PRNGKey(1))
     jnp.sum(u).block_until_ready()
 
     # coefs enters as a jit ARGUMENT — closure arrays serialize into
@@ -88,7 +108,10 @@ def main():
     @jax.jit
     def runner(c, x, iters):
         def body(_, v):
-            y = dia_apply_batched(c, bp.offsets, v, use_pallas=False)
+            if a.flat:
+                y = dia_apply_flat(c, flat_offs, v)
+            else:
+                y = dia_apply_batched(c, bp.offsets, v, use_pallas=False)
             return y / (jnp.max(jnp.abs(y)) + 1e-30)
         x = jax.lax.fori_loop(0, iters, body, x, unroll=1)
         return jnp.sum(x)
@@ -127,6 +150,7 @@ def main():
 
     print(json.dumps({
         "backend": backend, "p": a.p, "N": a.N, "E": E, "noff": noff,
+        "layout": "flat" if a.flat else "planes",
         "t_apply_us": round(t_apply_us, 1),
         "roofline_us": round(roof_us, 1),
         "pct_roofline": round(100 * roof_us / t_apply_us, 1),
