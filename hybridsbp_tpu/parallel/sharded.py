@@ -68,8 +68,11 @@ def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
                 [fd.lam_s, jnp.full((extra, Nsp), 0.5, dtype=dt)]),
             s_inv=jnp.concatenate(
                 [fd.s_inv, jnp.ones((extra, Nsp, Nrp), dtype=dt)]))
+    # the flat companion layout (if any) is block-indexed too; padded/
+    # placed copies drop it — sharded paths apply the plane layout
     return bp._replace(coefs=coefs, faces=bp.faces._replace(Tb=T),
-                       EToF=EToF, flip=flip, JH=JH, fd=fd)
+                       EToF=EToF, flip=flip, JH=JH, fd=fd,
+                       coefs_flat=None, offsets_flat=None)
 
 
 def place_blocks(bp: BlockedHybrid, slots, E_pad: int) -> BlockedHybrid:
@@ -106,7 +109,8 @@ def place_blocks(bp: BlockedHybrid, slots, E_pad: int) -> BlockedHybrid:
     mask = bp.FToE >= 0
     FToE = np.where(mask, slots[np.clip(bp.FToE, 0, E - 1)], -1)
     return bpe._replace(coefs=coefs, faces=bpe.faces._replace(Tb=T),
-                        EToF=EToF, flip=flip, JH=JH, fd=fd, FToE=FToE)
+                        EToF=EToF, flip=flip, JH=JH, fd=fd, FToE=FToE,
+                        coefs_flat=None, offsets_flat=None)
 
 
 def place_fields(x, slots, E_pad: int):
@@ -187,7 +191,7 @@ def two_level_precond(a, bpp, trace_inv, inner_iters, block_precond=None):
         from ..tpu.multiblock import traceinv_with, woodbury_precond
         bp2 = bpp._replace(coefs=a["coefs"], Dinv=a["Dinv"],
                            faces=bpp.faces._replace(Tb=tuple(a["T"])),
-                           fd=a["fd"])
+                           fd=a["fd"], coefs_flat=None, offsets_flat=None)
         ti2 = traceinv_with(trace_inv, a["Binv"])
         return (woodbury_precond(bp2, ti2, inner_iters=inner_iters,
                                  block_precond=block_precond),

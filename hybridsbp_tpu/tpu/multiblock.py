@@ -96,6 +96,12 @@ class BlockedHybrid(NamedTuple):
     perm_lf: np.ndarray = None
     perm_face: np.ndarray = None
     shared: bool = False          # coefs block axis is broadcast (extent 1)
+    # optional 1D raveled-diagonal companion layout (see
+    # stencil.flatten_dia / :func:`with_flat_layout`): avoids the TPU
+    # lane-dim tile padding of the 2D planes at 128-unaligned Nrp
+    # (measured 2.3x apply speedup at the flagship 137x137 shape).
+    coefs_flat: jnp.ndarray = None       # (E|1, nflat, Nsp*Nrp)
+    offsets_flat: Tuple[int, ...] = None
 
     @property
     def grid_shape(self):
@@ -132,7 +138,7 @@ def bp_arrays(bp: "BlockedHybrid"):
     footprint and blows past the axon remote-compile request limit
     (HTTP 413; measured 87 MB proto for a 10 MB operator)."""
     return {"coefs": bp.coefs, "Tb": bp.faces.Tb, "Dinv": bp.Dinv,
-            "JH": bp.JH, "fd": bp.fd}
+            "JH": bp.JH, "fd": bp.fd, "coefs_flat": bp.coefs_flat}
 
 
 def bp_with(bp: "BlockedHybrid", arrs) -> "BlockedHybrid":
@@ -141,7 +147,25 @@ def bp_with(bp: "BlockedHybrid", arrs) -> "BlockedHybrid":
     return bp._replace(coefs=arrs["coefs"], Dinv=arrs["Dinv"],
                        JH=arrs["JH"],
                        faces=bp.faces._replace(Tb=arrs["Tb"]),
-                       fd=arrs["fd"])
+                       fd=arrs["fd"],
+                       coefs_flat=arrs.get("coefs_flat"))
+
+
+def with_flat_layout(bp: "BlockedHybrid") -> "BlockedHybrid":
+    """Attach the 1D raveled-diagonal coefficient layout (exact; see
+    stencil.flatten_dia).  The flat stack avoids the (8, 128) tile
+    padding of the 2D planes — at the flagship 137x137 block shape the
+    lane dim pads 137 -> 256, ~1.9x wasted coefficient traffic
+    (measured: 3813 -> 1668 us/apply on v5e, 2.3x).  The plane stack
+    is kept (sharded paths and diag consumers read it); applies route
+    through the flat stack via ``stencil='flat'`` or 'auto'."""
+    from .stencil import flatten_dia
+
+    Nsp, Nrp = bp.grid_shape
+    coefs_flat, offs = jax.jit(
+        lambda c: flatten_dia(c, bp.offsets, Nrp)[0])(bp.coefs), \
+        tuple(sorted({ds * Nrp + dr for ds, dr in bp.offsets}))
+    return bp._replace(coefs_flat=coefs_flat, offsets_flat=offs)
 
 
 def _face_layer_sets(p, Nr, Ns):
@@ -157,7 +181,8 @@ _ASSEMBLY_DATA_CACHE = {}
 
 def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                   L=None, share_ops="auto",
-                  coef_dtype=None, assemble_on_device=False) -> BlockedHybrid:
+                  coef_dtype=None, assemble_on_device=False,
+                  flat="auto") -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
     Requires a uniform block shape (rectangular Nr != Ns allowed);
@@ -175,6 +200,12 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     only (e.g. ``jnp.bfloat16`` — halves the dominant HBM stream of
     the matvec; fields/face tensors/fastdiag stay in ``dtype``).  See
     :class:`BlockedHybrid`.
+
+    ``flat``: also store the 1D raveled-diagonal coefficient layout
+    (see :func:`with_flat_layout` — measured 2.3x apply at the
+    flagship 137x137 shape).  'auto' enables it on TPU backends when
+    the (8, 128) tile padding of the block shape wastes > 10%
+    traffic; True forces, False disables.
     """
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
@@ -333,7 +364,7 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         fd = FastDiag(*(jnp.stack([getattr(f, name) for f in fds])
                         for name in FastDiag._fields))
 
-    return BlockedHybrid(
+    bp = BlockedHybrid(
         coefs=jnp.asarray(coefs, dtype=coef_dtype or dtype),
         offsets=tuple(all_offs),
         faces=FaceOps(Tb=tuple(Tb), offs=tuple(offs_all),
@@ -343,14 +374,22 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         EToF=np.asarray(prob.EToF),
         flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype),
         fd=fd, perm_lf=perm_lf, perm_face=perm_face, shared=shared)
+    if flat == "auto":
+        waste = (-(Nsp // -8) * 8) * (-(Nrp // -128) * 128) / (Nsp * Nrp)
+        flat = jax.default_backend() not in ("cpu",) and waste > 1.10
+    if flat:
+        bp = with_flat_layout(bp)
+    return bp
 
 
 def with_coef_dtype(bp: BlockedHybrid, dtype) -> BlockedHybrid:
     """Copy of ``bp`` with the DIA coefficient stack cast to ``dtype``
     (typically ``jnp.bfloat16``): the matvec upcasts on-chip, so only
     the HBM storage/traffic of the dominant coefficient stream changes.
-    Everything else (face tensors, Dinv, JH, fastdiag) is untouched."""
-    return bp._replace(coefs=bp.coefs.astype(dtype))
+    Everything else (face tensors, Dinv, JH, fastdiag) is untouched.
+    A flat companion layout (if any) is cast alongside."""
+    cf = None if bp.coefs_flat is None else bp.coefs_flat.astype(dtype)
+    return bp._replace(coefs=bp.coefs.astype(dtype), coefs_flat=cf)
 
 
 # ---------------------------------------------------------------------------
@@ -359,11 +398,18 @@ def with_coef_dtype(bp: BlockedHybrid, dtype) -> BlockedHybrid:
 def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
     """Local part: per-block DIA stencil apply. u: (E, Nsp, Nrp).
 
-    ``stencil`` selects the kernel: 'auto' (Pallas VMEM kernel on large
-    TPU blocks, XLA fused form elsewhere), 'pallas', 'unrolled' (force
-    the XLA form), or 'compact' (scan-based apply with O(1) program
-    size in the offset count — for programs near the remote-compile
-    request-size limit, see stencil.dia_apply_compact)."""
+    ``stencil`` selects the kernel: 'auto' (the flat raveled-diagonal
+    layout when the operator carries one — see
+    :func:`with_flat_layout` — else the XLA fused plane form),
+    'flat' (require the flat layout), 'pallas', 'unrolled' (force
+    the XLA plane form), or 'compact' (scan-based apply with O(1)
+    program size in the offset count — for programs near the
+    remote-compile request-size limit, see stencil.dia_apply_compact)."""
+    if stencil == "flat" or (stencil == "auto" and bp.coefs_flat is not None):
+        from .stencil import dia_apply_flat
+        assert bp.coefs_flat is not None, \
+            "stencil='flat' requires with_flat_layout(bp)"
+        return dia_apply_flat(bp.coefs_flat, bp.offsets_flat, u)
     if stencil == "compact":
         from .stencil import DiaOperator, dia_apply_compact
         offs = bp.offsets

@@ -627,3 +627,45 @@ def test_dia_apply_flat_matches_sparse(p):
     gb = np.asarray(dia_apply_flat(cfb, offs, ub))
     np.testing.assert_allclose(gb[0], want, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(gb[1], 2 * want, rtol=1e-12, atol=1e-12)
+
+
+def test_blocked_solve_flat_layout_matches_host():
+    """with_flat_layout / build_blocked(flat=True): the auto-routed
+    flat-stencil solve reproduces the host direct solve, and the flat
+    apply equals the plane apply bit-for-bit on the coupled matvec."""
+    from hybridsbp_tpu.tpu.multiblock import (displacement_matvec,
+                                              with_flat_layout)
+
+    p, N = 2, 16
+    prob = _two_block(p=p, N=N)
+    bp = build_blocked(prob, flat=False)
+    bpf = with_flat_layout(bp)
+    assert bpf.coefs_flat is not None and bpf.offsets_flat is not None
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((2, N + 1, N + 1)))
+    y_plane = displacement_matvec(bp, u, stencil="unrolled")
+    y_flat = displacement_matvec(bpf, u, stencil="flat")
+    np.testing.assert_allclose(np.asarray(y_flat), np.asarray(y_plane),
+                               rtol=1e-13, atol=1e-13)
+
+    uex = lambda x, y: np.sin(np.pi * x) * np.cosh(y) + x * y
+    ux = lambda x, y: np.pi * np.cos(np.pi * x) * np.cosh(y) + y
+    uy = lambda x, y: np.sin(np.pi * x) * np.sinh(y) + x
+    f = lambda x, y: (np.pi**2 - 1) * np.sin(np.pi * x) * np.cosh(y)
+    g = np.zeros(int(prob.vstarts[-1]))
+    for e in range(2):
+        lop = prob.lops[e]
+        ge = locbcarray_mod(
+            lop, lop.bctype, lambda lf, x, y: uex(x, y),
+            lambda lf, x, y, nx, ny: nx * ux(x, y) + ny * uy(x, y))
+        ge += locsourcearray(lop, f)
+        g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
+    u_host, _ = prob.solve(g, np.zeros(int(prob.FToLstarts[-1])),
+                           method="displacements")
+    gb = jnp.asarray(g.reshape(2, N + 1, N + 1))
+    res = solve_displacements(bpf, gb, jnp.zeros_like(bp.Dinv),
+                              tol=1e-12, maxiter=5000)  # auto -> flat
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
