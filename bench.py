@@ -396,6 +396,18 @@ def main():
     candidates["xla_shared"] = per_iter_time(
         lambda v: scale * dia_apply_shared(c1, v, op.offsets), u)
 
+    # flat (1D raveled-diagonal) shared layout: avoids the (8, 128)
+    # tile padding of the 2D planes (257 lanes pad to 384 here — ~1.5x
+    # wasted coefficient+field traffic).  This is what the framework
+    # auto-selects on this mesh (build_blocked flat='auto' on TPU);
+    # exact — flatten_dia is a bit-exact relayout (test-gated).
+    from hybridsbp_tpu.tpu.stencil import dia_apply_flat, flatten_dia
+    _log("timing xla shared flat kernel")
+    c1_flat, offs_flat = flatten_dia(c1, op.offsets, N + 1)
+    uf = u.reshape(E, -1)
+    candidates["xla_shared_flat"] = per_iter_time(
+        lambda v: scale * dia_apply_flat(c1_flat, offs_flat, v), uf)
+
     best_name = min(candidates, key=candidates.get)
     best = candidates[best_name]
     gdof_s = dofs / best / 1e9
