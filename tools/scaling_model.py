@@ -40,6 +40,9 @@ def _roofline_us(E, L, noff):
 
 MESHES = {
     "square_circle_p6": {"E": 56, "ifaces": 96, "L": 137, "noff": 133,
+                         # measured on-chip r3 (calibrate_scaling.py,
+                         # flat layout — the framework auto-choice):
+                         "t_apply_meas_us": 1668.2,
                          "cut_frac": {2: 0.09, 4: 0.17, 8: 0.31}},
     "bp1_v1_N96": {"E": 194, "ifaces": 353, "L": 97, "noff": 9,
                    "cut_frac": {2: 0.05, 4: 0.11, 8: 0.21, 16: 0.34}},
@@ -88,7 +91,10 @@ def main():
 
     m = MESHES[a.mesh]
     if a.t_apply_us is None:
-        a.t_apply_us = round(_roofline_us(m["E"], m["L"], m["noff"]), 1)
+        # prefer the measured on-chip apply time when the mesh carries
+        # one (calibrate_scaling.py); fall back to the HBM roofline
+        a.t_apply_us = m.get("t_apply_meas_us") \
+            or round(_roofline_us(m["E"], m["L"], m["noff"]), 1)
     t_apply = a.t_apply_us * 1e-6
     rows = []
     for n in (1, 2, 4, 8, 16):
