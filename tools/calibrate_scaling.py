@@ -59,6 +59,11 @@ def main():
                     help="time the 1D raveled-diagonal layout "
                          "(stencil.dia_apply_flat) instead of the 2D "
                          "plane layout — no lane-dim tile padding")
+    ap.add_argument("--echunk", type=int, default=None,
+                    help="with --flat: apply in lax.scan chunks of "
+                         "this many blocks (tests whether bounding "
+                         "the fusion working set stops XLA re-reading "
+                         "the shifted field per offset at large E)")
     a = ap.parse_args()
 
     import jax
@@ -105,10 +110,20 @@ def main():
     # coefs enters as a jit ARGUMENT — closure arrays serialize into
     # the HLO as literal constants (560 MB at flagship shape -> remote-
     # compile HTTP 413; see TODO.md environment constraints)
+    K = a.echunk
+    if K:
+        assert a.flat and E % K == 0, "--echunk requires --flat and K | E"
+
     @jax.jit
     def runner(c, x, iters):
         def body(_, v):
-            if a.flat:
+            if a.flat and K:
+                cc = c.reshape(E // K, K, *c.shape[1:])
+                vv = v.reshape(E // K, K, v.shape[-1])
+                y = jax.lax.map(
+                    lambda cv: dia_apply_flat(cv[0], flat_offs, cv[1]),
+                    (cc, vv)).reshape(v.shape)
+            elif a.flat:
                 y = dia_apply_flat(c, flat_offs, v)
             else:
                 y = dia_apply_batched(c, bp.offsets, v, use_pallas=False)
