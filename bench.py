@@ -263,7 +263,8 @@ def bench_hybrid_ref_sub():
 
     res = run_device_multi(p=6, N=68, tol=1e-6, inner_iters=8,
                            verbose=False, repeats=5,
-                           methods=("displacements", "trace"))
+                           methods=("displacements", "trace"),
+                           trace_mode="banded")
     d, t = res["displacements"], res["trace"]
     print(json.dumps({
         "hybrid_ref_dofs": d["nvol"],
@@ -465,7 +466,7 @@ def main():
     # DOF blow the bench budget there)
     if backend != "cpu":
         _log("sub-bench: hybrid reference-scale (267k DOF)")
-        sub = _run_sub("hybrid_ref", timeout=1800)
+        sub = _run_sub("hybrid_ref", timeout=2700)
         if sub:
             detail.update(sub)
     else:
