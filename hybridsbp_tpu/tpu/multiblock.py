@@ -100,8 +100,9 @@ class BlockedHybrid(NamedTuple):
     # stencil.flatten_dia / :func:`with_flat_layout`): avoids the TPU
     # lane-dim tile padding of the 2D planes at 128-unaligned Nrp
     # (measured 2.3x apply speedup at the flagship 137x137 shape).
-    coefs_flat: jnp.ndarray = None       # (E|1, nflat, Nsp*Nrp)
+    coefs_flat: jnp.ndarray = None       # (E_pad|1, nflat, Nsp*Nrp)
     offsets_flat: Tuple[int, ...] = None
+    flat_chunk: int = None               # lax.map chunk size (static)
 
     @property
     def grid_shape(self):
@@ -151,21 +152,45 @@ def bp_with(bp: "BlockedHybrid", arrs) -> "BlockedHybrid":
                        coefs_flat=arrs.get("coefs_flat"))
 
 
-def with_flat_layout(bp: "BlockedHybrid") -> "BlockedHybrid":
+def with_flat_layout(bp: "BlockedHybrid", echunk="auto") -> "BlockedHybrid":
     """Attach the 1D raveled-diagonal coefficient layout (exact; see
     stencil.flatten_dia).  The flat stack avoids the (8, 128) tile
     padding of the 2D planes — at the flagship 137x137 block shape the
     lane dim pads 137 -> 256, ~1.9x wasted coefficient traffic
     (measured: 3813 -> 1668 us/apply on v5e, 2.3x).  The plane stack
     is kept (sharded paths and diag consumers read it); applies route
-    through the flat stack via ``stencil='flat'`` or 'auto'."""
+    through the flat stack via ``stencil='flat'`` or 'auto'.
+
+    ``echunk``: apply the flat stencil in a ``lax.map`` over chunks of
+    this many blocks.  At large batch XLA re-reads the shifted field
+    once per offset; bounding the fused working set to ~8 blocks stops
+    that (measured at the flagship shape: 1668 -> 1049 us, total 3.6x
+    over the plane layout — 83% of the measured-bandwidth roofline).
+    'auto' = 8 for per-block stacks with E >= 16 on TPU, else off;
+    the stack is zero-padded to a chunk multiple (padding blocks cost
+    <= one chunk of extra work and are sliced off the result)."""
     from .stencil import flatten_dia
 
     Nsp, Nrp = bp.grid_shape
+    E = bp.coefs.shape[0]
+    if echunk == "auto":
+        echunk = 8 if (E >= 16 and not bp.shared
+                       and jax.default_backend() not in ("cpu",)) else None
+    if bp.shared:
+        # a shared stack has a broadcast block axis of extent 1 —
+        # chunking it would zero-pad the broadcast (and the shared
+        # apply's coefficient traffic already amortizes E-fold)
+        echunk = None
     coefs_flat, offs = jax.jit(
         lambda c: flatten_dia(c, bp.offsets, Nrp)[0])(bp.coefs), \
         tuple(sorted({ds * Nrp + dr for ds, dr in bp.offsets}))
-    return bp._replace(coefs_flat=coefs_flat, offsets_flat=offs)
+    if echunk:
+        pad = (-E) % echunk
+        if pad:
+            coefs_flat = jax.jit(lambda c: jnp.concatenate(
+                [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)]))(coefs_flat)
+    return bp._replace(coefs_flat=coefs_flat, offsets_flat=offs,
+                       flat_chunk=echunk or None)
 
 
 def _face_layer_sets(p, Nr, Ns):
@@ -409,7 +434,22 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
         from .stencil import dia_apply_flat
         assert bp.coefs_flat is not None, \
             "stencil='flat' requires with_flat_layout(bp)"
-        return dia_apply_flat(bp.coefs_flat, bp.offsets_flat, u)
+        cf, K = bp.coefs_flat, bp.flat_chunk
+        if not K:
+            return dia_apply_flat(cf, bp.offsets_flat, u)
+        # block-chunked: lax.map bounds the fused working set so XLA
+        # stops re-reading the shifted field per offset at large E
+        # (measured 1.6x on top of flat at the flagship shape)
+        E, E_pad = u.shape[0], cf.shape[0]
+        uf = u.reshape(E, -1)
+        if E_pad != E:
+            uf = jnp.concatenate(
+                [uf, jnp.zeros((E_pad - E, uf.shape[1]), uf.dtype)])
+        out = jax.lax.map(
+            lambda cv: dia_apply_flat(cv[0], bp.offsets_flat, cv[1]),
+            (cf.reshape(E_pad // K, K, *cf.shape[1:]),
+             uf.reshape(E_pad // K, K, uf.shape[-1])))
+        return out.reshape(E_pad, -1)[:E].reshape(u.shape)
     if stencil == "compact":
         from .stencil import DiaOperator, dia_apply_compact
         offs = bp.offsets

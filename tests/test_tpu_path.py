@@ -669,3 +669,32 @@ def test_blocked_solve_flat_layout_matches_host():
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x).ravel(), u_host,
                                rtol=1e-6, atol=1e-8)
+
+
+def test_flat_layout_chunked_matches():
+    """Chunked flat apply (with_flat_layout echunk=K, incl. zero-pad to
+    a chunk multiple) equals the unchunked flat and plane applies."""
+    from hybridsbp_tpu.tpu.multiblock import (displacement_matvec,
+                                              with_flat_layout)
+
+    p, N = 2, 16
+    prob = _two_block(p=p, N=N)
+    # per-block stacks (share_ops off): chunking applies to these only;
+    # a shared stack keeps its broadcast axis (with_flat_layout refuses
+    # to chunk it — asserted below)
+    bp = build_blocked(prob, flat=False, share_ops=False)  # E=2
+    bpf = with_flat_layout(bp, echunk=None)
+    bpc = with_flat_layout(bp, echunk=3)          # pads E 2 -> 3
+    assert bpc.flat_chunk == 3 and bpc.coefs_flat.shape[0] == 3
+    bps = build_blocked(prob, flat=False)         # auto: shared here
+    if bps.shared:
+        assert with_flat_layout(bps, echunk=3).flat_chunk is None
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((2, N + 1, N + 1)))
+    y0 = displacement_matvec(bp, u, stencil="unrolled")
+    y1 = displacement_matvec(bpf, u, stencil="flat")
+    y2 = displacement_matvec(bpc, u, stencil="flat")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y0),
+                               rtol=1e-13, atol=1e-13)
