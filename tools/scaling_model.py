@@ -41,8 +41,9 @@ def _roofline_us(E, L, noff):
 MESHES = {
     "square_circle_p6": {"E": 56, "ifaces": 96, "L": 137, "noff": 133,
                          # measured on-chip r3 (calibrate_scaling.py,
-                         # flat layout — the framework auto-choice):
-                         "t_apply_meas_us": 1668.2,
+                         # chunked flat layout — the framework
+                         # auto-choice: --flat --echunk 8):
+                         "t_apply_meas_us": 1048.7,
                          "cut_frac": {2: 0.09, 4: 0.17, 8: 0.31}},
     "bp1_v1_N96": {"E": 194, "ifaces": 353, "L": 97, "noff": 9,
                    "cut_frac": {2: 0.05, 4: 0.11, 8: 0.21, 16: 0.34}},
