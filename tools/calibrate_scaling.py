@@ -59,6 +59,11 @@ def main():
                     help="time the 1D raveled-diagonal layout "
                          "(stencil.dia_apply_flat) instead of the 2D "
                          "plane layout — no lane-dim tile padding")
+    ap.add_argument("--coef-dtype", default=None,
+                    help="narrower coefficient storage dtype (e.g. "
+                         "bfloat16) — measures whether the layout "
+                         "realizes the halved coefficient stream "
+                         "(the r2 plane layout did NOT: +3%%)")
     ap.add_argument("--echunk", type=int, default=None,
                     help="with --flat: apply in lax.scan chunks of "
                          "this many blocks (tests whether bounding "
@@ -105,6 +110,9 @@ def main():
             k, (E, noff, Np, Np), dtype=jnp.float32) / noff)(key)
         u = jax.jit(lambda k: jax.random.normal(
             k, (E, Np, Np), dtype=jnp.float32))(jax.random.PRNGKey(1))
+    if a.coef_dtype:
+        coefs = jax.jit(lambda c: c.astype(a.coef_dtype))(coefs)
+        _log(f"coefficient storage dtype: {a.coef_dtype}")
     jnp.sum(u).block_until_ready()
 
     # coefs enters as a jit ARGUMENT — closure arrays serialize into
@@ -166,6 +174,7 @@ def main():
     print(json.dumps({
         "backend": backend, "p": a.p, "N": a.N, "E": E, "noff": noff,
         "layout": "flat" if a.flat else "planes",
+        "echunk": a.echunk, "coef_dtype": a.coef_dtype or "float32",
         "t_apply_us": round(t_apply_us, 1),
         "roofline_us": round(roof_us, 1),
         "pct_roofline": round(100 * roof_us / t_apply_us, 1),
