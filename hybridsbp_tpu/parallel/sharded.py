@@ -189,9 +189,13 @@ def two_level_precond(a, bpp, trace_inv, inner_iters, block_precond=None):
     fastdiag form of the 2D mesh)."""
     if trace_inv is not None:
         from ..tpu.multiblock import traceinv_with, woodbury_precond
-        bp2 = bpp._replace(coefs=a["coefs"], Dinv=a["Dinv"],
-                           faces=bpp.faces._replace(Tb=tuple(a["T"])),
-                           fd=a["fd"], coefs_flat=None, offsets_flat=None)
+        cf = a.get("coefs_flat")
+        bp2 = bpp._replace(
+            coefs=a["coefs"], Dinv=a["Dinv"],
+            faces=bpp.faces._replace(Tb=tuple(a["T"])), fd=a["fd"],
+            coefs_flat=cf,
+            offsets_flat=bpp.offsets_flat if cf is not None else None,
+            flat_chunk=None)
         ti2 = traceinv_with(trace_inv, a["Binv"])
         return (woodbury_precond(bp2, ti2, inner_iters=inner_iters,
                                  block_precond=block_precond),
@@ -216,6 +220,13 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     E = bp.nblocks
     E_pad = ((E + ndev - 1) // ndev) * ndev
     bpp = pad_blocks(bp, E_pad)
+    # flat raveled-diagonal layout (tpu.multiblock.with_flat_layout):
+    # per-shard applies — the shard_map matvec AND the GSPMD-level
+    # Woodbury inner sweeps — avoid the (8, 128) tile padding of the
+    # plane stack (measured 2.3x at 128-unaligned block shapes).  No
+    # block-chunking under sharding (the per-shard batch is small).
+    from ..tpu.multiblock import with_flat_layout
+    bpp = with_flat_layout(bpp, echunk=None)
     offsets = bpp.offsets
     layers = bpp.faces.layers
     nfaces = bpp.Dinv.shape[0]
@@ -246,12 +257,10 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         in_specs=(P(axis), coef_spec, tuple(P(axis) for _ in range(4)),
                   P(axis), P(axis), P()),
         out_specs=P(axis))
-    def matvec_sm(u, coefs, T, etof_loc, flip_loc, Dinv):
-        from ..tpu.pallas_stencil import dia_apply_batched, dia_apply_shared
-        if bpp.shared:
-            y = dia_apply_shared(coefs[0], u, offsets)
-        else:
-            y = dia_apply_batched(coefs, offsets, u)  # auto kernel choice
+    def matvec_sm(u, cf, T, etof_loc, flip_loc, Dinv):
+        from ..tpu.stencil import dia_apply_flat
+        # flat layout serves shared stacks too (broadcast block axis)
+        y = dia_apply_flat(cf, bpp.offsets_flat, u)
         t_loc = local_traces(u, T)
         t_all = jax.lax.all_gather(t_loc, axis, tiled=True)   # (E_pad,4,L)
         w = combine(t_all, Dinv)
@@ -268,7 +277,8 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     # closure arrays lower to HLO literals duplicated per while-loop
     # computation, which bloats the program (and trips the axon
     # remote-compile size limit at scale — see tpu.multiblock.bp_arrays)
-    arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
+    arrs = {"coefs": bpp.coefs, "coefs_flat": bpp.coefs_flat,
+            "T": bpp.faces.Tb, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
             "diag": bpp.coefs[:, diag_k],
             "Binv": None if trace_inv is None else _tia(trace_inv)}
@@ -280,12 +290,14 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         w0 = gdelta_faces * Dinv
         coefs = jax.lax.with_sharding_constraint(
             a["coefs"], NamedSharding(mesh, coef_spec))
+        cf = jax.lax.with_sharding_constraint(
+            a["coefs_flat"], NamedSharding(mesh, coef_spec))
         T = tuple(constrain(t) for t in a["T"])
         etof = constrain(a["etof"])
         flps = constrain(a["flip"])
         precond, flexible = two_level_precond(
-            {"coefs": coefs, "T": T, "Dinv": Dinv, "fd": a["fd"],
-             "diag": a["diag"], "Binv": a["Binv"]},
+            {"coefs": coefs, "coefs_flat": cf, "T": T, "Dinv": Dinv,
+             "fd": a["fd"], "diag": a["diag"], "Binv": a["Binv"]},
             bpp, trace_inv, inner_iters)
 
         corr = jax.shard_map(
@@ -296,7 +308,7 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             out_specs=P(axis))(w0, T, etof, flps, g)
         b = g - corr
 
-        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps, Dinv), b,
+        return cg(lambda u: matvec_sm(u, cf, T, etof, flps, Dinv), b,
                   tol=tol, maxiter=cg_maxiter, precond=precond,
                   flexible=flexible)
 
