@@ -83,6 +83,9 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         bpp = pad_blocks(bp, E_pad)
     parts = np.arange(E_pad) // E_per        # slice id per SLOT
 
+    # flat raveled-diagonal layout per shard (see parallel/sharded.py)
+    from ..tpu.multiblock import with_flat_layout
+    bpp = with_flat_layout(bpp, echunk=None)
     offsets = bpp.offsets
     L = bpp.Dinv.shape[1]
     nfaces = bpp.Dinv.shape[0]
@@ -147,12 +150,9 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         in_specs=(both, coef_spec, tuple(both for _ in range(4)), both,
                   both, P()),
         out_specs=both)
-    def matvec_sm(u, coefs, T, etof_loc, flip_loc, Dinv):
-        from ..tpu.pallas_stencil import dia_apply_batched, dia_apply_shared
-        if bpp.shared:
-            y = dia_apply_shared(coefs[0], u, offsets)
-        else:
-            y = dia_apply_batched(coefs, offsets, u)
+    def matvec_sm(u, cf, T, etof_loc, flip_loc, Dinv):
+        from ..tpu.stencil import dia_apply_flat
+        y = dia_apply_flat(cf, bpp.offsets_flat, u)
         t_loc = local_traces(u, T)
         t_sl = jax.lax.all_gather(t_loc, block_axis, tiled=True)  # slice's
         s_idx = jax.lax.axis_index(slice_axis)
@@ -166,7 +166,8 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
 
     # large arrays as jit arguments, not closure literals (see
     # tpu.multiblock.bp_arrays for the rationale)
-    arrs = {"coefs": bpp.coefs, "T": bpp.faces.Tb, "etof": EToF_t,
+    arrs = {"coefs": bpp.coefs, "coefs_flat": bpp.coefs_flat,
+            "T": bpp.faces.Tb, "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
             "diag": bpp.coefs[:, diag_k],
             "Binv": None if trace_inv is None else _tia(trace_inv)}
@@ -175,14 +176,16 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):
         g = jax.lax.with_sharding_constraint(g, sh(both))
         coefs = jax.lax.with_sharding_constraint(a["coefs"], sh(coef_spec))
+        cf = jax.lax.with_sharding_constraint(a["coefs_flat"],
+                                              sh(coef_spec))
         T = tuple(jax.lax.with_sharding_constraint(t, sh(both))
                   for t in a["T"])
         etof = jax.lax.with_sharding_constraint(a["etof"], sh(both))
         flps = jax.lax.with_sharding_constraint(a["flip"], sh(both))
         Dinv = a["Dinv"]
         precond, flexible = two_level_precond(
-            {"coefs": coefs, "T": T, "Dinv": Dinv, "fd": a["fd"],
-             "diag": a["diag"], "Binv": a["Binv"]},
+            {"coefs": coefs, "coefs_flat": cf, "T": T, "Dinv": Dinv,
+             "fd": a["fd"], "diag": a["diag"], "Binv": a["Binv"]},
             bpp, trace_inv, inner_iters)
         w0 = gdelta_faces * Dinv
         corr = jax.shard_map(
@@ -191,7 +194,7 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             in_specs=(P(), tuple(both for _ in range(4)), both, both, both),
             out_specs=both)(w0, T, etof, flps, g)
         b = g - corr
-        return cg(lambda u: matvec_sm(u, coefs, T, etof, flps, Dinv), b,
+        return cg(lambda u: matvec_sm(u, cf, T, etof, flps, Dinv), b,
                   tol=tol, maxiter=cg_maxiter, precond=precond,
                   flexible=flexible)
 
