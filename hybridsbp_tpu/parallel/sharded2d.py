@@ -71,7 +71,14 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     R_halo = max(abs(dr) for _, dr in offsets)
 
     def dia_local(coefs_loc, u_loc):
-        """Per-block DIA apply with s-halo exchange; u_loc (E, S_loc, Nrp)."""
+        """Per-block DIA apply with s-halo exchange; u_loc (E, S_loc, Nrp).
+
+        Stays on the 2D plane layout by design: the space axis shards
+        s-rows within a block, and the flat raveled-diagonal layout
+        (parallel/sharded.py, tpu.multiblock.with_flat_layout) would
+        interleave those rows across shards — its 1D shifts become the
+        same halo exchange this form already does, with none of the
+        padding win (the lane dim here is the shard-local s extent)."""
         top, bot = halo_exchange_s(u_loc, S_halo, space_axis)
         up = jnp.concatenate([top, u_loc, bot], axis=-2)
         up = jnp.pad(up, ((0, 0), (0, 0), (R_halo, R_halo)))
