@@ -146,19 +146,17 @@ def flatten_dia(coefs: jnp.ndarray, offsets, Nrp: int):
     return jnp.stack(planes, axis=-2), tuple(offs)
 
 
-def dia_apply_flat(coefs_flat: jnp.ndarray, offsets_flat, u: jnp.ndarray,
-                   shape=None) -> jnp.ndarray:
+def dia_apply_flat(coefs_flat: jnp.ndarray, offsets_flat,
+                   u: jnp.ndarray) -> jnp.ndarray:
     """Apply a flat-form DIA operator (see :func:`flatten_dia`).
 
     u: (..., Nsp, Nrp) or (..., Nvol); returns the same shape.
     coefs_flat: (..., nflat, Nvol) broadcastable against u's lead dims.
     """
     out_shape = u.shape
-    if shape is not None or u.ndim >= 2:
-        Nvol = coefs_flat.shape[-1]
-        if u.shape[-1] != Nvol:
-            u = u.reshape(*u.shape[:-2], Nvol)
-    Nvol = u.shape[-1]
+    Nvol = coefs_flat.shape[-1]
+    if u.shape[-1] != Nvol:
+        u = u.reshape(*u.shape[:-2], Nvol)
     L = max(abs(o) for o in offsets_flat)
     pad = [(0, 0)] * (u.ndim - 1) + [(L, L)]
     up = jnp.pad(u, pad)
