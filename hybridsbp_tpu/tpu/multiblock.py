@@ -426,10 +426,17 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
     ``stencil`` selects the kernel: 'auto' (the flat raveled-diagonal
     layout when the operator carries one — see
     :func:`with_flat_layout` — else the XLA fused plane form),
-    'flat' (require the flat layout), 'pallas', 'unrolled' (force
+    'flat' (require the flat layout), 'flat_pallas' (the streaming
+    Pallas form of the flat layout — strip-DMA'd coefficients +
+    resident field, opt-in), 'pallas', 'unrolled' (force
     the XLA plane form), or 'compact' (scan-based apply with O(1)
     program size in the offset count — for programs near the
     remote-compile request-size limit, see stencil.dia_apply_compact)."""
+    if stencil == "flat_pallas":
+        from .pallas_stencil import dia_apply_flat_stream
+        assert bp.coefs_flat is not None, \
+            "stencil='flat_pallas' requires with_flat_layout(bp)"
+        return dia_apply_flat_stream(bp.coefs_flat, bp.offsets_flat, u)
     if stencil == "flat" or (stencil == "auto" and bp.coefs_flat is not None):
         from .stencil import dia_apply_flat
         assert bp.coefs_flat is not None, \
@@ -463,8 +470,8 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
         use_pallas = {"auto": None, "pallas": True, "unrolled": False}[stencil]
     except KeyError:
         raise ValueError(
-            f"unknown stencil {stencil!r}: expected 'auto', 'pallas', "
-            "'unrolled', or 'compact'") from None
+            f"unknown stencil {stencil!r}: expected 'auto', 'flat', "
+            "'flat_pallas', 'pallas', 'unrolled', or 'compact'") from None
     if bp.shared:
         from .pallas_stencil import dia_apply_shared
         return dia_apply_shared(bp.coefs[0], u, bp.offsets,

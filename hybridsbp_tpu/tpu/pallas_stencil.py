@@ -327,6 +327,108 @@ def dia_apply_shared_stream(coefs, u, offsets, interpret=False):
     )(u, coefs)
 
 
+def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
+                        u_ref, coef_hbm, out_ref):
+    """Flat-layout streaming kernel: the block's field is staged once in
+    VMEM (padded by the max linear offset), and the flat coefficient
+    stack — the dominant HBM traffic — is streamed in KO-offset strips
+    with double-buffered manual DMA, overlapping the next strip's DMA
+    with the current strip's VPU fma work.  The strip loop is a static
+    Python unroll because each linear offset must be a static slice
+    start (Mosaic lane-rotates misaligned loads)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e = pl.program_id(0)
+    nstrips = nflat // KO
+
+    def body(cbuf, sem):
+        # halo-pad the resident field once as a value (aligned base:
+        # Lpad is a lane multiple, so each shift pays one rotate — the
+        # same relayout cost the XLA flat form pays)
+        upv = jnp.pad(u_ref[...], ((0, 0), (Lpad, Lpad)))
+
+        def dma(slot, t):
+            return pltpu.make_async_copy(
+                coef_hbm.at[e, pl.ds(t * KO, KO), :],
+                cbuf.at[slot], sem.at[slot])
+
+        dma(0, 0).start()
+        acc = jnp.zeros((1, Nvol), dtype=out_ref.dtype)
+        for t in range(nstrips):
+            slot = t % 2
+            if t + 1 < nstrips:
+                dma(1 - slot, t + 1).start()
+            dma(slot, t).wait()
+            cv = cbuf[slot]
+            for k in range(KO):
+                off = offsets_flat[t * KO + k]
+                sh = jax.lax.slice(upv, (0, Lpad + off),
+                                   (1, Lpad + off + Nvol))
+                acc = acc + cv[k][None, :] * sh
+        out_ref[...] = acc
+
+    pl.run_scoped(
+        body,
+        cbuf=pltpu.VMEM((2, KO, Nvol), coef_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("offsets_flat", "KO", "interpret"))
+def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8,
+                           interpret=False):
+    """coefs_flat: (E, nflat, Nvol); u: (E, Nvol)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, nflat, Nvol = coefs_flat.shape
+    L = max(abs(o) for o in offsets_flat)
+    Lpad = -(L // -128) * 128            # aligned halo: u lands on a
+    #                                      lane-aligned base, shifts pay
+    #                                      one rotate each (as XLA does)
+    if nflat % KO:                        # pad with zero planes at off 0
+        pad = KO - nflat % KO
+        coefs_flat = jnp.concatenate(
+            [coefs_flat, jnp.zeros((E, pad, Nvol), coefs_flat.dtype)],
+            axis=1)
+        offsets_flat = tuple(offsets_flat) + (0,) * pad
+        nflat += pad
+
+    return pl.pallas_call(
+        partial(_kernel_flat_stream, tuple(offsets_flat), nflat, Nvol,
+                Lpad, KO),
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, Nvol), lambda e: (e, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, nflat, Nvol), lambda e: (0, 0, 0),
+                         memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Nvol), lambda e: (e, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Nvol), u.dtype),
+        interpret=interpret,
+    )(u, coefs_flat)
+
+
+def dia_apply_flat_stream(coefs_flat, offsets_flat, u, *, KO=8,
+                          interpret=False):
+    """Pallas flat-layout apply (see :func:`.stencil.dia_apply_flat`
+    for the XLA form and :func:`.stencil.flatten_dia` for the layout).
+
+    The r3 frontier kernel (TODO.md): flat HBM coefficient storage
+    (no lane-padding waste) + double-buffered strip DMA + one VMEM-
+    resident field per block.  u: (E, Nsp, Nrp) or (E, Nvol)."""
+    out_shape = u.shape
+    Nvol = coefs_flat.shape[-1]
+    if u.shape[-1] != Nvol:
+        u = u.reshape(u.shape[0], Nvol)
+    out = _dia_apply_flat_pallas(coefs_flat, u, tuple(offsets_flat),
+                                 KO=KO, interpret=interpret)
+    return out.reshape(out_shape)
+
+
 def dia_apply_batched(op_coefs, offsets, u, *, use_pallas=None,
                       interpret=False):
     """Batched DIA apply.  op_coefs: (E, noff, Nsp, Nrp); u: (E, Nsp, Nrp).

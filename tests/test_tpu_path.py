@@ -468,6 +468,36 @@ def test_pallas_tiled_and_shared_kernels_match():
                                    rtol=1e-12, atol=1e-12)
 
 
+def test_pallas_flat_stream_kernel():
+    """Flat-layout streaming kernel (r3 frontier, TODO.md): strip-DMA'd
+    flat coefficients + resident field == the XLA flat apply, against a
+    real assembled operator, including a bf16-stored stack and a KO
+    that does not divide nflat (zero-plane padding path)."""
+    from hybridsbp_tpu.tpu.pallas_stencil import dia_apply_flat_stream
+    from hybridsbp_tpu.tpu.stencil import dia_apply_flat, flatten_dia
+
+    p, N, E = 6, 31, 3
+    lop = locoperator(p, N, N, create_metrics(p, N, N))
+    op = to_dia(lop.M, N + 1, N + 1)
+    rng = np.random.default_rng(7)
+    scl = jnp.asarray([1.0, 2.0, 0.5])
+    coefsE = jnp.asarray(np.asarray(op.coefs))[None] \
+        * scl[:, None, None, None]
+    cf, offs_flat = flatten_dia(coefsE, tuple(op.offsets), N + 1)
+    u = jnp.asarray(rng.standard_normal((E, N + 1, N + 1)))
+    want = np.asarray(dia_apply_flat(cf, offs_flat, u))
+    got = np.asarray(dia_apply_flat_stream(cf, offs_flat, u, KO=8,
+                                           interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # bf16 storage upcasts at the multiply; accumulator stays f32
+    u32 = u.astype(jnp.float32)
+    got16 = np.asarray(dia_apply_flat_stream(
+        cf.astype(jnp.bfloat16), offs_flat, u32, KO=8, interpret=True))
+    want16 = np.asarray(dia_apply_flat(
+        cf.astype(jnp.bfloat16).astype(jnp.float32), offs_flat, u32))
+    np.testing.assert_allclose(got16, want16, rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_kernels_bf16_coefs():
     """Mixed dtypes: bf16-stored coefficient stacks with f32 fields
     through the manual-DMA kernels — buffers must carry the matching

@@ -64,6 +64,12 @@ def main():
                          "bfloat16) — measures whether the layout "
                          "realizes the halved coefficient stream "
                          "(the r2 plane layout did NOT: +3%%)")
+    ap.add_argument("--pallas-flat", action="store_true",
+                    help="with --flat: time the Pallas streaming kernel "
+                         "(dia_apply_flat_stream — double-buffered "
+                         "strip DMA + resident field) instead of XLA")
+    ap.add_argument("--ko", type=int, default=8,
+                    help="with --pallas-flat: offsets per DMA strip")
     ap.add_argument("--echunk", type=int, default=None,
                     help="with --flat: apply in lax.scan chunks of "
                          "this many blocks (tests whether bounding "
@@ -125,7 +131,11 @@ def main():
     @jax.jit
     def runner(c, x, iters):
         def body(_, v):
-            if a.flat and K:
+            if a.flat and a.pallas_flat:
+                from hybridsbp_tpu.tpu.pallas_stencil import (
+                    dia_apply_flat_stream)
+                y = dia_apply_flat_stream(c, flat_offs, v, KO=a.ko)
+            elif a.flat and K:
                 cc = c.reshape(E // K, K, *c.shape[1:])
                 vv = v.reshape(E // K, K, v.shape[-1])
                 y = jax.lax.map(
@@ -173,7 +183,8 @@ def main():
 
     print(json.dumps({
         "backend": backend, "p": a.p, "N": a.N, "E": E, "noff": noff,
-        "layout": "flat" if a.flat else "planes",
+        "layout": ("flat+pallas" if (a.flat and a.pallas_flat)
+                   else "flat" if a.flat else "planes"),
         "echunk": a.echunk, "coef_dtype": a.coef_dtype or "float32",
         "t_apply_us": round(t_apply_us, 1),
         "roofline_us": round(roof_us, 1),
