@@ -14,6 +14,7 @@ The assembled sparse matrices serve setup, validation, and direct
 factorization.  Device-side hot paths consume the same data through the
 matrix-free/batched forms in :mod:`hybridsbp_tpu.tpu`.
 """
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -56,6 +57,10 @@ class LocalOperator:
     ny: Tuple[np.ndarray, ...]
     bctype: Tuple[int, int, int, int]
     metrics: Optional[Metrics] = field(default=None, repr=False)
+    # assembly inputs recorded for the on-device re-assembly path
+    # (tpu.assemble_device): the penalty scale actually used, and
+    # metrics carrying the EFFECTIVE crr/css/crs (incl. any overrides)
+    tau_scale: float = 2.0
 
     @property
     def Np(self):
@@ -236,4 +241,8 @@ def locoperator(p, Nr, Ns, metrics=None, LFToB=(BC_DIRICHLET,) * 4, *,
         tau=tau, Hf=(Hs, Hs, Hr, Hr), HfI=HfI, JH=JH,
         coord=metrics.coord, facecoord=metrics.facecoord,
         sJ=metrics.sJ, nx=metrics.nx, ny=metrics.ny,
-        bctype=tuple(int(b) for b in LFToB), metrics=metrics)
+        bctype=tuple(int(b) for b in LFToB),
+        # store the EFFECTIVE coefficients (incl. crr/css/crs overrides)
+        # so the on-device re-assembly path reproduces THIS operator
+        metrics=dataclasses.replace(metrics, crr=crr, css=css, crs=crs),
+        tau_scale=float(tau_scale))

@@ -265,7 +265,14 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
                          precision=jax.lax.Precision.HIGHEST) - t_phys * k2
         dtau = -mu * (hf + tau1 * (delta / 2)) / sJ1
         tau_n = dtau + tz0_
-        tau_ok = jnp.all(jnp.isfinite(tau_n))
+        # nodes below the imposed-creep depth Wf have their V/dpsi
+        # overwritten below — non-finite friction intermediates there
+        # must not reject the step (the results are discarded anyway)
+        if par.Wf is not None:
+            live = jnp.asarray(np.asarray(prob.yf) <= par.Wf)
+        else:
+            live = jnp.ones(tau_n.shape, dtype=bool)
+        tau_ok = jnp.all(jnp.where(live, jnp.isfinite(tau_n), True))
 
         # per-node bracketed Newton for slip rate (odefun.jl:80-85),
         # warm-started from the analytic log-space estimate, computed in
@@ -275,7 +282,8 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
             newton_dtype=newton_dtype, newton_tol=newton_tol,
             newton_iters=newton_iters, newton_polish=newton_polish,
             newton_xtol_rel=newton_xtol_rel)
-        newton_ok = jnp.all(jnp.isfinite(V)) & jnp.all(iters >= 0)
+        newton_ok = (jnp.all(jnp.where(live, jnp.isfinite(V), True))
+                     & jnp.all(jnp.where(live, iters >= 0, True)))
 
         # the aging law's e^((f0-psi)/b) - |V|/V0 is a near-cancellation
         # along the creeping solution manifold: evaluate it in the widest
@@ -285,13 +293,13 @@ def make_odefun(prob: BP1Problem, newton_tol=None, newton_iters=20,
         V_hi = V.astype(hi_dt)
         dpsi = (b * V0 / Dc) * (jnp.exp((f0 - psi_hi) / b)
                                 - jnp.abs(V_hi) / V0)
-        psi_ok = jnp.all(jnp.isfinite(dpsi))
+        psi_ok = jnp.all(jnp.where(live, jnp.isfinite(dpsi), True))
 
         if par.Wf is not None:
             # canonical SEAS BP1 loading: below Wf the fault slides at
             # exactly Vp (imposed creep); the friction Newton still
             # runs there (one program) but its result is discarded
-            deep = jnp.asarray(np.asarray(prob.yf) > par.Wf)
+            deep = ~live
             V = jnp.where(deep, jnp.asarray(Vp, dtype=V.dtype), V)
             dpsi = jnp.where(deep, jnp.zeros((), dtype=dpsi.dtype), dpsi)
 

@@ -261,9 +261,14 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         # tests/test_assemble_device.py.
         from .assemble_device import assemble_planes, extract_assembly_data
 
-        key = (p, Nr, Ns)
+        tss = {float(getattr(lops[e], "tau_scale", 2.0)) for e in range(E)}
+        assert len(tss) == 1, \
+            f"assemble_on_device needs a uniform tau_scale, got {tss}"
+        ts = tss.pop()
+        key = (p, Nr, Ns, ts)
         if key not in _ASSEMBLY_DATA_CACHE:
-            _ASSEMBLY_DATA_CACHE[key] = extract_assembly_data(p, Nr, Ns)
+            _ASSEMBLY_DATA_CACHE[key] = extract_assembly_data(
+                p, Nr, Ns, tau_scale=ts)
         data = _ASSEMBLY_DATA_CACHE[key]
         all_offs = list(data.offsets)
         noff = len(all_offs)
@@ -436,7 +441,13 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
         from .pallas_stencil import dia_apply_flat_stream
         assert bp.coefs_flat is not None, \
             "stencil='flat_pallas' requires with_flat_layout(bp)"
-        return dia_apply_flat_stream(bp.coefs_flat, bp.offsets_flat, u)
+        E = u.shape[0]
+        cf = bp.coefs_flat
+        if cf.shape[0] == 1 and E > 1:       # shared stack: one per block
+            cf = jnp.broadcast_to(cf, (E,) + cf.shape[1:])
+        else:
+            cf = cf[:E]                      # drop chunk-padding rows
+        return dia_apply_flat_stream(cf, bp.offsets_flat, u)
     if stencil == "flat" or (stencil == "auto" and bp.coefs_flat is not None):
         from .stencil import dia_apply_flat
         assert bp.coefs_flat is not None, \

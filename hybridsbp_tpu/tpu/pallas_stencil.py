@@ -340,7 +340,10 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
     from jax.experimental.pallas import tpu as pltpu
 
     e = pl.program_id(0)
-    nstrips = nflat // KO
+    nstrips = -(nflat // -KO)            # last strip may be ragged
+
+    def nk(t):
+        return min(KO, nflat - t * KO)   # offsets in strip t (static)
 
     def body(cbuf, sem):
         # halo-pad the resident field once as a value (aligned base:
@@ -350,8 +353,8 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
 
         def dma(slot, t):
             return pltpu.make_async_copy(
-                coef_hbm.at[e, pl.ds(t * KO, KO), :],
-                cbuf.at[slot], sem.at[slot])
+                coef_hbm.at[e, pl.ds(t * KO, nk(t)), :],
+                cbuf.at[slot, pl.ds(0, nk(t))], sem.at[slot])
 
         dma(0, 0).start()
         acc = jnp.zeros((1, Nvol), dtype=out_ref.dtype)
@@ -361,7 +364,7 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
                 dma(1 - slot, t + 1).start()
             dma(slot, t).wait()
             cv = cbuf[slot]
-            for k in range(KO):
+            for k in range(nk(t)):
                 off = offsets_flat[t * KO + k]
                 sh = jax.lax.slice(upv, (0, Lpad + off),
                                    (1, Lpad + off + Nvol))
@@ -387,14 +390,6 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8,
     Lpad = -(L // -128) * 128            # aligned halo: u lands on a
     #                                      lane-aligned base, shifts pay
     #                                      one rotate each (as XLA does)
-    if nflat % KO:                        # pad with zero planes at off 0
-        pad = KO - nflat % KO
-        coefs_flat = jnp.concatenate(
-            [coefs_flat, jnp.zeros((E, pad, Nvol), coefs_flat.dtype)],
-            axis=1)
-        offsets_flat = tuple(offsets_flat) + (0,) * pad
-        nflat += pad
-
     return pl.pallas_call(
         partial(_kernel_flat_stream, tuple(offsets_flat), nflat, Nvol,
                 Lpad, KO),

@@ -102,6 +102,55 @@ def test_build_blocked_assemble_on_device():
         assert np.abs(g - w).max() < 1e-11 * scale, off
 
 
+def test_assemble_on_device_honors_tau_scale_and_overrides():
+    """A problem built with a non-default tau_scale and per-block
+    crr/css/crs coefficient overrides (the spectral-validation path,
+    drivers/global_op_eigenvalues.py) must re-assemble to the SAME
+    operator on device: locoperator records tau_scale and the effective
+    coefficients, and build_blocked keys its assembly data on them
+    (review r3: the device path silently used tau_scale=2.0 and the
+    geometric metrics)."""
+    from hybridsbp_tpu import BC_JUMP_INTERFACE
+    from hybridsbp_tpu.hybrid import build_problem
+    from hybridsbp_tpu.tpu import build_blocked
+
+    verts = np.array([[0.0, 1.0, 2.0, 0.0, 1.0, 2.0],
+                      [0.0, 0.1, 0.0, 1.0, 1.1, 1.0]])
+    etov = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+    etof = np.array([[0, 1], [1, 2], [3, 4], [5, 6]])
+    FToB = np.array([BC_DIRICHLET, BC_JUMP_INTERFACE, BC_DIRICHLET,
+                     BC_NEUMANN, BC_NEUMANN, BC_DIRICHLET, BC_DIRICHLET])
+    N = np.full(2, 11)
+    prob, _ = build_problem(2, verts, etov, etof, FToB, N, N,
+                            tau_scale=1.25)
+    assert prob.lops[0].tau_scale == 1.25
+
+    # random SPD coefficient overrides on block 1 (as the global
+    # eigenvalue validator does), keeping block 0 on its metrics
+    rng = np.random.default_rng(3)
+    l1 = prob.lops[1]
+    m1 = l1.metrics
+    crr = m1.crr * (1 + 0.3 * rng.random(m1.crr.shape))
+    css = m1.css * (1 + 0.3 * rng.random(m1.css.shape))
+    prob.lops[1] = locoperator(2, l1.Nr, l1.Ns, m1, l1.bctype,
+                               tau_scale=1.25, crr=crr, css=css)
+
+    bh = build_blocked(prob)
+    bd = build_blocked(prob, assemble_on_device=True)
+    hmap = dict(zip(bh.offsets, np.asarray(bh.coefs).swapaxes(0, 1)))
+    scale = np.abs(np.asarray(bh.coefs)).max()
+    for k, off in enumerate(bd.offsets):
+        g = np.asarray(bd.coefs[:, k])
+        w = hmap.get(off, np.zeros_like(g))
+        assert np.abs(g - w).max() < 1e-11 * scale, off
+
+    # mixed tau_scale across blocks is refused, not silently wrong
+    prob.lops[0] = locoperator(2, l1.Nr, l1.Ns, prob.lops[0].metrics,
+                               prob.lops[0].bctype, tau_scale=2.0)
+    with pytest.raises(AssertionError, match="tau_scale"):
+        build_blocked(prob, assemble_on_device=True)
+
+
 def test_geometry_ensemble_vmapped_solve():
     """Geometry-ensemble capability unlocked by on-device assembly:
     operators for G perturbed geometries assemble in one vmapped

@@ -119,17 +119,9 @@ def test_multiblock_pure_f32_newton_matches_f64():
 
 
 def _merged_events(sol):
-    ts = np.asarray(sol.ts)
-    valid = np.isfinite(ts)
-    lv = np.asarray(sol.save["log10_vmax"])[valid]
-    ts = ts[valid] / YEAR_SECONDS
-    seismic = lv > -3.0
-    starts = ts[1:][seismic[1:] & ~seismic[:-1]]
-    merged = [starts[0]]
-    for t in starts[1:]:
-        if t - merged[-1] > 1.0:
-            merged.append(t)
-    return np.asarray(merged)
+    from hybridsbp_tpu.seas.events import merged_events
+    ev, _, _ = merged_events(sol, YEAR_SECONDS)
+    return np.asarray(ev)
 
 
 def test_multiblock_event_pin_quick():

@@ -23,19 +23,10 @@ import numpy as np  # noqa: E402
 
 
 def merged_events(sol, year_seconds):
-    ts = np.asarray(sol.ts)
-    valid = np.isfinite(ts)
-    lv = np.asarray(sol.save["log10_vmax"])[valid]
-    ts = ts[valid] / year_seconds
-    seismic = lv > -3.0
-    starts = ts[1:][seismic[1:] & ~seismic[:-1]]
-    if not starts.size:
-        return []
-    merged = [starts[0]]
-    for t in starts[1:]:
-        if t - merged[-1] > 1.0:
-            merged.append(t)
-    return [round(float(t), 2) for t in merged]
+    # canonical definition lives in the library (one home for every gate)
+    from hybridsbp_tpu.seas.events import merged_events as _me
+    ev, _, _ = _me(sol, year_seconds)
+    return [round(t, 2) for t in ev]
 
 
 def main():

@@ -28,34 +28,9 @@ import numpy as np  # noqa: E402
 
 
 def events_from_sol(sol, year_seconds):
-    ts = np.asarray(sol.ts)
-    valid = np.isfinite(ts)
-    lv = np.asarray(sol.save["log10_vmax"])[valid]
-    if "delta" in sol.save:
-        dsta = np.asarray(sol.save["delta"])[valid]      # (steps, nsta)
-    elif "delta_max" in sol.save:
-        dsta = np.asarray(sol.save["delta_max"])[valid][:, None]
-    else:
-        dsta = None
-    ts = ts[valid] / year_seconds
-    seismic = lv > -3.0
-    up = np.where(seismic[1:] & ~seismic[:-1])[0] + 1
-    down = np.where(~seismic[1:] & seismic[:-1])[0] + 1
-    starts = [ts[i] for i in up]
-    merged, midx = [], []
-    for t, i in zip(starts, up):
-        if not merged or t - merged[-1] > 1.0:
-            merged.append(t)
-            midx.append(i)
-    coseis = []
-    if dsta is not None:
-        for i in midx:
-            j = down[down > i]
-            j = int(j[0]) if len(j) else len(ts) - 1
-            # per-station slip change over the seismic window, then max
-            # (a deep creeping station's total never changes coseismically)
-            coseis.append(float(np.max(dsta[j] - dsta[i])))
-    return merged, coseis, float(np.max(lv))
+    # canonical definition lives in the library (one home for every gate)
+    from hybridsbp_tpu.seas.events import merged_events
+    return merged_events(sol, year_seconds)
 
 
 def main():
