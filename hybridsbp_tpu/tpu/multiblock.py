@@ -103,6 +103,10 @@ class BlockedHybrid(NamedTuple):
     coefs_flat: jnp.ndarray = None       # (E_pad|1, nflat, Nsp*Nrp)
     offsets_flat: Tuple[int, ...] = None
     flat_chunk: int = None               # lax.map chunk size (static)
+    # symmetric flat storage: offsets_flat holds only o >= 0 and the
+    # apply supplies the o < 0 diagonals from operator symmetry —
+    # halves the coefficient stream (see stencil.flatten_dia_sym)
+    flat_sym: bool = False
 
     @property
     def grid_shape(self):
@@ -152,7 +156,8 @@ def bp_with(bp: "BlockedHybrid", arrs) -> "BlockedHybrid":
                        coefs_flat=arrs.get("coefs_flat"))
 
 
-def with_flat_layout(bp: "BlockedHybrid", echunk="auto") -> "BlockedHybrid":
+def with_flat_layout(bp: "BlockedHybrid", echunk="auto",
+                     sym=False) -> "BlockedHybrid":
     """Attach the 1D raveled-diagonal coefficient layout (exact; see
     stencil.flatten_dia).  The flat stack avoids the (8, 128) tile
     padding of the 2D planes — at the flagship 137x137 block shape the
@@ -168,8 +173,13 @@ def with_flat_layout(bp: "BlockedHybrid", echunk="auto") -> "BlockedHybrid":
     over the plane layout — 83% of the measured-bandwidth roofline).
     'auto' = 8 for per-block stacks with E >= 16 on TPU, else off;
     the stack is zero-padded to a chunk multiple (padding blocks cost
-    <= one chunk of extra work and are sliced off the result)."""
-    from .stencil import flatten_dia
+    <= one chunk of extra work and are sliced off the result).
+
+    ``sym``: store only the o >= 0 linear diagonals and let the apply
+    supply the o < 0 side from operator symmetry
+    (stencil.flatten_dia_sym) — HALVES the coefficient stream at
+    identical VPU cost."""
+    from .stencil import flatten_dia, flatten_dia_sym
 
     Nsp, Nrp = bp.grid_shape
     E = bp.coefs.shape[0]
@@ -181,16 +191,18 @@ def with_flat_layout(bp: "BlockedHybrid", echunk="auto") -> "BlockedHybrid":
         # chunking it would zero-pad the broadcast (and the shared
         # apply's coefficient traffic already amortizes E-fold)
         echunk = None
-    coefs_flat, offs = jax.jit(
-        lambda c: flatten_dia(c, bp.offsets, Nrp)[0])(bp.coefs), \
-        tuple(sorted({ds * Nrp + dr for ds, dr in bp.offsets}))
+    flatten = flatten_dia_sym if sym else flatten_dia
+    all_offs = sorted({ds * Nrp + dr for ds, dr in bp.offsets})
+    coefs_flat = jax.jit(
+        lambda c: flatten(c, bp.offsets, Nrp)[0])(bp.coefs)
+    offs = tuple(o for o in all_offs if o >= 0) if sym else tuple(all_offs)
     if echunk:
         pad = (-E) % echunk
         if pad:
             coefs_flat = jax.jit(lambda c: jnp.concatenate(
                 [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)]))(coefs_flat)
     return bp._replace(coefs_flat=coefs_flat, offsets_flat=offs,
-                       flat_chunk=echunk or None)
+                       flat_chunk=echunk or None, flat_sym=bool(sym))
 
 
 def _face_layer_sets(p, Nr, Ns):
@@ -207,7 +219,7 @@ _ASSEMBLY_DATA_CACHE = {}
 def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                   L=None, share_ops="auto",
                   coef_dtype=None, assemble_on_device=False,
-                  flat="auto") -> BlockedHybrid:
+                  flat="auto", flat_sym=False) -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
     Requires a uniform block shape (rectangular Nr != Ns allowed);
@@ -230,7 +242,10 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     (see :func:`with_flat_layout` — measured 2.3x apply at the
     flagship 137x137 shape).  'auto' enables it on TPU backends when
     the (8, 128) tile padding of the block shape wastes > 10%
-    traffic; True forces, False disables.
+    traffic; True forces, False disables; 'sym' forces the SYMMETRIC
+    flat layout (only o >= 0 diagonals stored — halves the coefficient
+    stream; see :func:`stencil.flatten_dia_sym`).  ``flat_sym=True``
+    combines the symmetric storage with the auto shape gate.
     """
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
@@ -408,7 +423,7 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         waste = (-(Nsp // -8) * 8) * (-(Nrp // -128) * 128) / (Nsp * Nrp)
         flat = jax.default_backend() not in ("cpu",) and waste > 1.10
     if flat:
-        bp = with_flat_layout(bp)
+        bp = with_flat_layout(bp, sym=(flat == "sym") or flat_sym)
     return bp
 
 
@@ -441,6 +456,8 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
         from .pallas_stencil import dia_apply_flat_stream
         assert bp.coefs_flat is not None, \
             "stencil='flat_pallas' requires with_flat_layout(bp)"
+        assert not bp.flat_sym, \
+            "flat_pallas streams the full layout (use sym=False)"
         E = u.shape[0]
         cf = bp.coefs_flat
         if cf.shape[0] == 1 and E > 1:       # shared stack: one per block
@@ -449,12 +466,13 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
             cf = cf[:E]                      # drop chunk-padding rows
         return dia_apply_flat_stream(cf, bp.offsets_flat, u)
     if stencil == "flat" or (stencil == "auto" and bp.coefs_flat is not None):
-        from .stencil import dia_apply_flat
+        from .stencil import dia_apply_flat, dia_apply_flat_sym
         assert bp.coefs_flat is not None, \
             "stencil='flat' requires with_flat_layout(bp)"
+        ap_one = dia_apply_flat_sym if bp.flat_sym else dia_apply_flat
         cf, K = bp.coefs_flat, bp.flat_chunk
         if not K:
-            return dia_apply_flat(cf, bp.offsets_flat, u)
+            return ap_one(cf, bp.offsets_flat, u)
         # block-chunked: lax.map bounds the fused working set so XLA
         # stops re-reading the shifted field per offset at large E
         # (measured 1.6x on top of flat at the flagship shape)
@@ -464,7 +482,7 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
             uf = jnp.concatenate(
                 [uf, jnp.zeros((E_pad - E, uf.shape[1]), uf.dtype)])
         out = jax.lax.map(
-            lambda cv: dia_apply_flat(cv[0], bp.offsets_flat, cv[1]),
+            lambda cv: ap_one(cv[0], bp.offsets_flat, cv[1]),
             (cf.reshape(E_pad // K, K, *cf.shape[1:]),
              uf.reshape(E_pad // K, K, uf.shape[-1])))
         return out.reshape(E_pad, -1)[:E].reshape(u.shape)

@@ -167,6 +167,73 @@ def dia_apply_flat(coefs_flat: jnp.ndarray, offsets_flat,
     return out.reshape(out_shape)
 
 
+def flatten_dia_sym(coefs: jnp.ndarray, offsets, Nrp: int):
+    """Symmetric flat raveled-diagonal form: store only o >= 0.
+
+    The assembled block operator is symmetric (SPD), so the linear
+    diagonals pair up exactly: diag_{-o}[v+o] = diag_o[v] (measured
+    |M - M.T| ~ 1e-16 absolute).  Storing only the non-negative
+    offsets HALVES the coefficient stream — the dominant HBM traffic
+    of the apply — at identical VPU cost (per ±o pair the symmetric
+    apply does the same 2 multiplies + 2 shifts + 2 adds as the full
+    form).  Pairs are averaged, which also makes the applied operator
+    EXACTLY symmetric (what CG assumes).
+
+    coefs: (..., noff, Nsp, Nrp) -> (coefs_sym, offsets_sym) with
+    coefs_sym (..., nsym, Nsp*Nrp), offsets_sym sorted ints >= 0,
+    offsets_sym[0] == 0.
+    """
+    cf, offs = flatten_dia(coefs, offsets, Nrp)
+    Nvol = cf.shape[-1]
+    omap = {o: k for k, o in enumerate(offs)}
+    pos = sorted(o for o in offs if o >= 0)
+    assert pos and pos[0] == 0, "operator must carry a main diagonal"
+    planes = []
+    for o in pos:
+        c = cf[..., omap[o], :]
+        if o and -o in omap:
+            # diag_{-o}[v+o] aligns with diag_o[v]
+            cneg = cf[..., omap[-o], :]
+            shifted = jnp.concatenate(
+                [cneg[..., o:], jnp.zeros(cneg.shape[:-1] + (o,),
+                                          cneg.dtype)], axis=-1)
+            c = 0.5 * (c + shifted)
+        planes.append(c)
+    # any negative offset without a positive partner would be dropped —
+    # cannot happen for a symmetric matrix, but guard the layout
+    assert all(-o in omap or o == 0 for o in pos), "asymmetric offsets"
+    assert all(o >= 0 or -o in omap for o in offs), "asymmetric offsets"
+    return jnp.stack(planes, axis=-2), tuple(pos)
+
+
+def dia_apply_flat_sym(coefs_sym: jnp.ndarray, offsets_sym,
+                       u: jnp.ndarray) -> jnp.ndarray:
+    """Apply a symmetric flat-form operator (see :func:`flatten_dia_sym`).
+
+    y[v] = C_0[v] u[v] + sum_{o>0} C_o[v] u[v+o] + C_o[v-o] u[v-o]
+         = C_0 u + sum_{o>0} C_o * shift(u, +o) + shift(C_o * u, -o).
+
+    u: (..., Nsp, Nrp) or (..., Nvol); returns the same shape.
+    """
+    out_shape = u.shape
+    Nvol = coefs_sym.shape[-1]
+    if u.shape[-1] != Nvol:
+        u = u.reshape(*u.shape[:-2], Nvol)
+    L = max(offsets_sym)
+    pad = [(0, 0)] * (u.ndim - 1)
+    up = jnp.pad(u, pad + [(0, L)])
+    out = coefs_sym[..., 0, :] * u
+    for k, off in enumerate(offsets_sym):
+        if off == 0:
+            continue
+        c = coefs_sym[..., k, :]
+        out = out + c * jax.lax.slice_in_dim(up, off, off + Nvol, axis=-1)
+        w = jnp.pad(c * u, pad + [(L, 0)])
+        out = out + jax.lax.slice_in_dim(w, L - off, L - off + Nvol,
+                                         axis=-1)
+    return out.reshape(out_shape)
+
+
 def dia_diagonal(op: DiaOperator) -> jnp.ndarray:
     """Main diagonal (for Jacobi preconditioning)."""
     for k, (ds, dr) in enumerate(op.offsets):

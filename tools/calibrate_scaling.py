@@ -64,6 +64,11 @@ def main():
                          "bfloat16) — measures whether the layout "
                          "realizes the halved coefficient stream "
                          "(the r2 plane layout did NOT: +3%%)")
+    ap.add_argument("--sym", action="store_true",
+                    help="with --flat: symmetric flat layout — store "
+                         "only o >= 0 diagonals (operator symmetry "
+                         "pairs the rest), HALVING the coefficient "
+                         "stream at equal VPU cost")
     ap.add_argument("--pallas-flat", action="store_true",
                     help="with --flat: time the Pallas streaming kernel "
                          "(dia_apply_flat_stream — double-buffered "
@@ -103,14 +108,18 @@ def main():
     # finite (normalize by the plane count)
     key = jax.random.PRNGKey(0)
     if a.flat:
-        from hybridsbp_tpu.tpu.stencil import dia_apply_flat
+        from hybridsbp_tpu.tpu.stencil import (dia_apply_flat,
+                                               dia_apply_flat_sym)
         flat_offs = tuple(sorted({ds * Np + dr for ds, dr in offsets}))
+        if a.sym:
+            flat_offs = tuple(o for o in flat_offs if o >= 0)
         noff = len(flat_offs)
         coefs = jax.jit(lambda k: jax.random.normal(
             k, (E, noff, Np * Np), dtype=jnp.float32) / noff)(key)
         u = jax.jit(lambda k: jax.random.normal(
             k, (E, Np * Np), dtype=jnp.float32))(jax.random.PRNGKey(1))
-        _log(f"flat layout: {noff} merged linear offsets")
+        _log(f"flat layout: {noff} "
+             f"{'symmetric (o>=0) ' if a.sym else ''}linear offsets")
     else:
         coefs = jax.jit(lambda k: jax.random.normal(
             k, (E, noff, Np, Np), dtype=jnp.float32) / noff)(key)
@@ -136,11 +145,14 @@ def main():
                     dia_apply_flat_stream)
                 y = dia_apply_flat_stream(c, flat_offs, v, KO=a.ko)
             elif a.flat and K:
+                ap_one = dia_apply_flat_sym if a.sym else dia_apply_flat
                 cc = c.reshape(E // K, K, *c.shape[1:])
                 vv = v.reshape(E // K, K, v.shape[-1])
                 y = jax.lax.map(
-                    lambda cv: dia_apply_flat(cv[0], flat_offs, cv[1]),
+                    lambda cv: ap_one(cv[0], flat_offs, cv[1]),
                     (cc, vv)).reshape(v.shape)
+            elif a.flat and a.sym:
+                y = dia_apply_flat_sym(c, flat_offs, v)
             elif a.flat:
                 y = dia_apply_flat(c, flat_offs, v)
             else:
@@ -183,8 +195,9 @@ def main():
 
     print(json.dumps({
         "backend": backend, "p": a.p, "N": a.N, "E": E, "noff": noff,
-        "layout": ("flat+pallas" if (a.flat and a.pallas_flat)
-                   else "flat" if a.flat else "planes"),
+        "layout": (("flat" if a.flat else "planes")
+                   + ("+sym" if a.sym else "")
+                   + ("+pallas" if a.pallas_flat else "")),
         "echunk": a.echunk, "coef_dtype": a.coef_dtype or "float32",
         "t_apply_us": round(t_apply_us, 1),
         "roofline_us": round(roof_us, 1),
