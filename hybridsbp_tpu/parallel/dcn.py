@@ -40,7 +40,8 @@ from .sharded import (face_combination_meta, make_face_kernels,
 
 def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                           slice_axis="slice", block_axis="block",
-                          trace_inv=None, inner_iters=8, parts=None):
+                          trace_inv=None, inner_iters=8, parts=None,
+                          flat_sym=False):
     """Returns (bp_padded, parts, ncut, solve).  ``solve(g_padded,
     gdelta_faces, tol)`` -> CGResult; fields (E_pad, Nsp, Nrp) sharded
     over (slice, block).  ``trace_inv``: optional
@@ -85,7 +86,7 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
 
     # flat raveled-diagonal layout per shard (see parallel/sharded.py)
     from ..tpu.multiblock import with_flat_layout
-    bpp = with_flat_layout(bpp, echunk=None)
+    bpp = with_flat_layout(bpp, echunk=None, sym=flat_sym)
     offsets = bpp.offsets
     L = bpp.Dinv.shape[1]
     nfaces = bpp.Dinv.shape[0]
@@ -151,8 +152,9 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                   both, P()),
         out_specs=both)
     def matvec_sm(u, cf, T, etof_loc, flip_loc, Dinv):
-        from ..tpu.stencil import dia_apply_flat
-        y = dia_apply_flat(cf, bpp.offsets_flat, u)
+        from ..tpu.stencil import dia_apply_flat, dia_apply_flat_sym
+        ap_one = dia_apply_flat_sym if bpp.flat_sym else dia_apply_flat
+        y = ap_one(cf, bpp.offsets_flat, u)
         t_loc = local_traces(u, T)
         t_sl = jax.lax.all_gather(t_loc, block_axis, tiled=True)  # slice's
         s_idx = jax.lax.axis_index(slice_axis)

@@ -208,7 +208,7 @@ def two_level_precond(a, bpp, trace_inv, inner_iters, block_precond=None):
 
 def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                         axis="block", trace_inv=None,
-                        inner_iters=8) -> ShardedSolver:
+                        inner_iters=8, flat_sym=False) -> ShardedSolver:
     """``trace_inv``: an optional :func:`..tpu.multiblock.build_woodbury`
     result — enables the Woodbury two-level preconditioner under
     sharding (fastdiag inner solves are block-local; the dense B^{-1}
@@ -226,7 +226,7 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     # plane stack (measured 2.3x at 128-unaligned block shapes).  No
     # block-chunking under sharding (the per-shard batch is small).
     from ..tpu.multiblock import with_flat_layout
-    bpp = with_flat_layout(bpp, echunk=None)
+    bpp = with_flat_layout(bpp, echunk=None, sym=flat_sym)
     offsets = bpp.offsets
     layers = bpp.faces.layers
     nfaces = bpp.Dinv.shape[0]
@@ -258,9 +258,10 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                   P(axis), P(axis), P()),
         out_specs=P(axis))
     def matvec_sm(u, cf, T, etof_loc, flip_loc, Dinv):
-        from ..tpu.stencil import dia_apply_flat
+        from ..tpu.stencil import dia_apply_flat, dia_apply_flat_sym
         # flat layout serves shared stacks too (broadcast block axis)
-        y = dia_apply_flat(cf, bpp.offsets_flat, u)
+        ap_one = dia_apply_flat_sym if bpp.flat_sym else dia_apply_flat
+        y = ap_one(cf, bpp.offsets_flat, u)
         t_loc = local_traces(u, T)
         t_all = jax.lax.all_gather(t_loc, axis, tiled=True)   # (E_pad,4,L)
         w = combine(t_all, Dinv)

@@ -456,15 +456,14 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
         from .pallas_stencil import dia_apply_flat_stream
         assert bp.coefs_flat is not None, \
             "stencil='flat_pallas' requires with_flat_layout(bp)"
-        assert not bp.flat_sym, \
-            "flat_pallas streams the full layout (use sym=False)"
         E = u.shape[0]
         cf = bp.coefs_flat
         if cf.shape[0] == 1 and E > 1:       # shared stack: one per block
             cf = jnp.broadcast_to(cf, (E,) + cf.shape[1:])
         else:
             cf = cf[:E]                      # drop chunk-padding rows
-        return dia_apply_flat_stream(cf, bp.offsets_flat, u)
+        return dia_apply_flat_stream(cf, bp.offsets_flat, u,
+                                     sym=bp.flat_sym)
     if stencil == "flat" or (stencil == "auto" and bp.coefs_flat is not None):
         from .stencil import dia_apply_flat, dia_apply_flat_sym
         assert bp.coefs_flat is not None, \

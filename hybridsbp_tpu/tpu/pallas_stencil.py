@@ -327,7 +327,7 @@ def dia_apply_shared_stream(coefs, u, offsets, interpret=False):
     )(u, coefs)
 
 
-def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
+def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym,
                         u_ref, coef_hbm, out_ref):
     """Flat-layout streaming kernel: the block's field is staged once in
     VMEM (padded by the max linear offset), and the flat coefficient
@@ -335,7 +335,11 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
     with double-buffered manual DMA, overlapping the next strip's DMA
     with the current strip's VPU fma work.  The strip loop is a static
     Python unroll because each linear offset must be a static slice
-    start (Mosaic lane-rotates misaligned loads)."""
+    start (Mosaic lane-rotates misaligned loads).
+
+    ``sym``: the stack holds only o >= 0 diagonals (see
+    stencil.flatten_dia_sym) and each o > 0 plane also contributes its
+    transpose side shift(C_o * u, -o) — half the DMA traffic."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -349,7 +353,8 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
         # halo-pad the resident field once as a value (aligned base:
         # Lpad is a lane multiple, so each shift pays one rotate — the
         # same relayout cost the XLA flat form pays)
-        upv = jnp.pad(u_ref[...], ((0, 0), (Lpad, Lpad)))
+        uval = u_ref[...]
+        upv = jnp.pad(uval, ((0, 0), (Lpad, Lpad)))
 
         def dma(slot, t):
             return pltpu.make_async_copy(
@@ -366,9 +371,14 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
             cv = cbuf[slot]
             for k in range(nk(t)):
                 off = offsets_flat[t * KO + k]
+                c = cv[k][None, :]
                 sh = jax.lax.slice(upv, (0, Lpad + off),
                                    (1, Lpad + off + Nvol))
-                acc = acc + cv[k][None, :] * sh
+                acc = acc + c * sh
+                if sym and off:
+                    wp = jnp.pad(c * uval, ((0, 0), (Lpad, Lpad)))
+                    acc = acc + jax.lax.slice(
+                        wp, (0, Lpad - off), (1, Lpad - off + Nvol))
         out_ref[...] = acc
 
     pl.run_scoped(
@@ -378,8 +388,9 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO,
     )
 
 
-@partial(jax.jit, static_argnames=("offsets_flat", "KO", "interpret"))
-def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8,
+@partial(jax.jit, static_argnames=("offsets_flat", "KO", "sym",
+                                   "interpret"))
+def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, sym=False,
                            interpret=False):
     """coefs_flat: (E, nflat, Nvol); u: (E, Nvol)."""
     from jax.experimental import pallas as pl
@@ -392,7 +403,7 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8,
     #                                      one rotate each (as XLA does)
     return pl.pallas_call(
         partial(_kernel_flat_stream, tuple(offsets_flat), nflat, Nvol,
-                Lpad, KO),
+                Lpad, KO, sym),
         grid=(E,),
         in_specs=[
             pl.BlockSpec((1, Nvol), lambda e: (e, 0),
@@ -408,19 +419,21 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8,
 
 
 def dia_apply_flat_stream(coefs_flat, offsets_flat, u, *, KO=8,
-                          interpret=False):
+                          sym=False, interpret=False):
     """Pallas flat-layout apply (see :func:`.stencil.dia_apply_flat`
     for the XLA form and :func:`.stencil.flatten_dia` for the layout).
 
     The r3 frontier kernel (TODO.md): flat HBM coefficient storage
     (no lane-padding waste) + double-buffered strip DMA + one VMEM-
-    resident field per block.  u: (E, Nsp, Nrp) or (E, Nvol)."""
+    resident field per block.  ``sym=True`` streams a symmetric
+    (o >= 0 only) stack from :func:`.stencil.flatten_dia_sym` — half
+    the DMA traffic.  u: (E, Nsp, Nrp) or (E, Nvol)."""
     out_shape = u.shape
     Nvol = coefs_flat.shape[-1]
     if u.shape[-1] != Nvol:
         u = u.reshape(u.shape[0], Nvol)
     out = _dia_apply_flat_pallas(coefs_flat, u, tuple(offsets_flat),
-                                 KO=KO, interpret=interpret)
+                                 KO=KO, sym=sym, interpret=interpret)
     return out.reshape(out_shape)
 
 

@@ -92,6 +92,15 @@ def test_sharded_solve_matches_host():
     # padded identity blocks stay exactly zero
     np.testing.assert_allclose(np.asarray(res.x[2:]), 0.0, atol=1e-12)
 
+    # symmetric flat layout per shard (half the coefficient planes)
+    ssym = make_sharded_solver(bp, mesh, flat_sym=True)
+    assert ssym.bp.flat_sym
+    rsym = ssym.solve(jnp.asarray(g_pad), jnp.zeros_like(ssym.bp.Dinv),
+                      tol=1e-12)
+    assert bool(rsym.converged)
+    np.testing.assert_allclose(np.asarray(rsym.x[:2]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+
 
 def test_spatial_sharded_apply_matches_dense():
     """Within-block s-axis sharding with ppermute halo exchange equals

@@ -496,6 +496,12 @@ def test_pallas_flat_stream_kernel():
     want16 = np.asarray(dia_apply_flat(
         cf.astype(jnp.bfloat16).astype(jnp.float32), offs_flat, u32))
     np.testing.assert_allclose(got16, want16, rtol=1e-5, atol=1e-5)
+    # symmetric streaming mode: half the planes, same result
+    from hybridsbp_tpu.tpu.stencil import flatten_dia_sym
+    cs, offs_sym = flatten_dia_sym(coefsE, tuple(op.offsets), N + 1)
+    gots = np.asarray(dia_apply_flat_stream(cs, offs_sym, u, KO=8,
+                                            sym=True, interpret=True))
+    np.testing.assert_allclose(gots, want, rtol=1e-12, atol=1e-12)
 
 
 def test_pallas_kernels_bf16_coefs():

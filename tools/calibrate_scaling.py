@@ -143,7 +143,8 @@ def main():
             if a.flat and a.pallas_flat:
                 from hybridsbp_tpu.tpu.pallas_stencil import (
                     dia_apply_flat_stream)
-                y = dia_apply_flat_stream(c, flat_offs, v, KO=a.ko)
+                y = dia_apply_flat_stream(c, flat_offs, v, KO=a.ko,
+                                          sym=a.sym)
             elif a.flat and K:
                 ap_one = dia_apply_flat_sym if a.sym else dia_apply_flat
                 cc = c.reshape(E // K, K, *c.shape[1:])
