@@ -174,18 +174,20 @@ def assemble_level(p, N_per_block, mesh_data=None):
 def run_device(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
                stencil="auto", repeats=3, binv_dtype=None,
                method="displacements", trace_mode="dense",
-               assemble_device=False):
+               assemble_device=False, flat_sym=False):
     """Single-method wrapper over :func:`run_device_multi` (see there
     for the methodology); returns that method's result dict."""
     return run_device_multi(p=p, N=N, tol=tol, inner_iters=inner_iters,
                             verbose=verbose, stencil=stencil,
                             repeats=repeats, binv_dtype=binv_dtype,
                             methods=(method,), trace_mode=trace_mode,
-                            assemble_device=assemble_device)[method]
+                            assemble_device=assemble_device,
+                            flat_sym=flat_sym)[method]
 
 
 def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
                      stencil="auto", repeats=3, binv_dtype=None,
+                     flat_sym=False,
                      methods=("displacements",), trace_mode="dense",
                      assemble_device=False):
     """Solve ONE refinement level of the square_circle problem on the
@@ -234,7 +236,8 @@ def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
     # and assemble the DIA stack on-chip instead of transferring the
     # ~560 MB host-extracted planes (tpu.assemble_device)
     bp = build_blocked(prob, dtype=jnp.float32,
-                       assemble_on_device=assemble_device)
+                       assemble_on_device=assemble_device,
+                       flat_sym=flat_sym)
     gb, gd = blocked_rhs_from_host(prob, g, gdelta)
     gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
     # B^{-1} is only a preconditioner under flexible CG — bf16 storage
@@ -411,7 +414,12 @@ if __name__ == "__main__":
                          "dense nλ² inverse (exact, heavy setup) or "
                          "banded face-block CG (O(nfaces·L²) setup)")
     ap.add_argument("--stencil", default="auto",
-                    choices=["auto", "pallas", "unrolled", "compact"])
+                    choices=["auto", "flat", "flat_pallas", "pallas",
+                             "unrolled", "compact"])
+    ap.add_argument("--flat-sym", action="store_true",
+                    help="symmetric flat coefficient storage (only "
+                         "o >= 0 diagonals — halves the dominant HBM "
+                         "stream; see stencil.flatten_dia_sym)")
     ap.add_argument("--binv-dtype", default=None,
                     choices=[None, "float32", "bfloat16"],
                     help="storage dtype for the Woodbury B^-1 "
@@ -427,7 +435,8 @@ if __name__ == "__main__":
         run_device(p=a.p, N=a.N0, tol=a.tol, inner_iters=a.inner_iters,
                    stencil=a.stencil, binv_dtype=bd,
                    method=a.method, trace_mode=a.trace_mode,
-                   assemble_device=a.assemble_device)
+                   assemble_device=a.assemble_device,
+                   flat_sym=a.flat_sym)
     else:
         run(p=a.p, N0=a.N0, levels=a.levels, method=a.method,
             plot_mesh=a.plot_mesh)
