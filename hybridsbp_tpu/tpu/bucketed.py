@@ -61,7 +61,7 @@ class Bucketed(NamedTuple):
 
 
 def build_bucketed(prob, dtype=jnp.float64, with_fastdiag=True,
-                   assemble_on_device=False) -> Bucketed:
+                   assemble_on_device=False, flat_sym=False) -> Bucketed:
     E = len(prob.lops)
     shapes = [(prob.lops[e].Nr, prob.lops[e].Ns) for e in range(E)]
     order = sorted(set(shapes))
@@ -84,7 +84,8 @@ def build_bucketed(prob, dtype=jnp.float64, with_fastdiag=True,
 
     buckets = tuple(build_blocked(_SubProb(prob, ids), dtype=dtype,
                                   with_fastdiag=with_fastdiag, L=L,
-                                  assemble_on_device=assemble_on_device)
+                                  assemble_on_device=assemble_on_device,
+                                  flat_sym=flat_sym)
                     for ids in groups)
 
     # global per-face reversal perms (plus-side face length)
