@@ -287,6 +287,44 @@ def test_station_file_output(tmp_path):
                                 station_depths=[0.0, 7.5])
 
 
+def test_wf_deep_node_failure_does_not_reject_step():
+    """With imposed creep below Wf, a deep node's friction results are
+    overwritten (V -> Vp, dpsi -> 0) — so a poisoned deep-node state
+    must not flip the step-rejection flag (review r3: tau_ok/newton_ok/
+    psi_ok previously included the discarded deep-node values, letting
+    an irrelevant Newton failure stall the integrator forever)."""
+    par = bp1.BP1Params(N=32, el=10.0, Wf=20.0)
+    prob = bp1.setup(par)
+    rhs = bp1.make_odefun(prob)
+    y0 = bp1.initial_state(prob)
+    n = par.N + 1
+    deep = np.asarray(prob.yf) > par.Wf
+    assert deep.any() and (~deep).any()
+
+    dy, ok = rhs(0.0, y0, None)
+    assert bool(ok) and np.isfinite(np.asarray(dy)).all()
+
+    # poison psi at one deep node: its Newton result goes non-finite
+    # but is discarded by the imposed-creep overwrite
+    i = int(np.argmax(deep))
+    y_bad = np.asarray(y0).copy()
+    y_bad[i] = np.nan
+    dy2, ok2 = rhs(0.0, jnp.asarray(y_bad), None)
+    assert bool(ok2), "deep-node poison must not reject the step"
+    live_rows = np.concatenate([~deep, ~deep])
+    assert np.isfinite(np.asarray(dy2)[live_rows]).all()
+    # the overwritten deep rates are the imposed creep values
+    np.testing.assert_allclose(np.asarray(dy2)[n + i], par.Vp)
+    np.testing.assert_allclose(np.asarray(dy2)[i], 0.0)
+
+    # a poisoned LIVE node must still reject
+    j = int(np.argmax(~deep))
+    y_bad2 = np.asarray(y0).copy()
+    y_bad2[j] = np.nan
+    _, ok3 = rhs(0.0, jnp.asarray(y_bad2), None)
+    assert not bool(ok3), "live-node failure must reject the step"
+
+
 def test_canonical_seas_bp1_recurrence():
     """SEAS BP1 external validation (VERDICT r2 next #4): with the
     CANONICAL configuration — imposed creep below Wf=40 km and
