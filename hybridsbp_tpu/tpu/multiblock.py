@@ -420,8 +420,11 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype),
         fd=fd, perm_lf=perm_lf, perm_face=perm_face, shared=shared)
     if flat == "auto":
+        # an explicit flat_sym request forces the layout (the auto gate
+        # only weighs tile-padding waste, not the symmetric halving)
         waste = (-(Nsp // -8) * 8) * (-(Nrp // -128) * 128) / (Nsp * Nrp)
-        flat = jax.default_backend() not in ("cpu",) and waste > 1.10
+        flat = flat_sym or (jax.default_backend() not in ("cpu",)
+                            and waste > 1.10)
     if flat:
         bp = with_flat_layout(bp, sym=(flat == "sym") or flat_sym)
     return bp
