@@ -234,6 +234,46 @@ def dia_apply_flat_sym(coefs_sym: jnp.ndarray, offsets_sym,
     return out.reshape(out_shape)
 
 
+def dia_sym_half(coefs: jnp.ndarray, offsets):
+    """Symmetric PLANE form: keep one plane per ±(ds, dr) pair.
+
+    2D analogue of :func:`flatten_dia_sym` for paths that must stay on
+    the (Nsp, Nrp) plane layout (the space-sharded apply, whose shard
+    axis the flat index would interleave).  Operator symmetry gives
+    C_{-ds,-dr}[j+ds, i+dr] = C_{ds,dr}[j, i]; pairs are averaged.
+
+    Returns (coefs_sym, offsets_sym) where offsets_sym keeps (0, 0)
+    first and the lexicographically-positive representative of each
+    pair ((ds > 0) or (ds == 0 and dr > 0)).
+    """
+    *lead, noff, Nsp, Nrp = coefs.shape
+    omap = {tuple(o): k for k, o in enumerate(offsets)}
+    pos = sorted(o for o in omap
+                 if o[0] > 0 or (o[0] == 0 and o[1] >= 0))
+    assert pos and pos[0] == (0, 0), "operator must carry a main diagonal"
+    assert all((-ds, -dr) in omap or (ds, dr) == (0, 0)
+               for ds, dr in omap), "asymmetric offset set"
+    lead_pad = [(0, 0)] * len(lead)
+
+    def shift2(c, ds, dr):
+        """c shifted: out[j, i] = c[j+ds, i+dr], zero outside."""
+        S, R = abs(ds), abs(dr)
+        cp = jnp.pad(c, lead_pad + [(S, S), (R, R)])
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(cp, S + ds, S + ds + Nsp, axis=-2),
+            R + dr, R + dr + Nrp, axis=-1)
+
+    planes = []
+    for ds, dr in pos:
+        c = coefs[..., omap[(ds, dr)], :, :]
+        if (ds, dr) != (0, 0):
+            # C_{-ds,-dr} shifted by (+ds, +dr) aligns with C_{ds,dr}
+            c = 0.5 * (c + shift2(coefs[..., omap[(-ds, -dr)], :, :],
+                                  ds, dr))
+        planes.append(c)
+    return jnp.stack(planes, axis=-3), tuple(pos)
+
+
 def dia_diagonal(op: DiaOperator) -> jnp.ndarray:
     """Main diagonal (for Jacobi preconditioning)."""
     for k, (ds, dr) in enumerate(op.offsets):

@@ -121,6 +121,14 @@ def test_spatial_sharded_apply_matches_dense():
     want = np.asarray(dia_apply(op, u))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
+    # symmetric plane storage (half the coefficient planes; static
+    # coefficient halos precomputed, u-halo ICI traffic unchanged)
+    from hybridsbp_tpu.parallel.spatial import make_spatial_apply_sym
+
+    fs = make_spatial_apply_sym(op, mesh)
+    np.testing.assert_allclose(np.asarray(fs(u)), want,
+                               rtol=1e-12, atol=1e-12)
+
 
 def test_2d_mesh_block_and_space_sharding():
     """Full 2D-mesh composition: 4 blocks over a (2 block x 4 space)
