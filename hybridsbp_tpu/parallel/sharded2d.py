@@ -35,12 +35,19 @@ from .spatial import halo_exchange_s
 
 def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                            block_axis="block", space_axis="space",
-                           trace_inv=None, inner_iters=8):
+                           trace_inv=None, inner_iters=8, sym=False):
     """``trace_inv``: optional :func:`..tpu.multiblock.build_woodbury`
     result — Woodbury two-level preconditioning at the GSPMD level
     (see :func:`.sharded.make_sharded_solver`; the preconditioner's
     banded face ops and inner block sweeps shard automatically over
-    the 2D mesh)."""
+    the 2D mesh).
+
+    ``sym``: symmetric plane storage for the matvec's stencil — one
+    plane per ±(ds, dr) pair (stencil.dia_sym_half), halving the
+    dominant coefficient stream.  The transpose side needs C·u on
+    neighbor s-rows: the static coefficient halos are precomputed per
+    space shard (see parallel.spatial), so per-apply ICI traffic is
+    unchanged (u halos only)."""
     nb = mesh.shape[block_axis]
     ns = mesh.shape[space_axis]
     E = bp.nblocks
@@ -69,6 +76,47 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
     flip_t = jnp.asarray(bpp.flip.T)
 
     R_halo = max(abs(dr) for _, dr in offsets)
+
+    offs_sym = None
+    if sym:
+        from ..tpu.stencil import dia_sym_half
+        cs, offs_sym = dia_sym_half(bpp.coefs, offsets)  # (E|1,nsym,Nsp,Nrp)
+        csp = jnp.pad(cs, ((0, 0), (0, 0), (S_halo, S_halo), (0, 0)))
+        # per-space-shard halo-extended stacks: device d's s-rows plus
+        # S_halo neighbor rows each side (static — coefficients are
+        # constant, so no runtime coefficient halo exchange)
+        coefs_mv = jnp.stack(
+            [csp[:, :, d * S_loc:d * S_loc + S_loc + 2 * S_halo]
+             for d in range(ns)])        # (ns, E|1, nsym, S_loc+2S, Nrp)
+    else:
+        coefs_mv = bpp.coefs
+
+    def dia_local_sym(cext_loc, u_loc):
+        """Symmetric per-block stencil apply on the space shard:
+        out += C_o·shift(u, +o) + shift(C_o·u, −o) per stored plane
+        (see parallel.spatial.dia_apply_spatial_sym for the 1-block
+        form).  cext_loc: (E|1, nsym, S_loc+2S, Nrp)."""
+        top, bot = halo_exchange_s(u_loc, S_halo, space_axis)
+        ue = jnp.concatenate([top, u_loc, bot], axis=-2)
+        ue_pad = jnp.pad(ue, ((0, 0), (0, 0), (R_halo, R_halo)))
+        out = jnp.zeros_like(u_loc)
+        for k, (ds, dr) in enumerate(offs_sym):
+            c_ext = cext_loc[:, k]
+            c_int = jax.lax.slice_in_dim(c_ext, S_halo, S_halo + S_loc,
+                                         axis=-2)
+            sh = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(ue_pad, S_halo + ds,
+                                     S_halo + ds + S_loc, axis=-2),
+                R_halo + dr, R_halo + dr + Nrp, axis=-1)
+            out = out + c_int * sh
+            if (ds, dr) != (0, 0):
+                w = jnp.pad(c_ext * ue, ((0, 0), (0, 0),
+                                         (R_halo, R_halo)))
+                out = out + jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(w, S_halo - ds,
+                                         S_halo - ds + S_loc, axis=-2),
+                    R_halo - dr, R_halo - dr + Nrp, axis=-1)
+        return out
 
     def dia_local(coefs_loc, u_loc):
         """Per-block DIA apply with s-halo exchange; u_loc (E, S_loc, Nrp).
@@ -149,9 +197,16 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
 
     # shared-operator meshes: the single stack (broadcast block axis of
     # extent 1) is replicated along 'block' and sharded along s like the
-    # fields; dia_local's coefficient multiply broadcasts over blocks
-    coef_spec = (P(None, None, space_axis, None) if bpp.shared
-                 else P(block_axis, None, space_axis, None))
+    # fields; dia_local's coefficient multiply broadcasts over blocks.
+    # sym stacks carry a leading per-space-shard axis instead (each
+    # shard owns its halo-extended rows).
+    plane_spec = (P(None, None, space_axis, None) if bpp.shared
+                  else P(block_axis, None, space_axis, None))
+    if sym:
+        coef_spec = (P(space_axis, None, None, None, None) if bpp.shared
+                     else P(space_axis, block_axis, None, None, None))
+    else:
+        coef_spec = plane_spec
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -161,7 +216,7 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                   P(block_axis), P(block_axis), P()),
         out_specs=P(block_axis, space_axis, None))
     def matvec_sm(u, coefs, T_we, T_sn, etof_loc, flip_loc, Dinv):
-        y = dia_local(coefs, u)
+        y = dia_local_sym(coefs[0], u) if sym else dia_local(coefs, u)
         t_loc = traces_local(u, T_we, T_sn)
         t_all = jax.lax.all_gather(t_loc, block_axis, tiled=True)
         w = combine(t_all, Dinv)
@@ -206,23 +261,25 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         make_precond = None
 
     sh_u = NamedSharding(mesh, P(block_axis, space_axis, None))
-    sh_c = NamedSharding(mesh, coef_spec)
     sh_e = NamedSharding(mesh, P(block_axis))
 
     # large arrays as jit arguments, not closure literals (see
     # tpu.multiblock.bp_arrays for the rationale).  Tb: the banded
     # face tensors for the (optional) Woodbury preconditioner's face
     # ops — the matvec itself uses the dense T for the sharded einsums
-    arrs = {"coefs": bpp.coefs, "T": T_dense, "etof": EToF_t,
+    arrs = {"coefs": bpp.coefs, "coefs_mv": coefs_mv, "T": T_dense,
+            "etof": EToF_t,
             "flip": flip_t, "Dinv": bpp.Dinv, "fd": bpp.fd,
             "diag": bpp.coefs[:, diag_k],
             "Tb": bpp.faces.Tb if trace_inv is not None else None,
             "Binv": None if trace_inv is None else _tia(trace_inv)}
 
+    sh_cmv = NamedSharding(mesh, coef_spec)
+
     @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
     def _solve(a, g, gdelta_faces, tol, cg_maxiter):
         g = jax.lax.with_sharding_constraint(g, sh_u)
-        coefs = jax.lax.with_sharding_constraint(a["coefs"], sh_c)
+        coefs = jax.lax.with_sharding_constraint(a["coefs_mv"], sh_cmv)
         T_we = tuple(jax.lax.with_sharding_constraint(
             a["T"][lf], NamedSharding(mesh, spec_we)) for lf in (0, 1))
         T_sn = tuple(a["T"][lf] for lf in (2, 3))

@@ -165,6 +165,16 @@ def test_2d_mesh_block_and_space_sharding():
     np.testing.assert_allclose(np.asarray(res_w.x[:E]).ravel(), u_host,
                                rtol=1e-6, atol=1e-8)
 
+    # symmetric plane storage for the matvec (half the coefficient
+    # planes; precomputed per-shard coefficient halos)
+    _, solve_s = make_sharded_solver_2d(bp, mesh, sym=True)
+    res_s = solve_s(jnp.asarray(g_pad), jnp.zeros_like(bpp.Dinv),
+                    tol=1e-11)
+    assert bool(res_s.converged)
+    np.testing.assert_allclose(np.asarray(res_s.x[:E]).ravel(), u_host,
+                               rtol=1e-6, atol=1e-8)
+    assert int(res_s.iters) <= 60
+
 
 def test_two_level_dcn_solver_matches_host():
     """(slice x block) two-level solver: intra-slice all_gather plus a
