@@ -72,7 +72,8 @@ def pad_blocks(bp: BlockedHybrid, E_pad: int) -> BlockedHybrid:
     # placed copies drop it — sharded paths apply the plane layout
     return bp._replace(coefs=coefs, faces=bp.faces._replace(Tb=T),
                        EToF=EToF, flip=flip, JH=JH, fd=fd,
-                       coefs_flat=None, offsets_flat=None)
+                       coefs_flat=None, offsets_flat=None,
+                       flat_sym=False)
 
 
 def place_blocks(bp: BlockedHybrid, slots, E_pad: int) -> BlockedHybrid:
@@ -110,7 +111,8 @@ def place_blocks(bp: BlockedHybrid, slots, E_pad: int) -> BlockedHybrid:
     FToE = np.where(mask, slots[np.clip(bp.FToE, 0, E - 1)], -1)
     return bpe._replace(coefs=coefs, faces=bpe.faces._replace(Tb=T),
                         EToF=EToF, flip=flip, JH=JH, fd=fd, FToE=FToE,
-                        coefs_flat=None, offsets_flat=None)
+                        coefs_flat=None, offsets_flat=None,
+                        flat_sym=False)
 
 
 def place_fields(x, slots, E_pad: int):
