@@ -12,8 +12,15 @@ artifacts/onchip_r3.log):
      (setup-time/transfer evidence for the VERDICT #3 claim)
   3. cold-start sample             — fresh-process time-to-first-result
      of a small jitted solve (VERDICT #8 datum)
+  4. kernel-variant matrix         — tools/measure_flat_variants.py:
+     XLA flat/chunked vs SYMMETRIC (half the coefficient stream) vs
+     the Pallas streaming kernel (full/sym/bf16).  XLA-only first;
+     Pallas in a separate bounded subprocess LAST (Mosaic can wedge
+     the worker).
+  5. flagship --flat-sym solve     — p=6 N=136 banded+assemble-device
+     with the symmetric flat layout (run after 4 confirms sym wins)
 
-Usage: python tools/capture_onchip.py [--stages 1 2 3]
+Usage: python tools/capture_onchip.py [--stages 1 2 3 4 5]
 """
 import argparse
 import os
@@ -52,7 +59,8 @@ def run_stage(name, cmd, timeout):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stages", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--stages", type=int, nargs="+",
+                    default=[1, 2, 3, 4, 5])
     a = ap.parse_args()
     os.makedirs(os.path.dirname(LOG), exist_ok=True)
 
@@ -80,6 +88,20 @@ def main():
                 "print('cold-start time-to-first-result: "
                 "%.1fs' % (time.time()-t0))")
         run_stage("cold-start", [py, "-c", code], timeout=1200)
+    if 4 in a.stages:
+        run_stage("kernel-matrix-xla",
+                  [py, "tools/measure_flat_variants.py", "--skip-pallas"],
+                  timeout=3600)
+        run_stage("kernel-matrix-pallas",
+                  [py, "tools/measure_flat_variants.py",
+                   "--only", "pallas,pallas_sym,pallas_sym_bf16"],
+                  timeout=3600)
+    if 5 in a.stages:
+        run_stage(
+            "flagship-flat-sym",
+            [py, "drivers/square_circle.py", "--device-solve", "--p", "6",
+             "--N0", "136", "--assemble-device", "--trace-mode", "banded",
+             "--flat-sym", "--method", "trace"], timeout=3600)
     log("capture complete")
 
 
