@@ -798,6 +798,17 @@ def test_symmetric_flat_layout_matches_sparse(p):
     np.testing.assert_allclose(gb[1].ravel(), 2 * want,
                                rtol=1e-13, atol=1e-13)
 
+    # rectangular block (Nr != Ns): the linear offsets are Nrp-based
+    Nr, Ns = N + 3, N
+    lop_r = locoperator(p, Nr, Ns, create_metrics(p, Nr, Ns))
+    op_r = to_dia(lop_r.M, Nr + 1, Ns + 1)
+    cr, offs_r = flatten_dia_sym(op_r.coefs[None], op_r.offsets, Nr + 1)
+    ur = rng.standard_normal((Ns + 1, Nr + 1))
+    want_r = lop_r.M @ ur.ravel()
+    got_r = np.asarray(dia_apply_flat_sym(cr[0], offs_r, jnp.asarray(ur)))
+    np.testing.assert_allclose(got_r.ravel(), want_r,
+                               rtol=1e-13, atol=1e-13)
+
 
 def test_flat_layout_chunked_matches():
     """Chunked flat apply (with_flat_layout echunk=K, incl. zero-pad to
