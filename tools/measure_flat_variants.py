@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--ko", type=int, default=8)
     ap.add_argument("--echunk", type=int, default=8)
     ap.add_argument("--skip-pallas", action="store_true")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run the Pallas variants in interpreter mode "
+                         "(CPU smoke of the sweep harness)")
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to run")
     a = ap.parse_args()
@@ -92,7 +95,8 @@ def main():
         from hybridsbp_tpu.tpu.pallas_stencil import dia_apply_flat_stream
 
         def f(c, v):
-            return dia_apply_flat_stream(c, offs, v, KO=a.ko, sym=sym)
+            return dia_apply_flat_stream(c, offs, v, KO=a.ko, sym=sym,
+                                         interpret=a.interpret)
         return f
 
     # name -> (coefs, apply(c, v))
