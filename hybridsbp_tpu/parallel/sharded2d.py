@@ -92,31 +92,13 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         coefs_mv = bpp.coefs
 
     def dia_local_sym(cext_loc, u_loc):
-        """Symmetric per-block stencil apply on the space shard:
-        out += C_o·shift(u, +o) + shift(C_o·u, −o) per stored plane
-        (see parallel.spatial.dia_apply_spatial_sym for the 1-block
-        form).  cext_loc: (E|1, nsym, S_loc+2S, Nrp)."""
-        top, bot = halo_exchange_s(u_loc, S_halo, space_axis)
-        ue = jnp.concatenate([top, u_loc, bot], axis=-2)
-        ue_pad = jnp.pad(ue, ((0, 0), (0, 0), (R_halo, R_halo)))
-        out = jnp.zeros_like(u_loc)
-        for k, (ds, dr) in enumerate(offs_sym):
-            c_ext = cext_loc[:, k]
-            c_int = jax.lax.slice_in_dim(c_ext, S_halo, S_halo + S_loc,
-                                         axis=-2)
-            sh = jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(ue_pad, S_halo + ds,
-                                     S_halo + ds + S_loc, axis=-2),
-                R_halo + dr, R_halo + dr + Nrp, axis=-1)
-            out = out + c_int * sh
-            if (ds, dr) != (0, 0):
-                w = jnp.pad(c_ext * ue, ((0, 0), (0, 0),
-                                         (R_halo, R_halo)))
-                out = out + jax.lax.slice_in_dim(
-                    jax.lax.slice_in_dim(w, S_halo - ds,
-                                         S_halo - ds + S_loc, axis=-2),
-                    R_halo - dr, R_halo - dr + Nrp, axis=-1)
-        return out
+        """Symmetric per-block stencil apply on the space shard —
+        delegates to the shared halo-extended form (the coefficient
+        stack's leading E|1 block axis broadcasts against u there).
+        cext_loc: (E|1, nsym, S_loc+2S, Nrp)."""
+        from .spatial import dia_apply_spatial_sym
+        return dia_apply_spatial_sym(cext_loc, offs_sym, u_loc,
+                                     space_axis)
 
     def dia_local(coefs_loc, u_loc):
         """Per-block DIA apply with s-halo exchange; u_loc (E, S_loc, Nrp).

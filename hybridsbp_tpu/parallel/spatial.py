@@ -91,8 +91,10 @@ def dia_apply_spatial_sym(coefs_ext_local, offsets_sym, u_local,
     already exchanged and the static coefficient halos are precomputed
     (:func:`extend_coefs_s`), so per-apply ICI traffic is unchanged.
 
-    coefs_ext_local: (noff, S_loc + 2S, Nrp) halo-extended shard;
-    u_local: (..., S_loc, Nrp).
+    coefs_ext_local: (..., noff, S_loc + 2S, Nrp) halo-extended shard —
+    optional leading block dims broadcast against u (per-block stacks
+    lead with E, shared stacks with extent 1); u_local: (..., S_loc,
+    Nrp).
     """
     S = max(ds for ds, _ in offsets_sym)
     R = max(abs(dr) for _, dr in offsets_sym)
@@ -104,14 +106,15 @@ def dia_apply_spatial_sym(coefs_ext_local, offsets_sym, u_local,
 
     out = jnp.zeros_like(u_local)
     for k, (ds, dr) in enumerate(offsets_sym):
-        c_ext = coefs_ext_local[k]                    # (S_loc+2S, Nrp)
+        c_ext = coefs_ext_local[..., k, :, :]         # (.., S_loc+2S, Nrp)
         c_int = jax.lax.slice_in_dim(c_ext, S, S + S_loc, axis=-2)
         shifted = jax.lax.slice_in_dim(
             jax.lax.slice_in_dim(ue_pad, S + ds, S + ds + S_loc, axis=-2),
             R + dr, R + dr + Nrp, axis=-1)
         out = out + c_int * shifted
         if (ds, dr) != (0, 0):
-            w = jnp.pad(c_ext * ue, pad)
+            we = c_ext * ue               # broadcasts over block dims
+            w = jnp.pad(we, [(0, 0)] * (we.ndim - 1) + [(R, R)])
             out = out + jax.lax.slice_in_dim(
                 jax.lax.slice_in_dim(w, S - ds, S - ds + S_loc, axis=-2),
                 R - dr, R - dr + Nrp, axis=-1)

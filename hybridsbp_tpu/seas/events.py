@@ -37,16 +37,22 @@ def merged_events(sol, year_seconds, *, threshold=-3.0,
     seismic = lv > threshold
     up = np.where(seismic[1:] & ~seismic[:-1])[0] + 1
     down = np.where(~seismic[1:] & seismic[:-1])[0] + 1
-    merged, midx = [], []
+    # group up-crossings: onsets within merge_window_yr of a group's
+    # FIRST onset are bursts of the same event
+    groups = []
     for i in up:
-        t = ts[i]
-        if not merged or t - merged[-1] > merge_window_yr:
-            merged.append(float(t))
-            midx.append(i)
+        if not groups or ts[i] - ts[groups[-1][0]] > merge_window_yr:
+            groups.append([i])
+        else:
+            groups[-1].append(i)
+    merged = [float(ts[g[0]]) for g in groups]
     coseis = []
     if dsta is not None:
-        for i in midx:
-            j = down[down > i]
+        for g in groups:
+            # the event's slip window runs from the first burst's onset
+            # to the LAST merged burst's down-crossing (a first-down
+            # window would silently drop later bursts' slip)
+            j = down[down > g[-1]]
             j = int(j[0]) if len(j) else len(ts) - 1
-            coseis.append(float(np.max(dsta[j] - dsta[i])))
+            coseis.append(float(np.max(dsta[j] - dsta[g[0]])))
     return merged, coseis, float(np.max(lv)) if lv.size else float("-inf")

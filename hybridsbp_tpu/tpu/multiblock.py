@@ -245,7 +245,8 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     traffic; True forces, False disables; 'sym' forces the SYMMETRIC
     flat layout (only o >= 0 diagonals stored — halves the coefficient
     stream; see :func:`stencil.flatten_dia_sym`).  ``flat_sym=True``
-    combines the symmetric storage with the auto shape gate.
+    also forces the symmetric flat layout on (an explicit request
+    overrides the auto shape gate, which only weighs tile padding).
     """
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
@@ -461,10 +462,10 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
             "stencil='flat_pallas' requires with_flat_layout(bp)"
         E = u.shape[0]
         cf = bp.coefs_flat
-        if cf.shape[0] == 1 and E > 1:       # shared stack: one per block
-            cf = jnp.broadcast_to(cf, (E,) + cf.shape[1:])
-        else:
-            cf = cf[:E]                      # drop chunk-padding rows
+        if cf.shape[0] != 1:                 # per-block stack: drop any
+            cf = cf[:E]                      # chunk-padding rows
+        # a shared (extent-1) stack passes through as-is — the kernel
+        # streams block 0 for every program (no E-fold HBM copy)
         return dia_apply_flat_stream(cf, bp.offsets_flat, u,
                                      sym=bp.flat_sym)
     if stencil == "flat" or (stencil == "auto" and bp.coefs_flat is not None):

@@ -327,7 +327,7 @@ def dia_apply_shared_stream(coefs, u, offsets, interpret=False):
     )(u, coefs)
 
 
-def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym,
+def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym, shared,
                         u_ref, coef_hbm, out_ref):
     """Flat-layout streaming kernel: the block's field is staged once in
     VMEM (padded by the max linear offset), and the flat coefficient
@@ -343,7 +343,9 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    e = pl.program_id(0)
+    # shared stacks keep their broadcast (extent-1) block axis in HBM —
+    # every program streams block 0 (no E-fold materialized copy)
+    e = 0 if shared else pl.program_id(0)
     nstrips = -(nflat // -KO)            # last strip may be ragged
 
     def nk(t):
@@ -392,23 +394,25 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym,
                                    "interpret"))
 def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, sym=False,
                            interpret=False):
-    """coefs_flat: (E, nflat, Nvol); u: (E, Nvol)."""
+    """coefs_flat: (E, nflat, Nvol) or (1, nflat, Nvol) shared; u: (E, Nvol)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    E, nflat, Nvol = coefs_flat.shape
+    E = u.shape[0]
+    Ec, nflat, Nvol = coefs_flat.shape
+    shared = Ec == 1 and E > 1            # broadcast stack stays 1 in HBM
     L = max(abs(o) for o in offsets_flat)
     Lpad = -(L // -128) * 128            # aligned halo: u lands on a
     #                                      lane-aligned base, shifts pay
     #                                      one rotate each (as XLA does)
     return pl.pallas_call(
         partial(_kernel_flat_stream, tuple(offsets_flat), nflat, Nvol,
-                Lpad, KO, sym),
+                Lpad, KO, sym, shared),
         grid=(E,),
         in_specs=[
             pl.BlockSpec((1, Nvol), lambda e: (e, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, nflat, Nvol), lambda e: (0, 0, 0),
+            pl.BlockSpec((Ec, nflat, Nvol), lambda e: (0, 0, 0),
                          memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, Nvol), lambda e: (e, 0),

@@ -287,6 +287,30 @@ def test_station_file_output(tmp_path):
                                 station_depths=[0.0, 7.5])
 
 
+def test_merged_events_multiburst_coseis():
+    """merged_events: bursts within the merge window are one event, and
+    the event's coseismic slip window runs to the LAST burst's
+    down-crossing (review r3: a first-down window silently dropped the
+    later bursts' slip)."""
+    from types import SimpleNamespace
+
+    from hybridsbp_tpu.seas.events import merged_events
+
+    ts = np.array([0.0, 1.0, 2.0, 2.2, 2.4, 2.6, 2.8, 4.0, 5.0])
+    lv = np.array([-5.0, -5, -2, -5, -2, -5, -5, -5, -5])
+    delta = np.array([0.0, 0, 0, 1, 1, 2, 2, 2, 2])[:, None]
+    sol = SimpleNamespace(ts=ts, save={"log10_vmax": lv, "delta": delta})
+    ev, coseis, lvmax = merged_events(sol, 1.0)
+    assert ev == [2.0] and lvmax == -2.0
+    np.testing.assert_allclose(coseis, [2.0])   # both bursts' slip
+    # well-separated bursts stay two events with per-event slip
+    ts2 = ts.copy(); ts2[4:] += 2.0
+    sol2 = SimpleNamespace(ts=ts2, save={"log10_vmax": lv, "delta": delta})
+    ev2, coseis2, _ = merged_events(sol2, 1.0)
+    assert ev2 == [2.0, 4.4]
+    np.testing.assert_allclose(coseis2, [1.0, 1.0])
+
+
 def test_wf_deep_node_failure_does_not_reject_step():
     """With imposed creep below Wf, a deep node's friction results are
     overwritten (V -> Vp, dpsi -> 0) — so a poisoned deep-node state

@@ -502,6 +502,12 @@ def test_pallas_flat_stream_kernel():
     gots = np.asarray(dia_apply_flat_stream(cs, offs_sym, u, KO=8,
                                             sym=True, interpret=True))
     np.testing.assert_allclose(gots, want, rtol=1e-12, atol=1e-12)
+    # shared (extent-1) stack: every program streams block 0 in-kernel
+    # (no E-fold broadcast copy in HBM)
+    gotsh = np.asarray(dia_apply_flat_stream(cf[:1], offs_flat, u, KO=8,
+                                             interpret=True))
+    want_sh = np.asarray(dia_apply_flat(cf[:1], offs_flat, u))
+    np.testing.assert_allclose(gotsh, want_sh, rtol=1e-12, atol=1e-12)
 
 
 def test_pallas_kernels_bf16_coefs():

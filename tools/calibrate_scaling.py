@@ -81,6 +81,10 @@ def main():
                          "the fusion working set stops XLA re-reading "
                          "the shifted field per offset at large E)")
     a = ap.parse_args()
+    if a.sym and not a.flat:
+        ap.error("--sym measures the symmetric FLAT layout: add --flat")
+    if a.pallas_flat and not a.flat:
+        ap.error("--pallas-flat requires --flat")
 
     import jax
     import jax.numpy as jnp
