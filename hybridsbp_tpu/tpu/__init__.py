@@ -3,7 +3,12 @@ from .stencil import (  # noqa: F401
     DiaOperator,
     dia_apply,
     dia_apply_compact,
+    dia_apply_flat,
+    dia_apply_flat_sym,
     dia_diagonal,
+    dia_sym_half,
+    flatten_dia,
+    flatten_dia_sym,
     to_dia,
 )
 from .multiblock import (  # noqa: F401
