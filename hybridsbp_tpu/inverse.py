@@ -1,0 +1,211 @@
+"""Gradient-based PDE-constrained inversion (beyond-reference capability).
+
+The reference (`/root/reference/global_curved.jl`) is a forward-modeling
+code: recovering model parameters (a material field, boundary data) from
+observations would need hand-derived adjoint solves.  Here the whole
+forward pipeline is differentiable JAX — the on-device operator assembly
+(:mod:`.tpu.assemble_device`, linear in the coefficient planes) composed
+with the implicitly-differentiated CG solve (:func:`.tpu.cg.cg_solve`,
+``lax.custom_linear_solve``) — so ``d(misfit)/d(material field)`` is one
+``jax.grad`` call: the adjoint-state method for free, at the cost of one
+extra (SPD, so self-transposed) solve per source.  The optimization loop
+is a ``lax.scan`` of optax updates, so the ENTIRE inversion — assembly +
+K forward solves + K adjoint solves per step, hundreds of steps —
+compiles to one XLA program and runs on-device.
+
+Physical setup (single curvilinear block): solve
+
+    -div( mu(x) * grad u ) = f_k   on the mapped block,  u = 0 on the
+                                   boundary (SAT-Dirichlet),
+
+for K known source fields ``f_k``; observe ``u_k`` at a sparse station
+set; recover ``mu`` from the observations.  ``mu`` multiplies the
+geometric coefficient planes (crr, css, crs), so the assembled operator
+is exactly ``locoperator(..., crr=mu*crr0, css=mu*css0, crs=mu*crs0)``
+— the parity-gated override path (tests/test_assemble_device.py).
+
+The material field is parameterized as ``mu = exp(resize(theta))`` on a
+coarse control grid (positivity + mesh-independent regularization), with
+an optional first-difference smoothness penalty on ``theta``.
+
+Demo driver: ``drivers/invert_material.py``; gates: tests/test_inverse.py.
+"""
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import create_metrics
+from .ops2d import locoperator
+from .tpu.assemble_device import assemble_planes, extract_assembly_data
+from .tpu.cg import cg_solve
+from .tpu.fastdiag import build_fastdiag, fastdiag_apply
+from .tpu.stencil import DiaOperator, dia_apply
+
+
+class MaterialInversion(NamedTuple):
+    """The differentiable forward model + loss of one inversion setup."""
+    p: int
+    N: int
+    ctrl: int                       # control-grid extent (ctrl x ctrl)
+    stations: Tuple[np.ndarray, np.ndarray]   # (s_idx, r_idx), paired
+    upsample: Callable              # theta (ctrl, ctrl) -> (Nsp, Nrp)
+    forward: Callable               # (theta, sources (K,Nsp,Nrp)) -> (K,nsta)
+    loss: Callable                  # (theta, sources, d_obs) -> scalar
+
+
+class InversionResult(NamedTuple):
+    theta: jnp.ndarray              # (ctrl, ctrl) final control values
+    mu: jnp.ndarray                 # (Nsp, Nrp) recovered material field
+    losses: jnp.ndarray             # (steps,) loss trajectory
+
+
+def station_grid(N: int, nsta: int = 8, margin: Optional[int] = None):
+    """An nsta x nsta interior lattice of observation nodes (paired
+    index arrays into the (Nsp, Nrp) field)."""
+    if margin is None:
+        margin = max(2, (N + 1) // (nsta + 2))
+    pts = np.linspace(margin, N - margin, nsta).round().astype(np.int64)
+    si, ri = np.meshgrid(pts, pts, indexing="ij")
+    return si.ravel(), ri.ravel()
+
+
+def make_material_inversion(p: int, N: int, *, metrics=None, nsta: int = 8,
+                            ctrl: int = 7, smooth: float = 1e-5,
+                            tol: float = 1e-10, maxiter: int = 2000,
+                            precond: bool = True,
+                            dtype=jnp.float64) -> MaterialInversion:
+    """Build the differentiable forward model for material inversion on
+    one block.
+
+    ``precond=True`` uses the fast-diagonalization preconditioner of the
+    BACKGROUND (mu=1) operator inside CG — a fixed linear map, so it
+    changes only the solver path, never the solution or its adjoint.
+    """
+    if metrics is None:
+        metrics = create_metrics(p, N, N)
+    data = extract_assembly_data(p, N, N)
+    crr0 = jnp.asarray(metrics.crr, dtype=dtype)
+    css0 = jnp.asarray(metrics.css, dtype=dtype)
+    crs0 = jnp.asarray(metrics.crs, dtype=dtype)
+    si, ri = station_grid(N, nsta)
+    si_j, ri_j = jnp.asarray(si), jnp.asarray(ri)
+
+    prec = None
+    if precond:
+        fd = build_fastdiag(locoperator(p, N, N, metrics), dtype=dtype)
+        prec = lambda r: fastdiag_apply(fd, r)          # noqa: E731
+
+    Nsp = N + 1
+
+    def upsample(theta):
+        return jax.image.resize(theta.astype(dtype), (Nsp, Nsp), "cubic")
+
+    def forward(theta, sources):
+        mu = jnp.exp(upsample(theta))
+        coefs = assemble_planes(data, mu * crr0, mu * css0, mu * crs0,
+                                jnp.zeros((4,), dtype=dtype))
+        op = DiaOperator(coefs=coefs, offsets=data.offsets)
+
+        def solve1(b):
+            return cg_solve(lambda u: dia_apply(op, u), b,
+                            tol=tol, maxiter=maxiter, precond=prec)
+
+        u = jax.vmap(solve1)(sources.astype(dtype))
+        return u[:, si_j, ri_j]
+
+    def loss(theta, sources, d_obs):
+        # misfit is normalized by the data energy so its scale (and the
+        # meaning of ``smooth``) is independent of source amplitudes
+        resid = forward(theta, sources) - d_obs
+        mis = 0.5 * jnp.sum(resid * resid) / jnp.sum(d_obs * d_obs)
+        reg = (jnp.sum(jnp.diff(theta, axis=0) ** 2)
+               + jnp.sum(jnp.diff(theta, axis=1) ** 2))
+        return mis + smooth * reg
+
+    return MaterialInversion(p=p, N=N, ctrl=ctrl, stations=(si, ri),
+                             upsample=upsample, forward=forward, loss=loss)
+
+
+def invert_material(inv: MaterialInversion, sources, d_obs, *,
+                    steps: int = 200, lr: float = 0.2, theta0=None,
+                    optimizer=None) -> InversionResult:
+    """Run the full inversion as ONE jitted lax.scan of optax updates."""
+    import optax
+
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+    th0 = (jnp.zeros((inv.ctrl, inv.ctrl), dtype=jnp.result_type(d_obs))
+           if theta0 is None else jnp.asarray(theta0))
+    vg = jax.value_and_grad(lambda th: inv.loss(th, sources, d_obs))
+
+    @jax.jit
+    def run(th0):
+        def step(carry, _):
+            th, ost = carry
+            val, g = vg(th)
+            upd, ost = opt.update(g, ost, th)
+            return (optax.apply_updates(th, upd), ost), val
+
+        (th, _), losses = jax.lax.scan(step, (th0, opt.init(th0)), None,
+                                       length=steps)
+        return th, losses
+
+    th, losses = run(th0)
+    return InversionResult(theta=th, mu=jnp.exp(inv.upsample(th)),
+                           losses=losses)
+
+
+# ---------------------------------------------------------------------------
+# demo problem (host-generated observations)
+# ---------------------------------------------------------------------------
+def demo_material_field(metrics):
+    """A two-anomaly material field on the block (positive, contrast ~3)."""
+    x, y = metrics.coord
+    return (1.0
+            + 0.8 * np.exp(-((x - 0.35) ** 2 + (y - 0.30) ** 2) / 0.08)
+            - 0.45 * np.exp(-((x + 0.40) ** 2 + (y + 0.45) ** 2) / 0.10))
+
+
+def demo_problem(p: int, N: int, *, K: int = 6, nsta: int = 8,
+                 noise: float = 0.0, seed: int = 0, metrics=None):
+    """Generate (mu_true, sources, d_obs) for the inversion demo.
+
+    Observations are produced by the HOST sparse path
+    (``locoperator`` overrides + ``scipy`` direct solve) — an
+    independent code path from the device-assembly forward model used
+    in the inversion (their operator parity is separately gated).
+    ``noise`` is the relative std of Gaussian noise added per datum.
+    """
+    import scipy.sparse.linalg as spla
+
+    if metrics is None:
+        metrics = create_metrics(p, N, N)
+    mu_true = demo_material_field(metrics)
+    lop = locoperator(p, N, N, metrics,
+                      crr=mu_true * metrics.crr,
+                      css=mu_true * metrics.css,
+                      crs=mu_true * metrics.crs)
+
+    # quadrature-weighted Gaussian sources on a ring (RHS of M u = H J f)
+    x, y = metrics.coord
+    from .ops1d import build_d1
+    Hr = np.diag(build_d1(p, N)[2])
+    Hs = np.diag(build_d1(p, N)[2])
+    W = np.outer(Hs, Hr) * metrics.J
+    ang = 2 * np.pi * np.arange(K) / K
+    cx, cy = 0.55 * np.cos(ang), 0.55 * np.sin(ang)
+    sources = np.stack([
+        W * np.exp(-((x - cx[k]) ** 2 + (y - cy[k]) ** 2) / 0.05)
+        for k in range(K)])
+
+    si, ri = station_grid(N, nsta)
+    lu = spla.splu(lop.M.tocsc())
+    d_obs = np.stack([
+        lu.solve(sources[k].ravel()).reshape(N + 1, N + 1)[si, ri]
+        for k in range(K)])
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        d_obs = d_obs + noise * np.abs(d_obs).std() * rng.standard_normal(
+            d_obs.shape)
+    return mu_true, jnp.asarray(sources), jnp.asarray(d_obs)

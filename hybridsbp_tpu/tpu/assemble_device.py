@@ -240,7 +240,14 @@ def assemble_planes(data: AssemblyData, crr, css, crs, neumann_mask,
             coefs = add(coefs, ds, dr, val)
 
     # ---- SAT penalties (device, elementwise + strip mins)
-    psi = (crr + css - jnp.sqrt((crr - css) ** 2 + 4 * crs ** 2)) / 2
+    # min-eigenvalue of the coefficient matrix [[crr,crs],[crs,css]].
+    # The double-where keeps the sqrt derivative finite where the
+    # discriminant is exactly 0 (isotropic material on an identity map:
+    # crr == css, crs == 0) so jax.grad flows through the assembly for
+    # inversion (inverse.py); forward values are bit-identical.
+    disc = (crr - css) ** 2 + 4 * crs ** 2
+    psi = (crr + css - jnp.where(
+        disc > 0, jnp.sqrt(jnp.where(disc > 0, disc, 1.0)), 0.0)) / 2
     hr, hs = 2.0 / data.Nr, 2.0 / data.Ns
     ts, beta, alpha = data.tau_scale, data.beta, data.alpha
     tau1 = (2 * ts / hr) * (crr[:, 0] ** 2 / beta
