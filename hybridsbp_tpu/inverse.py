@@ -157,6 +157,168 @@ def invert_material(inv: MaterialInversion, sources, d_obs, *,
 
 
 # ---------------------------------------------------------------------------
+# fault-slip inversion through the multiblock hybrid solve
+# ---------------------------------------------------------------------------
+class SlipInversion(NamedTuple):
+    """Differentiable forward model for fault-slip inversion on a
+    multiblock mesh: slip nodal values -> station displacements through
+    the coupled device solve."""
+    nf: int                                  # number of slip unknowns
+    fault_faces: np.ndarray                  # global face ids
+    FTods: np.ndarray                        # slip-dof offsets per face
+    stations: Tuple[np.ndarray, ...]         # (block, s, r) index arrays
+    forward: Callable                        # delta (nf,) -> (nsta,)
+    reg_mv: Callable                         # delta -> R @ delta (2nd diff)
+
+
+def probe_slip_rhs_map(prob, dtype=jnp.float64):
+    """Host-probe the LINEAR map from fault-slip nodal values to the
+    blocked RHS: column n = (g, gδ) of a unit slip at slip dof n.
+
+    No solves are involved — each column is two ``locbcarray`` calls on
+    the face's adjacent blocks (the jump data enters both the volume
+    RHS and the face RHS, reference global_curved.jl SAT terms), so
+    probing costs O(nf) RHS assemblies.  Returns ``(Gg, Gd, FTods,
+    fault_faces)`` with Gg: (nf, E, Nsp, Nrp), Gd: (nf, nfaces, L) in
+    the blocked layouts of :func:`.tpu.multiblock.blocked_rhs_from_host`.
+    """
+    from . import BC_JUMP_INTERFACE
+    from .hybrid.assemble import bcstarts
+    from .ops2d import locbcarray
+    from .tpu.multiblock import blocked_rhs_from_host
+
+    lops, vstarts = prob.lops, prob.vstarts
+    FToB, FToE, FToLF = prob.FToB, prob.FToE, prob.FToLF
+    EToF, EToO, EToS = prob.EToF, prob.EToO, prob.EToS
+    fault_faces = np.where(FToB == BC_JUMP_INTERFACE)[0]
+    FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
+    nf = int(FTods[-1])
+    delta = np.zeros(nf)
+
+    def in_jump(lf, x, y, e):
+        ff = EToF[lf, e]
+        d = delta[FTods[ff]:FTods[ff + 1]]
+        if EToS[lf, e] == 0:
+            return -d
+        return d if EToO[lf, e] else d[::-1]
+
+    zD = lambda lf, x, y: np.zeros_like(x)                 # noqa: E731
+    zN = lambda lf, x, y, nx, ny: np.zeros_like(x)         # noqa: E731
+    cols_g, cols_d = [], []
+    for f in fault_faces:
+        for j in range(int(FTods[f + 1] - FTods[f])):
+            delta[:] = 0.0
+            delta[int(FTods[f]) + j] = 1.0
+            g = np.zeros(int(vstarts[-1]))
+            gd = np.zeros(int(prob.FToLstarts[-1]))
+            for e in (int(FToE[0, f]), int(FToE[1, f])):
+                ge, gde = locbcarray(
+                    lops[e], lops[e].bctype, zD, zN,
+                    lambda lf, x, y, e=e: in_jump(lf, x, y, e))
+                g[vstarts[e]:vstarts[e + 1]] += ge
+                for lf in range(4):
+                    if gde[lf] is not None:
+                        prob.scatter_face(gd, EToF[lf, e], gde[lf], e, lf,
+                                          EToO)
+            gb, gdb = blocked_rhs_from_host(prob, g, gd)
+            cols_g.append(np.asarray(gb))
+            cols_d.append(np.asarray(gdb))
+    return (jnp.asarray(np.stack(cols_g), dtype=dtype),
+            jnp.asarray(np.stack(cols_d), dtype=dtype), FTods, fault_faces)
+
+
+def block_station_grid(prob, per=2):
+    """``per x per`` interior observation nodes in every block (away
+    from block edges, where interface jumps live)."""
+    E = len(prob.lops)
+    N = prob.lops[0].Nr
+    pts = np.linspace(0, N, per + 2).round().astype(np.int64)[1:-1]
+    bi = np.repeat(np.arange(E), per * per)
+    si, ri = np.meshgrid(pts, pts, indexing="ij")
+    return (bi, np.tile(si.ravel(), E), np.tile(ri.ravel(), E))
+
+
+def slip_smoothness(FTods, fault_faces, nf):
+    """R = sum_f L_f' L_f with L_f the per-face second difference —
+    smoothness within each fault face, no coupling across junctions."""
+    R = np.zeros((nf, nf))
+    for f in fault_faces:
+        s0, s1 = int(FTods[f]), int(FTods[f + 1])
+        n = s1 - s0
+        if n < 3:
+            continue
+        L = np.zeros((n - 2, n))
+        for i in range(n - 2):
+            L[i, i:i + 3] = (1.0, -2.0, 1.0)
+        R[s0:s1, s0:s1] += L.T @ L
+    return R
+
+
+def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
+                        inner_iters=8, tol=1e-9, maxiter=300,
+                        dtype=jnp.float64) -> SlipInversion:
+    """Differentiable slip->stations forward model on a multiblock mesh
+    (e.g. the flower fault network).
+
+    The forward is linear: RHS columns from :func:`probe_slip_rhs_map`
+    contract with the slip vector, and
+    :func:`.tpu.multiblock.solve_displacements_implicit` carries the
+    adjoint of the coupled solve — so ``jax.linear_transpose`` of the
+    forward is one adjoint solve, and :func:`invert_linear` solves the
+    regularized normal equations exactly."""
+    from .tpu import build_blocked, build_woodbury
+    from .tpu.multiblock import solve_displacements_implicit
+
+    if bp is None:
+        bp = build_blocked(prob, dtype=dtype)
+    if trace_inv is None and prob.B is not None:
+        trace_inv = build_woodbury(bp, prob, dtype=dtype)
+    Gg, Gd, FTods, fault_faces = probe_slip_rhs_map(prob, dtype=dtype)
+    nf = Gg.shape[0]
+    bi, si, ri = block_station_grid(prob, per=per)
+    bi_j, si_j, ri_j = jnp.asarray(bi), jnp.asarray(si), jnp.asarray(ri)
+    Rmat = jnp.asarray(slip_smoothness(FTods, fault_faces, nf),
+                       dtype=dtype)
+
+    def forward(delta):
+        g = jnp.einsum("n...,n->...", Gg, delta)
+        gd = jnp.einsum("n...,n->...", Gd, delta)
+        u = solve_displacements_implicit(bp, g, gd, tol=tol,
+                                         maxiter=maxiter,
+                                         trace_inv=trace_inv,
+                                         inner_iters=inner_iters)
+        return u[bi_j, si_j, ri_j]
+
+    return SlipInversion(nf=nf, fault_faces=fault_faces, FTods=FTods,
+                         stations=(bi, si, ri), forward=forward,
+                         reg_mv=lambda d: Rmat @ d)
+
+
+def invert_linear(forward: Callable, d_obs, n: int, *, lam: float = 0.0,
+                  reg_mv: Optional[Callable] = None, tol: float = 1e-10,
+                  maxiter: int = 200):
+    """Exact Gauss–Newton for a LINEAR forward model: solve the
+    regularized normal equations (J'J + lam R) x = J' d by CG, with
+    J' supplied by ``jax.linear_transpose`` — each CG iteration costs
+    one forward + one adjoint application (for the slip model: two
+    coupled multiblock solves).  Returns the package CGResult."""
+    from .tpu.cg import cg
+
+    x0 = jnp.zeros((n,), dtype=jnp.result_type(d_obs))
+    Jt = jax.linear_transpose(forward, x0)
+
+    def normal_mv(x):
+        y, = Jt(forward(x))
+        if reg_mv is not None and lam:
+            y = y + lam * reg_mv(x)
+        return y
+
+    rhs, = Jt(d_obs)
+    return jax.jit(lambda b: cg(normal_mv, b, tol=tol,
+                                maxiter=maxiter))(rhs)
+
+
+# ---------------------------------------------------------------------------
 # demo problem (host-generated observations)
 # ---------------------------------------------------------------------------
 def demo_material_field(metrics):

@@ -23,6 +23,7 @@ from .multiblock import (  # noqa: F401
     displacement_rhs,
     make_jit_solver,
     solve_displacements,
+    solve_displacements_implicit,
     solve_trace,
     with_coef_dtype,
     woodbury_precond,

@@ -1027,23 +1027,65 @@ def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
     'unrolled', or 'compact' (see :func:`_dia_apply_batched`).
     ``flexible``: Polak–Ribière CG for variable preconditioners (e.g.
     Woodbury with inner CG)."""
-    if precond == "auto":
-        precond = "fastdiag" if bp.fd is not None else "jacobi"
-    if callable(precond):
-        M = precond
-    elif precond == "fastdiag":
-        from .fastdiag import fastdiag_apply
-        fd = bp.fd
-        M = lambda r: jax.vmap(fastdiag_apply)(fd, r)
-    elif precond == "jacobi":
-        diag = None
-        for k, (ds, dr) in enumerate(bp.offsets):
-            if ds == 0 and dr == 0:
-                diag = bp.coefs[:, k]
-        M = lambda r: r / diag
-    else:
-        raise ValueError(f"unknown precond {precond!r}")
+    M = _resolve_displacement_precond(bp, precond)
     b = displacement_rhs(bp, g, gdelta_faces)
     res = cg(lambda u: displacement_matvec(bp, u, stencil=stencil), b,
              tol=tol, maxiter=maxiter, precond=M, flexible=flexible)
     return res
+
+
+def _resolve_displacement_precond(bp: BlockedHybrid, precond):
+    """Shared precond resolution for the coupled-system solves."""
+    if precond == "auto":
+        precond = "fastdiag" if bp.fd is not None else "jacobi"
+    if callable(precond):
+        return precond
+    if precond == "fastdiag":
+        from .fastdiag import fastdiag_apply
+        fd = bp.fd
+        return lambda r: jax.vmap(fastdiag_apply)(fd, r)
+    if precond == "jacobi":
+        diag = None
+        for k, (ds, dr) in enumerate(bp.offsets):
+            if ds == 0 and dr == 0:
+                diag = bp.coefs[:, k]
+        return lambda r: r / diag
+    raise ValueError(f"unknown precond {precond!r}")
+
+
+def solve_displacements_implicit(bp: BlockedHybrid, g, gdelta_faces, *,
+                                 tol=1e-10, maxiter=2000, precond="auto",
+                                 stencil="auto", flexible=False,
+                                 trace_inv=None, inner_iters=8):
+    """Differentiable coupled solve: u = C^{-1} rhs(g, gδ) with implicit
+    (adjoint) gradients.
+
+    Same system as :func:`solve_displacements`, wrapped in
+    ``lax.custom_linear_solve(symmetric=True)`` so reverse/forward-mode
+    derivatives re-solve the (self-transposed, SPD) system instead of
+    differentiating through the CG iteration — the adjoint-state method
+    through the MULTIBLOCK hybrid solve.  Gradients flow to ``g`` /
+    ``gdelta_faces`` (boundary/slip data — see
+    :func:`..inverse.make_slip_inversion`) and, because the matvec
+    closure is lifted by ``custom_linear_solve``, to the operator
+    arrays as well.  Returns ``u`` only (no iteration stats — the
+    residual is not part of the differentiable value).
+
+    ``trace_inv``: a :func:`build_woodbury` result — switches to the
+    Woodbury two-level preconditioner (``inner_iters`` block sweeps)
+    with a flexible outer iteration, the O(1)-outer-iteration
+    configuration that makes inversion loops cheap."""
+    if trace_inv is not None:
+        precond = woodbury_precond(bp, trace_inv, inner_iters=inner_iters,
+                                   stencil=stencil)
+        flexible = True
+    M = _resolve_displacement_precond(bp, precond)
+    b = displacement_rhs(bp, g, gdelta_faces)
+
+    def solve(mv, bb):
+        return cg(mv, bb, tol=tol, maxiter=maxiter, precond=M,
+                  flexible=flexible).x
+
+    return jax.lax.custom_linear_solve(
+        lambda u: displacement_matvec(bp, u, stencil=stencil), b, solve,
+        symmetric=True)

@@ -76,3 +76,51 @@ def test_material_recovery():
 def test_station_grid_interior():
     si, ri = station_grid(24, 5)
     assert len(si) == 25 and si.min() >= 2 and si.max() <= 22
+
+
+# ---------------------------------------------------------------------------
+# fault-slip inversion through the coupled multiblock solve
+# ---------------------------------------------------------------------------
+def _flower_slip_setup(per):
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "drivers"))
+    from invert_slip import build_flower_problem, true_slip
+
+    from hybridsbp_tpu.inverse import make_slip_inversion
+
+    prob = build_flower_problem(2, 8)
+    inv = make_slip_inversion(prob, per=per)
+    return inv, true_slip(inv)
+
+
+def test_slip_forward_adjoint_identity():
+    """<J x, y> == <x, J' y> with J' from jax.linear_transpose through
+    the coupled multiblock solve (custom_linear_solve adjoint) — the
+    multiblock adjoint-correctness gate.  Floor is the forward solve
+    tolerance."""
+    inv, _ = _flower_slip_setup(per=2)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(inv.nf))
+    y = jnp.asarray(rng.standard_normal(len(inv.stations[0])))
+    Jt = jax.linear_transpose(inv.forward, jnp.zeros(inv.nf))
+    lhs = float(jnp.vdot(inv.forward(x), y))
+    rhs = float(jnp.vdot(x, Jt(y)[0]))
+    assert abs(lhs - rhs) < 1e-7 * abs(lhs), \
+        f"adjoint identity violated: {lhs} vs {rhs}"
+
+
+def test_slip_recovery_flower():
+    """Recover the 18-face slip distribution from 603 interior stations
+    by regularized normal-equation CG (measured 9.1% at 150 iterations,
+    4.5% at 400; gated with margin)."""
+    from hybridsbp_tpu.inverse import invert_linear
+
+    inv, d_true = _flower_slip_setup(per=3)
+    d_obs = inv.forward(jnp.asarray(d_true))
+    res = invert_linear(inv.forward, d_obs, inv.nf, lam=1e-7,
+                        reg_mv=inv.reg_mv, tol=1e-12, maxiter=150)
+    rec = np.asarray(res.x)
+    rel = np.linalg.norm(rec - d_true) / np.linalg.norm(d_true)
+    assert rel < 0.12, f"slip recovery error {rel:.3f}"
