@@ -211,7 +211,8 @@ def probe_slip_rhs_map(prob, dtype=jnp.float64):
             delta[int(FTods[f]) + j] = 1.0
             g = np.zeros(int(vstarts[-1]))
             gd = np.zeros(int(prob.FToLstarts[-1]))
-            for e in (int(FToE[0, f]), int(FToE[1, f])):
+            for e in {int(FToE[0, f]), int(FToE[1, f])}:   # set: a block
+                # adjacent on both sides must assemble only once
                 ge, gde = locbcarray(
                     lops[e], lops[e].bctype, zD, zN,
                     lambda lf, x, y, e=e: in_jump(lf, x, y, e))
@@ -232,6 +233,8 @@ def block_station_grid(prob, per=2):
     from block edges, where interface jumps live)."""
     E = len(prob.lops)
     N = prob.lops[0].Nr
+    assert all(lo.Nr == N and lo.Ns == N for lo in prob.lops.values()), \
+        "block_station_grid assumes uniform square blocks"
     pts = np.linspace(0, N, per + 2).round().astype(np.int64)[1:-1]
     bi = np.repeat(np.arange(E), per * per)
     si, ri = np.meshgrid(pts, pts, indexing="ij")
