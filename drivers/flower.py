@@ -27,9 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from hybridsbp_tpu import BC_DIRICHLET, BC_JUMP_INTERFACE, BC_NEUMANN  # noqa: E402
 from hybridsbp_tpu.hybrid import build_problem  # noqa: E402
-from hybridsbp_tpu.hybrid.assemble import bcstarts  # noqa: E402
+from hybridsbp_tpu.hybrid.assemble import assemble_jump_rhs, bcstarts  # noqa: E402,E501
 from hybridsbp_tpu.mesh import read_inp_2d  # noqa: E402
-from hybridsbp_tpu.ops2d import locbcarray  # noqa: E402
 
 MESH = os.path.join(os.path.dirname(__file__), "..", "meshes",
                     "flower_v2.inp")
@@ -101,7 +100,7 @@ def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
     prob, (FToE, FToLF, EToO, EToS) = build_problem(
         p, verts, EToV, EToF, FToB, Narr, Narr,
         edge_override=override, use_sbp_blend=bool(curved))
-    lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
+    lops, vstarts = prob.lops, prob.vstarts
     FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
 
     fault_faces = np.where(FToB == BC_JUMP_INTERFACE)[0]
@@ -153,25 +152,7 @@ def run(p=2, N=8, method="trace", slip=1.0, verbose=True, curved=0.0,
             delta[FTods[f]:FTods[f + 1]] = slip_profile(
                 lops[e].facecoord[0][lf], lops[e].facecoord[1][lf])
 
-    def in_jump(lf, x, y, e):
-        f = EToF[lf, e]
-        d = delta[FTods[f]:FTods[f + 1]]
-        if EToS[lf, e] == 0:
-            return -d
-        return d if EToO[lf, e] else d[::-1]
-
-    g = np.zeros(int(vstarts[-1]))
-    gdelta = np.zeros(int(FToLs[-1]))
-    for e in range(nelems):
-        ge, gde = locbcarray(
-            lops[e], lops[e].bctype,
-            lambda lf, x, y: np.zeros_like(x),
-            lambda lf, x, y, nx, ny: np.zeros_like(x),
-            lambda lf, x, y, e=e: in_jump(lf, x, y, e))
-        g[vstarts[e]:vstarts[e + 1]] = ge
-        for lf in range(4):
-            if gde[lf] is not None:
-                prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf, EToO)
+    g, gdelta = assemble_jump_rhs(prob, delta, FTods)
 
     u, lam = prob.solve(g, gdelta, method=method)
 

@@ -22,7 +22,8 @@ from hybridsbp_tpu import BC_DIRICHLET, BC_JUMP_INTERFACE, BC_NEUMANN  # noqa: E
 from hybridsbp_tpu.hybrid import build_problem  # noqa: E402
 from hybridsbp_tpu.hybrid.assemble import bcstarts  # noqa: E402
 from hybridsbp_tpu.mesh import read_inp_2d  # noqa: E402
-from hybridsbp_tpu.ops2d import computetraction, locbcarray, locsourcearray  # noqa: E402
+from hybridsbp_tpu.hybrid import assemble_jump_rhs  # noqa: E402
+from hybridsbp_tpu.ops2d import computetraction, locsourcearray  # noqa: E402
 
 MESH = os.path.join(os.path.dirname(__file__), "..", "meshes",
                     "square_circle.inp")
@@ -144,30 +145,13 @@ def assemble_level(p, N_per_block, mesh_data=None):
             delta[FTods[f]:FTods[f + 1]] = (
                 vex(xf, yf, EToDomain[e2]) - vex(xf, yf, EToDomain[e1]))
 
-    def in_jump(lf, x, y, e):
-        f = EToF[lf, e]
-        d = delta[FTods[f]:FTods[f + 1]]
-        if EToS[lf, e] == 0:
-            assert EToO[lf, e]
-            return -d
-        return d if EToO[lf, e] else d[::-1]
-
-    g = np.zeros(int(vstarts[-1]))
-    gdelta = np.zeros(int(FToLs[-1]))
-    for e in range(nelems):
-        dom = EToDomain[e]
-        ge, gde = locbcarray(
-            lops[e], lops[e].bctype,
-            lambda lf, x, y, dom=dom: vex(x, y, dom),
-            lambda lf, x, y, nx, ny, dom=dom: (nx * vex_x(x, y, dom)
-                                               + ny * vex_y(x, y, dom)),
-            lambda lf, x, y, e=e: in_jump(lf, x, y, e))
-        ge += locsourcearray(
-            lops[e], lambda x, y, dom=dom: -polar_laplace(x, y, dom))
-        g[vstarts[e]:vstarts[e + 1]] = ge
-        for lf in range(4):
-            if gde[lf] is not None:
-                prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf, EToO)
+    g, gdelta = assemble_jump_rhs(
+        prob, delta, FTods,
+        bc_Dirichlet=lambda e, lf, x, y: vex(x, y, EToDomain[e]),
+        bc_Neumann=lambda e, lf, x, y, nx, ny: (
+            nx * vex_x(x, y, EToDomain[e]) + ny * vex_y(x, y, EToDomain[e])),
+        extra_g=lambda e: locsourcearray(
+            lops[e], lambda x, y: -polar_laplace(x, y, EToDomain[e])))
     return prob, g, gdelta, delta, FTods, EToDomain, (FToE, FToLF, EToO, EToS)
 
 

@@ -1,5 +1,6 @@
 from .assemble import (  # noqa: F401
     BlockStore,
+    assemble_jump_rhs,
     assemble_lambda_matrix,
     bcstarts,
     block_store,

@@ -133,6 +133,71 @@ def bcstarts(FToB, FToE, FToLF, bctypes, lops):
     return starts
 
 
+def assemble_jump_rhs(prob, delta, FTods, *, bc_Dirichlet=None,
+                      bc_Neumann=None, extra_g=None, elements=None):
+    """Host RHS assembly for jump-face data (the one home for the
+    in_jump + locbcarray + scatter convention previously repeated in
+    the flower/square_circle/bp1_multiblock drivers and the slip
+    prober).
+
+    ``delta``: per-dof jump values indexed by ``FTods`` (from
+    :func:`bcstarts` over every jump-type (code >= BC_JUMP_INTERFACE)
+    face — passing a starts array that misses a jump-coded face raises
+    inside the jump callback).  The minus side (EToS 0) is
+    orientation-true and contributes ``-delta``; the plus side
+    contributes ``+delta`` in its own face order (EToO flip) — the
+    reference's two-sided SAT data convention.
+
+    ``bc_Dirichlet(e, lf, x, y)`` / ``bc_Neumann(e, lf, x, y, nx, ny)``:
+    per-element data callbacks (default zero); ``extra_g(e) -> (Np,)``:
+    optional per-element volume addition (e.g. a manufactured source);
+    ``elements``: restrict assembly to these block ids (the jump map is
+    block-local — the unit-slip prober passes a face's two blocks).
+
+    Returns stacked host vectors ``(g, gdelta)``.
+    """
+    from ..ops2d import locbcarray
+
+    lops, vstarts = prob.lops, prob.vstarts
+    EToF, EToO, EToS = prob.EToF, prob.EToO, prob.EToS
+
+    def in_jump(lf, x, y, e):
+        f = EToF[lf, e]
+        d = delta[FTods[f]:FTods[f + 1]]
+        if len(d) == 0:
+            raise ValueError(
+                f"face {f} (code {prob.FToB[f]}) has jump-type data but "
+                "no dofs in FTods — build FTods over every code >= "
+                f"{BC_JUMP_INTERFACE} present in FToB")
+        if EToS[lf, e] == 0:
+            assert EToO[lf, e], "minus side must be orientation-true"
+            return -d
+        return d if EToO[lf, e] else d[::-1]
+
+    zD = lambda e, lf, x, y: np.zeros_like(x)               # noqa: E731
+    zN = lambda e, lf, x, y, nx, ny: np.zeros_like(x)       # noqa: E731
+    bcD = bc_Dirichlet if bc_Dirichlet is not None else zD
+    bcN = bc_Neumann if bc_Neumann is not None else zN
+
+    g = np.zeros(int(vstarts[-1]))
+    gdelta = np.zeros(int(prob.FToLstarts[-1]))
+    for e in (range(len(lops)) if elements is None else elements):
+        e = int(e)
+        ge, gde = locbcarray(
+            lops[e], lops[e].bctype,
+            lambda lf, x, y, e=e: bcD(e, lf, x, y),
+            lambda lf, x, y, nx, ny, e=e: bcN(e, lf, x, y, nx, ny),
+            lambda lf, x, y, e=e: in_jump(lf, x, y, e))
+        if extra_g is not None:
+            ge = ge + extra_g(e)
+        g[vstarts[e]:vstarts[e + 1]] += ge
+        for lf in range(4):
+            if gde[lf] is not None:
+                prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf,
+                                  EToO)
+    return g, gdelta
+
+
 def local_to_global_rhs(g, gdelta, store, FbarT):
     """Trace RHS b_lambda = gdelta - FbarT M^{-1} g.
 

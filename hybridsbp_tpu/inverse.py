@@ -171,61 +171,85 @@ class SlipInversion(NamedTuple):
     reg_mv: Callable                         # delta -> R @ delta (2nd diff)
 
 
+class SlipRHSMap(NamedTuple):
+    """Compact host-probed linear map slip dofs -> blocked RHS.
+
+    A unit slip at one dof touches only its face's (at most) two
+    adjacent blocks and its own face row, so columns are stored
+    compactly — O(nf N^2), not O(nf E N^2) — and applied by
+    scatter-add (linear, hence transposable by jax)."""
+    Gg: jnp.ndarray          # (nf, 2, Nsp, Nrp) adjacent-block columns
+    blocks: jnp.ndarray      # (nf, 2) block ids (slot 1 zero-padded
+    Gd: jnp.ndarray          # (nf, L) own-face row        # if e1 == e2)
+    faces: jnp.ndarray       # (nf,) face ids
+    E: int
+    nfaces: int
+
+    def apply(self, delta):
+        nf, _, Nsp, Nrp = self.Gg.shape
+        gcols = self.Gg * delta[:, None, None, None]
+        g = jnp.zeros((self.E, Nsp, Nrp), gcols.dtype).at[
+            self.blocks.reshape(-1)].add(gcols.reshape(-1, Nsp, Nrp))
+        gd = jnp.zeros((self.nfaces, self.Gd.shape[1]), gcols.dtype).at[
+            self.faces].add(self.Gd * delta[:, None])
+        return g, gd
+
+
 def probe_slip_rhs_map(prob, dtype=jnp.float64):
     """Host-probe the LINEAR map from fault-slip nodal values to the
     blocked RHS: column n = (g, gδ) of a unit slip at slip dof n.
 
-    No solves are involved — each column is two ``locbcarray`` calls on
-    the face's adjacent blocks (the jump data enters both the volume
-    RHS and the face RHS, reference global_curved.jl SAT terms), so
-    probing costs O(nf) RHS assemblies.  Returns ``(Gg, Gd, FTods,
-    fault_faces)`` with Gg: (nf, E, Nsp, Nrp), Gd: (nf, nfaces, L) in
-    the blocked layouts of :func:`.tpu.multiblock.blocked_rhs_from_host`.
+    No solves are involved — each column is (at most) two
+    ``locbcarray`` calls on the dof's face-adjacent blocks (the jump
+    data enters both the volume RHS and the face RHS, reference
+    global_curved.jl SAT terms), so probing costs O(nf) local RHS
+    assemblies.  Dofs cover EVERY jump-type face (code >=
+    BC_JUMP_INTERFACE — e.g. both the frictional and steady-slide
+    faces of the BP1 meshes).  Returns ``(map, FTods, fault_faces)``
+    with ``map`` a :class:`SlipRHSMap` in the blocked layouts of
+    :func:`.tpu.multiblock.blocked_rhs_from_host`.
     """
     from . import BC_JUMP_INTERFACE
-    from .hybrid.assemble import bcstarts
-    from .ops2d import locbcarray
-    from .tpu.multiblock import blocked_rhs_from_host
+    from .hybrid.assemble import assemble_jump_rhs, bcstarts
 
     lops, vstarts = prob.lops, prob.vstarts
     FToB, FToE, FToLF = prob.FToB, prob.FToE, prob.FToLF
-    EToF, EToO, EToS = prob.EToF, prob.EToO, prob.EToS
-    fault_faces = np.where(FToB == BC_JUMP_INTERFACE)[0]
-    FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
+    fault_faces = np.where(FToB >= BC_JUMP_INTERFACE)[0]
+    jump_codes = sorted(int(c) for c in np.unique(FToB)
+                        if c >= BC_JUMP_INTERFACE)
+    FTods = bcstarts(FToB, FToE, FToLF, jump_codes, lops)
     nf = int(FTods[-1])
+    L = max(lo.Nr + 1 for lo in lops.values())
+    L = max(L, max(lo.Ns + 1 for lo in lops.values()))
     delta = np.zeros(nf)
 
-    def in_jump(lf, x, y, e):
-        ff = EToF[lf, e]
-        d = delta[FTods[ff]:FTods[ff + 1]]
-        if EToS[lf, e] == 0:
-            return -d
-        return d if EToO[lf, e] else d[::-1]
-
-    zD = lambda lf, x, y: np.zeros_like(x)                 # noqa: E731
-    zN = lambda lf, x, y, nx, ny: np.zeros_like(x)         # noqa: E731
-    cols_g, cols_d = [], []
+    shp = np.shape(lops[0].coord[0])
+    assert all(np.shape(lo.coord[0]) == shp for lo in lops.values()), \
+        "probe_slip_rhs_map's compact storage assumes uniform block shapes"
+    Gg = np.zeros((nf, 2, *shp))
+    blocks = np.zeros((nf, 2), dtype=np.int32)
+    Gd = np.zeros((nf, L))
+    faces = np.zeros((nf,), dtype=np.int32)
     for f in fault_faces:
+        es = sorted({int(FToE[0, f]), int(FToE[1, f])})
         for j in range(int(FTods[f + 1] - FTods[f])):
+            n = int(FTods[f]) + j
             delta[:] = 0.0
-            delta[int(FTods[f]) + j] = 1.0
-            g = np.zeros(int(vstarts[-1]))
-            gd = np.zeros(int(prob.FToLstarts[-1]))
-            for e in {int(FToE[0, f]), int(FToE[1, f])}:   # set: a block
-                # adjacent on both sides must assemble only once
-                ge, gde = locbcarray(
-                    lops[e], lops[e].bctype, zD, zN,
-                    lambda lf, x, y, e=e: in_jump(lf, x, y, e))
-                g[vstarts[e]:vstarts[e + 1]] += ge
-                for lf in range(4):
-                    if gde[lf] is not None:
-                        prob.scatter_face(gd, EToF[lf, e], gde[lf], e, lf,
-                                          EToO)
-            gb, gdb = blocked_rhs_from_host(prob, g, gd)
-            cols_g.append(np.asarray(gb))
-            cols_d.append(np.asarray(gdb))
-    return (jnp.asarray(np.stack(cols_g), dtype=dtype),
-            jnp.asarray(np.stack(cols_d), dtype=dtype), FTods, fault_faces)
+            delta[n] = 1.0
+            g, gd = assemble_jump_rhs(prob, delta, FTods, elements=es)
+            faces[n] = f
+            s0, s1 = int(prob.FToLstarts[f]), int(prob.FToLstarts[f + 1])
+            Gd[n, :s1 - s0] = gd[s0:s1]
+            for slot, e in enumerate(es):
+                blocks[n, slot] = e
+                Gg[n, slot] = g[vstarts[e]:vstarts[e + 1]].reshape(
+                    Gg.shape[2:])
+    return (SlipRHSMap(Gg=jnp.asarray(Gg, dtype=dtype),
+                       blocks=jnp.asarray(blocks),
+                       Gd=jnp.asarray(Gd, dtype=dtype),
+                       faces=jnp.asarray(faces),
+                       E=len(lops), nfaces=len(FToB)),
+            FTods, fault_faces)
 
 
 def block_station_grid(prob, per=2):
@@ -276,16 +300,15 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
         bp = build_blocked(prob, dtype=dtype)
     if trace_inv is None and prob.B is not None:
         trace_inv = build_woodbury(bp, prob, dtype=dtype)
-    Gg, Gd, FTods, fault_faces = probe_slip_rhs_map(prob, dtype=dtype)
-    nf = Gg.shape[0]
+    rhs_map, FTods, fault_faces = probe_slip_rhs_map(prob, dtype=dtype)
+    nf = rhs_map.Gg.shape[0]
     bi, si, ri = block_station_grid(prob, per=per)
     bi_j, si_j, ri_j = jnp.asarray(bi), jnp.asarray(si), jnp.asarray(ri)
     Rmat = jnp.asarray(slip_smoothness(FTods, fault_faces, nf),
                        dtype=dtype)
 
     def forward(delta):
-        g = jnp.einsum("n...,n->...", Gg, delta)
-        gd = jnp.einsum("n...,n->...", Gd, delta)
+        g, gd = rhs_map.apply(delta)
         u = solve_displacements_implicit(bp, g, gd, tol=tol,
                                          maxiter=maxiter,
                                          trace_inv=trace_inv,
@@ -355,9 +378,8 @@ def demo_problem(p: int, N: int, *, K: int = 6, nsta: int = 8,
     # quadrature-weighted Gaussian sources on a ring (RHS of M u = H J f)
     x, y = metrics.coord
     from .ops1d import build_d1
-    Hr = np.diag(build_d1(p, N)[2])
-    Hs = np.diag(build_d1(p, N)[2])
-    W = np.outer(Hs, Hr) * metrics.J
+    H = np.diag(build_d1(p, N)[2])        # Hr == Hs on the square block
+    W = np.outer(H, H) * metrics.J
     ang = 2 * np.pi * np.arange(K) / K
     cx, cy = 0.55 * np.cos(ang), 0.55 * np.sin(ang)
     sources = np.stack([

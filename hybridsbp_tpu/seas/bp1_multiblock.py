@@ -30,9 +30,9 @@ import numpy as np
 
 from .. import BC_DIRICHLET, BC_JUMP_INTERFACE, BC_NEUMANN
 from ..hybrid import build_problem
-from ..hybrid.assemble import bcstarts
+from ..hybrid.assemble import assemble_jump_rhs, bcstarts
 from ..ode import solve_tsit5
-from ..ops2d import computetraction, locbcarray
+from ..ops2d import computetraction
 from ..physics.rateandstate import newton_defaults, newton_slip_rates
 from .bp1 import YEAR_SECONDS, BP1Params
 
@@ -64,35 +64,15 @@ def _assemble_rhs(prob, conn, FTods, delta_jump, t_scale, par):
     """Host RHS assembly for given jump data (over codes>=7 faces) and
     loading scale (t_scale multiplies remote Dirichlet and nothing else;
     the steady-slide part is inside delta_jump)."""
-    FToE, FToLF, EToO, EToS = conn
-    EToF, FToB = prob.EToF, prob.FToB
-    lops, vstarts = prob.lops, prob.vstarts
-    nelems = len(lops)
+    lops = prob.lops
 
-    def in_jump(lf, x, y, e):
-        f = EToF[lf, e]
-        d = delta_jump[FTods[f]:FTods[f + 1]]
-        if EToS[lf, e] == 0:
-            assert EToO[lf, e]
-            return -d
-        return d if EToO[lf, e] else d[::-1]
-
-    g = np.zeros(int(vstarts[-1]))
-    gdelta = np.zeros(int(prob.FToLstarts[-1]))
-    for e in range(nelems):
+    def remote_dirichlet(e, lf, x, y):
         # remote loading: +Vp/2 on the x>0 side, -Vp/2 on x<0 (jou:34)
-        xc = float(np.mean(lops[e].coord[0]))
-        side = 1.0 if xc > 0 else -1.0
-        ge, gde = locbcarray(
-            lops[e], lops[e].bctype,
-            lambda lf, x, y, s=side: np.full_like(x, s * t_scale / 2),
-            lambda lf, x, y, nx, ny: np.zeros_like(x),
-            lambda lf, x, y, e=e: in_jump(lf, x, y, e))
-        g[vstarts[e]:vstarts[e + 1]] = ge
-        for lf in range(4):
-            if gde[lf] is not None:
-                prob.scatter_face(gdelta, EToF[lf, e], gde[lf], e, lf, EToO)
-    return g, gdelta
+        side = 1.0 if float(np.mean(lops[e].coord[0])) > 0 else -1.0
+        return np.full_like(x, side * t_scale / 2)
+
+    return assemble_jump_rhs(prob, delta_jump, FTods,
+                             bc_Dirichlet=remote_dirichlet)
 
 
 def _fault_tractions(prob, conn, FTods, fault_faces, u, lam, delta_jump):
@@ -157,30 +137,13 @@ def setup(par: BP1Params = None, N: int = 16, p: int = 2,
     # walk made setup O(nelems·nf) in python-loop time — 194x slower)
     face_of_dof = np.concatenate([
         np.full(FTods[f + 1] - FTods[f], f) for f in fault_faces])
-    zero_d = lambda lf, x, y: np.zeros_like(x)
-    zero_n = lambda lf, x, y, nx, ny: np.zeros_like(x)
     for col, j in enumerate(fault_dofs):
         dj = np.zeros(nd)
         dj[j] = 1.0
         f = int(face_of_dof[col])
-
-        def in_jump(lf, x, y, e):
-            ff = prob.EToF[lf, e]
-            d = dj[FTods[ff]:FTods[ff + 1]]
-            if EToS[lf, e] == 0:
-                return -d
-            return d if EToO[lf, e] else d[::-1]
-
-        g = np.zeros(int(prob.vstarts[-1]))
-        gd = np.zeros(int(prob.FToLstarts[-1]))
-        for side in (0, 1):
-            e, lf = int(FToE[side, f]), int(FToLF[side, f])
-            ge, gde = locbcarray(lops[e], lops[e].bctype, zero_d, zero_n,
-                                 lambda lf_, x, y, e=e: in_jump(lf_, x, y,
-                                                                e))
-            g[prob.vstarts[e]:prob.vstarts[e + 1]] = ge
-            if gde[lf] is not None:
-                prob.scatter_face(gd, f, gde[lf], e, lf, EToO)
+        g, gd = assemble_jump_rhs(
+            prob, dj, FTods,
+            elements=sorted({int(FToE[0, f]), int(FToE[1, f])}))
         u, lam = prob.solve(g, gd, method="trace")
         Kff[:, col] = mu * _fault_tractions(prob, conn, FTods, fault_faces,
                                              u, lam, dj)

@@ -125,7 +125,7 @@ def cg_fixed(matvec: Callable, b, iters: int, x0=None,
 
 
 def cg_solve(matvec: Callable, b, *, tol=1e-10, maxiter=500,
-             precond: Optional[Callable] = None):
+             precond: Optional[Callable] = None, flexible=False):
     """Differentiable SPD solve: x = A^{-1} b with implicit gradients.
 
     Wraps CG in ``lax.custom_linear_solve(symmetric=True)`` so reverse-
@@ -133,9 +133,11 @@ def cg_solve(matvec: Callable, b, *, tol=1e-10, maxiter=500,
     the transposed system instead of differentiating through the
     iteration — the adjoint-state method for free.  Enables
     gradient-based inversion (e.g. d(misfit)/d(boundary data) through
-    the hybrid elliptic solve).
+    the hybrid elliptic solve).  ``flexible``: Polak–Ribière form for
+    variable preconditioners (e.g. Woodbury with inner CG sweeps).
     """
     def solve(mv, bb):
-        return cg(mv, bb, tol=tol, maxiter=maxiter, precond=precond).x
+        return cg(mv, bb, tol=tol, maxiter=maxiter, precond=precond,
+                  flexible=flexible).x
 
     return jax.lax.custom_linear_solve(matvec, b, solve, symmetric=True)

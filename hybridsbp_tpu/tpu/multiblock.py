@@ -1075,17 +1075,14 @@ def solve_displacements_implicit(bp: BlockedHybrid, g, gdelta_faces, *,
     Woodbury two-level preconditioner (``inner_iters`` block sweeps)
     with a flexible outer iteration, the O(1)-outer-iteration
     configuration that makes inversion loops cheap."""
+    from .cg import cg_solve
+
     if trace_inv is not None:
         precond = woodbury_precond(bp, trace_inv, inner_iters=inner_iters,
                                    stencil=stencil)
         flexible = True
     M = _resolve_displacement_precond(bp, precond)
     b = displacement_rhs(bp, g, gdelta_faces)
-
-    def solve(mv, bb):
-        return cg(mv, bb, tol=tol, maxiter=maxiter, precond=M,
-                  flexible=flexible).x
-
-    return jax.lax.custom_linear_solve(
-        lambda u: displacement_matvec(bp, u, stencil=stencil), b, solve,
-        symmetric=True)
+    return cg_solve(lambda u: displacement_matvec(bp, u, stencil=stencil),
+                    b, tol=tol, maxiter=maxiter, precond=M,
+                    flexible=flexible)
