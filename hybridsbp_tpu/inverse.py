@@ -330,18 +330,24 @@ def invert_linear(forward: Callable, d_obs, n: int, *, lam: float = 0.0,
     coupled multiblock solves).  Returns the package CGResult."""
     from .tpu.cg import cg
 
-    x0 = jnp.zeros((n,), dtype=jnp.result_type(d_obs))
-    Jt = jax.linear_transpose(forward, x0)
+    @jax.jit
+    def run(d):
+        # one program for the WHOLE inversion (rhs adjoint + CGNE):
+        # nothing dispatches eagerly (each eager op through the TPU
+        # tunnel costs ~27 ms RTT — CLAUDE.md)
+        x0 = jnp.zeros((n,), dtype=jnp.result_type(d))
+        Jt = jax.linear_transpose(forward, x0)
 
-    def normal_mv(x):
-        y, = Jt(forward(x))
-        if reg_mv is not None and lam:
-            y = y + lam * reg_mv(x)
-        return y
+        def normal_mv(x):
+            y, = Jt(forward(x))
+            if reg_mv is not None and lam:
+                y = y + lam * reg_mv(x)
+            return y
 
-    rhs, = Jt(d_obs)
-    return jax.jit(lambda b: cg(normal_mv, b, tol=tol,
-                                maxiter=maxiter))(rhs)
+        rhs, = Jt(d)
+        return cg(normal_mv, rhs, tol=tol, maxiter=maxiter)
+
+    return run(d_obs)
 
 
 # ---------------------------------------------------------------------------
