@@ -28,7 +28,15 @@ The material field is parameterized as ``mu = exp(resize(theta))`` on a
 coarse control grid (positivity + mesh-independent regularization), with
 an optional first-difference smoothness penalty on ``theta``.
 
-Demo driver: ``drivers/invert_material.py``; gates: tests/test_inverse.py.
+The second half of the module inverts FAULT SLIP through the coupled
+MULTIBLOCK solve (:func:`.tpu.multiblock.solve_displacements_implicit`):
+the slip -> RHS map is linear and solve-free, so it is host-probed once
+(:func:`probe_slip_rhs_map`) and :func:`invert_linear` solves the
+regularized normal equations exactly with ``jax.linear_transpose``
+supplying the adjoint — see DESIGN.md §8.
+
+Demo drivers: ``drivers/invert_material.py``, ``drivers/invert_slip.py``;
+gates: tests/test_inverse.py.
 """
 from typing import Callable, NamedTuple, Optional, Tuple
 
