@@ -100,6 +100,50 @@ class HybridProblem:
             return u, lam
         raise ValueError(f"unknown method {method!r}")
 
+    def solve_many(self, G, GD, elements=None):
+        """Batched trace solves: G (nvol, k), GD (nlam, k) -> (U, LAM).
+
+        Columnwise-identical to ``solve(method='trace')``, with two
+        structural exploits for probing workloads
+        (seas/bp1_multiblock.setup, inverse.probe_slip_rhs_map):
+
+        - the forward block sweep solves only the (block, column) pairs
+          with nonzero data (unit-slip columns touch <= 2 blocks), and
+          the cached B factorization solves all columns at once;
+        - ``elements`` restricts the BACK-substitution to the listed
+          blocks (rows of U outside them are returned as zero) — a
+          setup that only reads fault-face tractions back-substitutes
+          ~the fault-adjacent blocks instead of all of them, which is
+          the dominant per-column cost on big meshes.
+        """
+        vs = self.vstarts
+        G = np.asarray(G)
+        # forward sweep without materializing the dense (nvol, k) U0:
+        # subtract each nonzero block's Fbar contribution directly
+        BLAM = np.array(GD, dtype=np.float64, copy=True)
+        Fc = self.FbarT.tocsc()
+        for e, fac in enumerate(self.store.factors):
+            Ge = G[vs[e]:vs[e + 1]]
+            cols = np.flatnonzero(np.abs(Ge).max(axis=0) > 0)
+            if cols.size:
+                BLAM[:, cols] -= Fc[:, vs[e]:vs[e + 1]] @ fac.solve(
+                    Ge[:, cols])
+        if not BLAM.shape[0]:
+            LAM = BLAM
+        elif self._B_factor[0] == "dense":
+            LAM = la.cho_solve(self._B_factor[1], BLAM)
+        else:
+            LAM = self._B_factor[1].solve(BLAM)
+        U = np.zeros_like(G)
+        Ft = self.FbarT.T.tocsr()
+        which = (range(len(self.store.factors)) if elements is None
+                 else sorted({int(e) for e in elements}))
+        for e in which:
+            rows = slice(vs[e], vs[e + 1])
+            rhs_e = G[rows] - Ft[rows] @ LAM
+            U[rows] = self.store.factors[e].solve(rhs_e)
+        return U, LAM
+
     # ---- helpers --------------------------------------------------------
     def scatter_face(self, target, f, values, e, lf, EToO):
         """Accumulate face-ordered values into a global trace array with

@@ -134,21 +134,35 @@ def setup(par: BP1Params = None, N: int = 16, p: int = 2,
     # a unit-slip column's RHS has support ONLY in the two elements
     # adjacent to its fault face (+ that face's gdelta row): assemble
     # just those instead of walking all elements per column (the full
-    # walk made setup O(nelems·nf) in python-loop time — 194x slower)
+    # walk made setup O(nelems·nf) in python-loop time — 194x slower).
+    # Columns then solve in CHUNKS through prob.solve_many — multi-RHS
+    # backsolves (BLAS-3) instead of nf sequential trace solves (the
+    # r3 692-s N=64 setup was python-solve-loop bound).
     face_of_dof = np.concatenate([
         np.full(FTods[f + 1] - FTods[f], f) for f in fault_faces])
-    for col, j in enumerate(fault_dofs):
-        dj = np.zeros(nd)
-        dj[j] = 1.0
-        f = int(face_of_dof[col])
-        g, gd = assemble_jump_rhs(
-            prob, dj, FTods,
-            elements=sorted({int(FToE[0, f]), int(FToE[1, f])}))
-        u, lam = prob.solve(g, gd, method="trace")
-        Kff[:, col] = mu * _fault_tractions(prob, conn, FTods, fault_faces,
-                                             u, lam, dj)
-        if verbose and col % 50 == 0:
-            print(f"  unit-slip solve {col + 1}/{nf}")
+    # tractions read u only on the minus-side fault blocks, so the
+    # back-substitution is restricted to them (solve_many elements=)
+    minus_blocks = sorted({int(FToE[0, f]) for f in fault_faces})
+    chunk = 64                       # bounds the dense (nvol, k) RHS
+    nvol = int(prob.vstarts[-1])
+    nlam = int(prob.FToLstarts[-1])
+    for c0 in range(0, nf, chunk):
+        k = min(chunk, nf - c0)
+        G = np.zeros((nvol, k))
+        GD = np.zeros((nlam, k))
+        DJ = np.zeros((nd, k))
+        for ci in range(k):
+            j = int(fault_dofs[c0 + ci])
+            f = int(face_of_dof[c0 + ci])
+            DJ[j, ci] = 1.0
+            G[:, ci], GD[:, ci] = assemble_jump_rhs(
+                prob, DJ[:, ci], FTods,
+                elements=sorted({int(FToE[0, f]), int(FToE[1, f])}))
+        U, LAM = prob.solve_many(G, GD, elements=minus_blocks)
+        Kff[:, c0:c0 + k] = mu * _fault_tractions(
+            prob, conn, FTods, fault_faces, U, LAM, DJ)
+        if verbose:
+            print(f"  unit-slip solves {c0 + k}/{nf}")
 
     # loading response per unit t: steady faces slide at Vp, remote at Vp/2
     d_load = np.zeros(nd)

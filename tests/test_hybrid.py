@@ -70,6 +70,35 @@ def test_solve_methods_agree():
     np.testing.assert_allclose(lam_t, lam_d, rtol=1e-8, atol=1e-10)
 
 
+def test_solve_many_matches_columnwise():
+    """Batched multi-RHS trace solves (solve_many) are columnwise
+    identical to solve(method='trace') — incl. sparse columns that hit
+    the per-block zero-skip path (the unit-slip setup workload)."""
+    p = 2
+    N = np.full(2, 9)
+    prob, _ = build_problem(p, VERTS, ETOV, ETOF, _ftob(), N, N)
+    rng = np.random.default_rng(5)
+    nvol, nlam = int(prob.vstarts[-1]), int(prob.FToLstarts[-1])
+    k = 5
+    G = rng.standard_normal((nvol, k))
+    GD = rng.standard_normal((nlam, k))
+    G[:, 2] = 0.0                       # zero column
+    G[prob.vstarts[1]:, 3] = 0.0        # block-sparse column
+    U, LAM = prob.solve_many(G, GD)
+    for c in range(k):
+        u, lam = prob.solve(G[:, c], GD[:, c], method="trace")
+        np.testing.assert_allclose(U[:, c], u, rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(LAM[:, c], lam, rtol=1e-12, atol=1e-13)
+    # elements= restricts the back-substitution: listed block exact,
+    # the other block's rows zero
+    Ur, LAMr = prob.solve_many(G, GD, elements=[1])
+    np.testing.assert_allclose(LAMr, LAM, rtol=1e-13, atol=1e-14)
+    vs = prob.vstarts
+    np.testing.assert_allclose(Ur[vs[1]:vs[2]], U[vs[1]:vs[2]],
+                               rtol=1e-12, atol=1e-13)
+    assert np.all(Ur[vs[0]:vs[1]] == 0.0)
+
+
 @pytest.mark.parametrize("p", [2, 4])
 def test_two_block_mms_convergence(p):
     uex = lambda x, y: np.sin(np.pi * x) * np.cosh(y) + x * y
