@@ -55,6 +55,36 @@ def _single_block(**kw):
     return main(**kw)
 
 
+def _invert_material(**kw):
+    from .inverse import (demo_problem, invert_material,
+                          make_material_inversion)
+    p, N = kw.pop("p", 2), kw.pop("N", 24)
+    steps, lr = kw.pop("steps", 400), kw.pop("lr", 0.2)
+    mu_true, sources, d_obs = demo_problem(
+        p, N, **{k: v for k, v in kw.items() if k in ("K", "nsta",
+                                                      "noise", "seed")})
+    inv = make_material_inversion(
+        p, N, **{k: v for k, v in kw.items() if k in ("nsta", "ctrl",
+                                                      "smooth")})
+    return mu_true, invert_material(inv, sources, d_obs, steps=steps,
+                                    lr=lr)
+
+
+def _invert_slip(**kw):
+    from drivers.invert_slip import build_flower_problem, true_slip
+
+    from .inverse import invert_linear, make_slip_inversion
+    prob = build_flower_problem(kw.pop("p", 2), kw.pop("N", 8))
+    inv = make_slip_inversion(prob, per=kw.pop("per", 3))
+    d_true = true_slip(inv)
+    import jax.numpy as jnp
+    d_obs = inv.forward(jnp.asarray(d_true))
+    res = invert_linear(inv.forward, d_obs, inv.nf,
+                        lam=kw.pop("lam", 1e-8), reg_mv=inv.reg_mv,
+                        maxiter=kw.pop("maxiter", 300))
+    return d_true, res
+
+
 REGISTRY: Dict[str, Problem] = {
     p.name: p for p in [
         Problem("square_circle",
@@ -72,6 +102,14 @@ REGISTRY: Dict[str, Problem] = {
         Problem("single_block",
                 "constant-solution smoke test (seas/BP1/single_block.jl)",
                 _single_block),
+        Problem("invert_material",
+                "adjoint material-field inversion through the "
+                "differentiable solve (beyond reference)",
+                _invert_material),
+        Problem("invert_slip",
+                "fault-slip inversion on the flower network via "
+                "linear-transpose Gauss-Newton (beyond reference)",
+                _invert_slip),
     ]
 }
 
