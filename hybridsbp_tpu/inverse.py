@@ -177,6 +177,7 @@ class SlipInversion(NamedTuple):
     stations: Tuple[np.ndarray, ...]         # (block, s, r) index arrays
     forward: Callable                        # delta (nf,) -> (nsta,)
     reg_mv: Callable                         # delta -> R @ delta (2nd diff)
+    Rmat: jnp.ndarray                        # the (nf, nf) smoothness R
 
 
 class SlipRHSMap(NamedTuple):
@@ -325,7 +326,45 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
 
     return SlipInversion(nf=nf, fault_faces=fault_faces, FTods=FTods,
                          stations=(bi, si, ri), forward=forward,
-                         reg_mv=lambda d: Rmat @ d)
+                         reg_mv=lambda d: Rmat @ d, Rmat=Rmat)
+
+
+def dense_jacobian(forward: Callable, n: int, *, batch: int = 16,
+                   dtype=jnp.float64):
+    """Materialize the (nsta, n) Jacobian of a LINEAR forward model by
+    pushing identity columns through it, ``batch`` at a time via vmap
+    (batched coupled solves — one batched CG per chunk).  Feasible
+    whenever n is small (static slip inversions are); enables exact
+    Gauss-Newton and linear-Gaussian uncertainty quantification
+    (:func:`linear_posterior`)."""
+    cols = []
+    eye = jnp.eye(n, dtype=dtype)
+    fwd_v = jax.jit(jax.vmap(forward))
+    for c0 in range(0, n, batch):
+        cols.append(np.asarray(fwd_v(eye[c0:c0 + batch])))
+    return jnp.asarray(np.concatenate(cols, axis=0).T)
+
+
+def linear_posterior(J, d_obs, *, lam: float, Rmat, sigma: float):
+    """Exact linear-Gaussian inversion + uncertainty from a dense
+    Jacobian: posterior mean, pointwise std, and the model resolution
+    matrix.
+
+    With Gaussian noise (std ``sigma``) and prior precision
+    ``lam R / sigma^2``:
+
+        mean = (J'J + lam R)^-1 J' d,
+        Cov  = sigma^2 (J'J + lam R)^-1,
+        Res  = (J'J + lam R)^-1 J'J   (how much of the true model the
+                                       data resolve; I = perfect).
+    """
+    J = np.asarray(J)
+    A = J.T @ J + lam * np.asarray(Rmat)
+    Ainv = np.linalg.inv(A)
+    mean = Ainv @ (J.T @ np.asarray(d_obs))
+    cov = sigma ** 2 * Ainv
+    res = Ainv @ (J.T @ J)
+    return mean, np.sqrt(np.maximum(np.diag(cov), 0.0)), res
 
 
 def invert_linear(forward: Callable, d_obs, n: int, *, lam: float = 0.0,

@@ -111,6 +111,36 @@ def test_slip_forward_adjoint_identity():
         f"adjoint identity violated: {lhs} vs {rhs}"
 
 
+def test_slip_uq_exact_gauss_newton():
+    """Dense-Jacobian exact Gauss-Newton + linear-Gaussian posterior:
+    J reproduces the forward, noiseless recovery beats CGNE (measured
+    3.7%), and with 1% noise the posterior is CALIBRATED (the
+    unresolved components carry proportionally large error bars)."""
+    from hybridsbp_tpu.inverse import dense_jacobian, linear_posterior
+
+    inv, d_true = _flower_slip_setup(per=3)
+    clean = inv.forward(jnp.asarray(d_true))
+    J = dense_jacobian(inv.forward, inv.nf, batch=32)
+    # floor: each Jacobian column is its own CG solve; superposition
+    # holds only to the solve tolerance (measured 5e-8 abs)
+    np.testing.assert_allclose(np.asarray(J @ jnp.asarray(d_true)),
+                               np.asarray(clean), rtol=1e-5, atol=2e-7)
+
+    mean, _, _ = linear_posterior(J, clean, lam=1e-8, Rmat=inv.Rmat,
+                                  sigma=1.0)
+    rel = np.linalg.norm(mean - d_true) / np.linalg.norm(d_true)
+    assert rel < 0.06, f"noiseless exact-GN recovery {rel:.3f}"
+
+    rng = np.random.default_rng(0)
+    sigma = 0.01 * float(jnp.abs(clean).std())
+    d_noisy = clean + sigma * rng.standard_normal(clean.shape)
+    mean, std, resol = linear_posterior(J, d_noisy, lam=1e-5,
+                                        Rmat=inv.Rmat, sigma=sigma)
+    z = np.abs(mean - d_true) / np.maximum(std, 1e-12)
+    assert np.mean(z < 3) > 0.95, "posterior bars uncalibrated"
+    assert 0.4 < np.diag(resol).mean() < 1.0
+
+
 def test_slip_recovery_flower():
     """Recover the 18-face slip distribution from 603 interior stations
     by regularized normal-equation CG (measured 9.1% at 150 iterations,
