@@ -40,11 +40,15 @@ def main():
     ap.add_argument("--noise", type=float, default=0.0,
                     help="relative std of observation noise")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--uq", action="store_true",
+                    help="Laplace (Gauss-Newton) posterior at the MAP: "
+                         "pointwise std of mu + resolution matrix")
     ap.add_argument("--out", default=None, help="PNG path for the figure")
     a = ap.parse_args()
 
     from hybridsbp_tpu.inverse import (demo_problem, invert_material,
-                                       make_material_inversion)
+                                       make_material_inversion,
+                                       material_posterior)
 
     smooth = a.smooth if a.smooth is not None else (
         1e-4 if a.noise > 0 else 1e-5)
@@ -69,13 +73,47 @@ def main():
           f"(true [{mu_true.min():.2f}, {mu_true.max():.2f}])")
     print(f"relative L2 recovery error: {rel:.3f}")
 
+    std_mu = None
+    if a.uq:
+        import jax
+        import jax.numpy as jnp
+
+        # noise std actually injected (relative to the clean data)
+        _, _, d_clean = demo_problem(a.p, a.N, K=a.K, nsta=a.nsta,
+                                     noise=0.0)
+        sigma = (a.noise * float(np.abs(np.asarray(d_clean)).std())
+                 if a.noise > 0 else 1e-8)
+        t0 = time.time()
+        mu_map, std_mu, resol = material_posterior(
+            inv, res.theta, sources, d_obs, sigma=sigma)
+        r = np.asarray(inv.forward(res.theta, sources)) - np.asarray(d_obs)
+        chi2 = float(np.sum(r ** 2) / sigma ** 2 / r.size)
+        print(f"Laplace posterior ({inv.ctrl ** 2} jacfwd tangents) in "
+              f"{time.time() - t0:.1f} s; chi2/dof {chi2:.2f}, "
+              f"mean resolution {np.diag(resol).mean():.2f}")
+        if a.noise > 0:
+            # calibration vs the RECOVERABLE (resolution-filtered) truth:
+            # the posterior quantifies noise; smoothing bias is what the
+            # resolution matrix removes (see DESIGN.md §8)
+            c = inv.ctrl
+            U = np.asarray(jax.jacfwd(
+                lambda t: inv.upsample(t.reshape(c, c)))(
+                jnp.zeros(c * c))).reshape(-1, c * c)
+            th_best, *_ = np.linalg.lstsq(U, np.log(mu_true).ravel(),
+                                          rcond=None)
+            mu_reach = np.exp(U @ (resol @ th_best)).reshape(mu_true.shape)
+            z = np.abs(mu_map - mu_reach) / np.maximum(std_mu, 1e-12)
+            print(f"bias-aware calibration: {100 * np.mean(z < 2):.0f}% "
+                  f"of grid within 2 sigma of the recoverable field")
+
     if a.out:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         si, ri = inv.stations
-        fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+        ncol = 4 if std_mu is not None else 3
+        fig, axes = plt.subplots(1, ncol, figsize=(4.3 * ncol, 4))
         vmin, vmax = mu_true.min(), mu_true.max()
         for ax, fld, ttl in ((axes[0], mu_true, "true $\\mu$"),
                              (axes[1], mu_rec, "recovered $\\mu$")):
@@ -83,9 +121,14 @@ def main():
             ax.set_title(ttl)
             ax.plot(ri, si, "k.", ms=3)
             fig.colorbar(im, ax=ax, shrink=0.8)
-        axes[2].semilogy(np.asarray(res.losses))
-        axes[2].set_title("loss")
-        axes[2].set_xlabel("Adam step")
+        if std_mu is not None:
+            im = axes[2].imshow(std_mu, origin="lower")
+            axes[2].set_title("posterior std of $\\mu$")
+            axes[2].plot(ri, si, "k.", ms=3)
+            fig.colorbar(im, ax=axes[2], shrink=0.8)
+        axes[-1].semilogy(np.asarray(res.losses))
+        axes[-1].set_title("loss")
+        axes[-1].set_xlabel("Adam step")
         fig.tight_layout()
         fig.savefig(a.out, dpi=120)
         print(f"figure: {a.out}")

@@ -96,7 +96,8 @@ def main():
     if a.uq:
         # exact Gauss-Newton + linear-Gaussian posterior: nf is small,
         # so the dense Jacobian is ~nf/batch batched coupled solves
-        J = dense_jacobian(inv.forward, inv.nf, batch=16)
+        J = dense_jacobian(None, inv.nf, batch=16,
+                           forward_with=inv.forward_with, arrs=inv.arrs)
         sigma = (a.noise * float(jnp.abs(d_obs).std())
                  if a.noise > 0 else 1e-8)
         rec, std, resol = linear_posterior(J, d_obs, lam=lam,
@@ -113,9 +114,9 @@ def main():
                   f"of dofs within 2 sigma; mean resolution "
                   f"{np.diag(resol).mean():.2f}")
     else:
-        res = invert_linear(inv.forward, d_obs, inv.nf, lam=lam,
-                            reg_mv=inv.reg_mv, tol=1e-10,
-                            maxiter=a.maxiter)
+        res = invert_linear(None, d_obs, inv.nf, lam=lam, tol=1e-10,
+                            maxiter=a.maxiter,
+                            forward_with=inv.forward_with, arrs=inv.arrs)
         rec = np.asarray(res.x)
         dt = time.time() - t0
         rel = np.linalg.norm(rec - d_true) / np.linalg.norm(d_true)

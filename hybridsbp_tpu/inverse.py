@@ -61,6 +61,7 @@ class MaterialInversion(NamedTuple):
     upsample: Callable              # theta (ctrl, ctrl) -> (Nsp, Nrp)
     forward: Callable               # (theta, sources (K,Nsp,Nrp)) -> (K,nsta)
     loss: Callable                  # (theta, sources, d_obs) -> scalar
+    smooth: float = 1e-5            # the loss's smoothness weight
 
 
 class InversionResult(NamedTuple):
@@ -133,7 +134,8 @@ def make_material_inversion(p: int, N: int, *, metrics=None, nsta: int = 8,
         return mis + smooth * reg
 
     return MaterialInversion(p=p, N=N, ctrl=ctrl, stations=(si, ri),
-                             upsample=upsample, forward=forward, loss=loss)
+                             upsample=upsample, forward=forward, loss=loss,
+                             smooth=smooth)
 
 
 def invert_material(inv: MaterialInversion, sources, d_obs, *,
@@ -164,6 +166,72 @@ def invert_material(inv: MaterialInversion, sources, d_obs, *,
                            losses=losses)
 
 
+def ctrl_smoothness(ctrl: int) -> np.ndarray:
+    """The (ctrl², ctrl²) matrix R with ``theta' R theta`` equal to the
+    loss's smoothness term (sum of squared first differences along both
+    control-grid axes) — the exact quadratic form invert_material's
+    objective penalizes."""
+    n = ctrl * ctrl
+    idx = np.arange(n).reshape(ctrl, ctrl)
+    rows = []
+    for i in range(ctrl - 1):
+        for j in range(ctrl):
+            r = np.zeros(n)
+            r[idx[i + 1, j]], r[idx[i, j]] = 1.0, -1.0
+            rows.append(r)
+    for i in range(ctrl):
+        for j in range(ctrl - 1):
+            r = np.zeros(n)
+            r[idx[i, j + 1]], r[idx[i, j]] = 1.0, -1.0
+            rows.append(r)
+    L = np.stack(rows)
+    return L.T @ L
+
+
+def material_posterior(inv: MaterialInversion, theta_map, sources, d_obs,
+                       *, sigma: float):
+    """Laplace (Gauss-Newton) posterior of the material inversion at the
+    MAP point ``theta_map`` (from :func:`invert_material`).
+
+    The Jacobian J = d(stations)/d(theta) flows by ``jax.jacfwd``
+    through assembly + the implicitly-differentiated solves (ctrl²
+    tangents, each one extra solve per source, all batched).  The loss
+    normalizes the misfit by the data energy Sd, so minimizing it is
+    the MAP of a Gaussian model with noise std ``sigma`` and prior
+    precision ``2 smooth Sd R / sigma²`` — hence
+
+        Cov_theta = sigma² (J'J + 2 smooth Sd R)^-1,
+        Res       = (J'J + 2 smooth Sd R)^-1 J'J,
+
+    with R the exact loss quadratic form (:func:`ctrl_smoothness`).
+    The pointwise std of ``mu = exp(upsample(theta))`` follows by the
+    delta method through the (linear) upsample and the exp.
+
+    Returns ``(mu_map (Nsp,Nsp), std_mu (Nsp,Nsp), resol (n,n))``.
+    """
+    c = inv.ctrl
+    n = c * c
+    th = jnp.asarray(theta_map)
+    J = jax.jit(jax.jacfwd(
+        lambda t: inv.forward(t.reshape(c, c), sources)))(th.ravel())
+    J = np.asarray(J).reshape(-1, n)                    # (K*nsta, n)
+    Sd = float(np.sum(np.asarray(d_obs) ** 2))
+    R = ctrl_smoothness(c)
+    A = J.T @ J + 2.0 * inv.smooth * Sd * R
+    Ainv = np.linalg.inv(A)
+    cov_th = sigma ** 2 * Ainv
+    resol = Ainv @ (J.T @ J)
+    # delta method: mu = exp(U theta) with U the (linear) upsample
+    U = np.asarray(jax.jacfwd(
+        lambda t: inv.upsample(t.reshape(c, c)))(th.ravel()))
+    Nsp = U.shape[0]
+    U2 = U.reshape(-1, n)
+    var_log = np.einsum("ij,jk,ik->i", U2, cov_th, U2)
+    mu = np.asarray(jnp.exp(inv.upsample(th)))
+    std_mu = mu.ravel() * np.sqrt(np.maximum(var_log, 0.0))
+    return mu, std_mu.reshape(Nsp, Nsp), resol
+
+
 # ---------------------------------------------------------------------------
 # fault-slip inversion through the multiblock hybrid solve
 # ---------------------------------------------------------------------------
@@ -178,6 +246,8 @@ class SlipInversion(NamedTuple):
     forward: Callable                        # delta (nf,) -> (nsta,)
     reg_mv: Callable                         # delta -> R @ delta (2nd diff)
     Rmat: jnp.ndarray                        # the (nf, nf) smoothness R
+    arrs: Optional[dict] = None              # operator arrays (jit args)
+    forward_with: Optional[Callable] = None  # (arrs, delta) -> (nsta,)
 
 
 class SlipRHSMap(NamedTuple):
@@ -301,9 +371,17 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
     :func:`.tpu.multiblock.solve_displacements_implicit` carries the
     adjoint of the coupled solve — so ``jax.linear_transpose`` of the
     forward is one adjoint solve, and :func:`invert_linear` solves the
-    regularized normal equations exactly."""
+    regularized normal equations exactly.
+
+    For accelerator runs, the returned ``arrs`` / ``forward_with``
+    pair threads every large operator array (blocked operator, RHS-map
+    columns, Woodbury inverse, R) through jit as *arguments* — the
+    axon 413-avoidance convention (:func:`.tpu.multiblock.bp_arrays`);
+    ``forward`` is the convenience closure form (CPU/eager use)."""
     from .tpu import build_blocked, build_woodbury
-    from .tpu.multiblock import solve_displacements_implicit
+    from .tpu.multiblock import (bp_arrays, bp_with,
+                                 solve_displacements_implicit,
+                                 traceinv_arrays, traceinv_with)
 
     if bp is None:
         bp = build_blocked(prob, dtype=dtype)
@@ -316,32 +394,53 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
     Rmat = jnp.asarray(slip_smoothness(FTods, fault_faces, nf),
                        dtype=dtype)
 
-    def forward(delta):
-        g, gd = rhs_map.apply(delta)
-        u = solve_displacements_implicit(bp, g, gd, tol=tol,
-                                         maxiter=maxiter,
-                                         trace_inv=trace_inv,
+    arrs = {"bp": bp_arrays(bp), "Gg": rhs_map.Gg,
+            "blocks": rhs_map.blocks, "Gd": rhs_map.Gd,
+            "faces": rhs_map.faces, "R": Rmat}
+    if trace_inv is not None:
+        arrs["Binv"] = traceinv_arrays(trace_inv)
+
+    def forward_with(a, delta):
+        bp2 = bp_with(bp, a["bp"])
+        ti2 = (traceinv_with(trace_inv, a["Binv"])
+               if trace_inv is not None else None)
+        rm = rhs_map._replace(Gg=a["Gg"], blocks=a["blocks"],
+                              Gd=a["Gd"], faces=a["faces"])
+        g, gd = rm.apply(delta)
+        u = solve_displacements_implicit(bp2, g, gd, tol=tol,
+                                         maxiter=maxiter, trace_inv=ti2,
                                          inner_iters=inner_iters)
         return u[bi_j, si_j, ri_j]
 
     return SlipInversion(nf=nf, fault_faces=fault_faces, FTods=FTods,
-                         stations=(bi, si, ri), forward=forward,
-                         reg_mv=lambda d: Rmat @ d, Rmat=Rmat)
+                         stations=(bi, si, ri),
+                         forward=lambda d: forward_with(arrs, d),
+                         reg_mv=lambda d: Rmat @ d, Rmat=Rmat,
+                         arrs=arrs, forward_with=forward_with)
 
 
 def dense_jacobian(forward: Callable, n: int, *, batch: int = 16,
-                   dtype=jnp.float64):
+                   dtype=jnp.float64, forward_with: Callable = None,
+                   arrs=None):
     """Materialize the (nsta, n) Jacobian of a LINEAR forward model by
     pushing identity columns through it, ``batch`` at a time via vmap
     (batched coupled solves — one batched CG per chunk).  Feasible
     whenever n is small (static slip inversions are); enables exact
     Gauss-Newton and linear-Gaussian uncertainty quantification
-    (:func:`linear_posterior`)."""
+    (:func:`linear_posterior`).
+
+    Pass ``forward_with``/``arrs`` (see :class:`SlipInversion`) on an
+    accelerator: the operator arrays then enter the vmapped program as
+    jit arguments (413-safe), not HLO literals."""
     cols = []
     eye = jnp.eye(n, dtype=dtype)
-    fwd_v = jax.jit(jax.vmap(forward))
+    if forward_with is not None:
+        fwd_v = jax.jit(jax.vmap(forward_with, in_axes=(None, 0)))
+        run = lambda cols_: fwd_v(arrs, cols_)           # noqa: E731
+    else:
+        run = jax.jit(jax.vmap(forward))
     for c0 in range(0, n, batch):
-        cols.append(np.asarray(fwd_v(eye[c0:c0 + batch])))
+        cols.append(np.asarray(run(eye[c0:c0 + batch])))
     return jnp.asarray(np.concatenate(cols, axis=0).T)
 
 
@@ -369,30 +468,49 @@ def linear_posterior(J, d_obs, *, lam: float, Rmat, sigma: float):
 
 def invert_linear(forward: Callable, d_obs, n: int, *, lam: float = 0.0,
                   reg_mv: Optional[Callable] = None, tol: float = 1e-10,
-                  maxiter: int = 200):
+                  maxiter: int = 200, forward_with: Callable = None,
+                  arrs=None):
     """Exact Gauss–Newton for a LINEAR forward model: solve the
     regularized normal equations (J'J + lam R) x = J' d by CG, with
     J' supplied by ``jax.linear_transpose`` — each CG iteration costs
     one forward + one adjoint application (for the slip model: two
-    coupled multiblock solves).  Returns the package CGResult."""
+    coupled multiblock solves).  Returns the package CGResult.
+
+    Pass ``forward_with``/``arrs`` (see :class:`SlipInversion`) on an
+    accelerator: every operator array (and, when present, ``arrs['R']``
+    as the regularizer matrix) then enters the single jitted program
+    as an argument — closure arrays lower to HLO literals duplicated
+    per while-loop computation and blow the axon remote-compile
+    request limit (HTTP 413)."""
     from .tpu.cg import cg
 
-    @jax.jit
-    def run(d):
+    def _body(fwd, rmv, d):
         # one program for the WHOLE inversion (rhs adjoint + CGNE):
         # nothing dispatches eagerly (each eager op through the TPU
         # tunnel costs ~27 ms RTT — CLAUDE.md)
         x0 = jnp.zeros((n,), dtype=jnp.result_type(d))
-        Jt = jax.linear_transpose(forward, x0)
+        Jt = jax.linear_transpose(fwd, x0)
 
         def normal_mv(x):
-            y, = Jt(forward(x))
-            if reg_mv is not None and lam:
-                y = y + lam * reg_mv(x)
+            y, = Jt(fwd(x))
+            if rmv is not None and lam:
+                y = y + lam * rmv(x)
             return y
 
         rhs, = Jt(d)
         return cg(normal_mv, rhs, tol=tol, maxiter=maxiter)
+
+    if forward_with is not None:
+        @jax.jit
+        def run_args(a, d):
+            rmv = ((lambda x: a["R"] @ x) if "R" in a else reg_mv)
+            return _body(lambda x: forward_with(a, x), rmv, d)
+
+        return run_args(arrs, d_obs)
+
+    @jax.jit
+    def run(d):
+        return _body(forward, reg_mv, d)
 
     return run(d_obs)
 

@@ -5,6 +5,8 @@ These gate (1) the forward model's parity with the host sparse path,
 (2) the exactness of jax.grad through assembly + implicit CG against
 finite differences, and (3) end-to-end recovery of a material field
 from sparse stations."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +80,56 @@ def test_station_grid_interior():
     assert len(si) == 25 and si.min() >= 2 and si.max() <= 22
 
 
+def test_ctrl_smoothness_matches_loss_reg():
+    """theta' R theta (ctrl_smoothness) must equal the loss's
+    smoothness term exactly — the Laplace prior precision is the
+    curvature of the objective actually minimized."""
+    from hybridsbp_tpu.inverse import ctrl_smoothness
+
+    rng = np.random.default_rng(5)
+    for c in (3, 5, 7):
+        th = rng.standard_normal((c, c))
+        want = (np.sum(np.diff(th, axis=0) ** 2)
+                + np.sum(np.diff(th, axis=1) ** 2))
+        got = th.ravel() @ ctrl_smoothness(c) @ th.ravel()
+        np.testing.assert_allclose(got, want, rtol=1e-13)
+
+
+@pytest.mark.skipif(os.environ.get("HYBRIDSBP_SLOW_TESTS") != "1",
+                    reason="~2 min MAP + jacfwd (set HYBRIDSBP_SLOW_TESTS=1)")
+def test_material_posterior_calibration():
+    """Laplace (Gauss-Newton) posterior at the MAP with 1% noise: the
+    error vs the RECOVERABLE (resolution-filtered) truth must be
+    covered by the posterior bars (measured 98% within 3 sigma at
+    these settings), the data fit must sit at the noise level up to
+    the smoothing penalty (chi2/dof measured 3.4), and the resolution
+    diagonal must be informative (measured 0.59)."""
+    from hybridsbp_tpu.inverse import material_posterior
+
+    p, N, ctrl, K, nsta, noise = 2, 12, 5, 3, 6, 0.01
+    mu_true, sources, d_obs = demo_problem(p, N, K=K, nsta=nsta,
+                                           noise=noise)
+    inv = make_material_inversion(p, N, nsta=nsta, ctrl=ctrl, smooth=1e-4)
+    res = invert_material(inv, sources, d_obs, steps=120, lr=0.25)
+    _, _, d_clean = demo_problem(p, N, K=K, nsta=nsta, noise=0.0)
+    sigma = noise * float(np.abs(np.asarray(d_clean)).std())
+    mu_map, std_mu, resol = material_posterior(inv, res.theta, sources,
+                                               d_obs, sigma=sigma)
+    r = np.asarray(inv.forward(res.theta, sources)) - np.asarray(d_obs)
+    chi2 = float(np.sum(r ** 2) / sigma ** 2 / r.size)
+    assert chi2 < 6.0, f"MAP misfit far from the noise level: {chi2}"
+    U = np.asarray(jax.jacfwd(
+        lambda t: inv.upsample(t.reshape(ctrl, ctrl)))(
+        jnp.zeros(ctrl * ctrl))).reshape(-1, ctrl * ctrl)
+    th_best, *_ = np.linalg.lstsq(U, np.log(mu_true).ravel(), rcond=None)
+    mu_reach = np.exp(U @ (resol @ th_best)).reshape(mu_true.shape)
+    z = np.abs(mu_map - mu_reach) / np.maximum(std_mu, 1e-12)
+    assert np.mean(z < 3) > 0.9, f"bars uncalibrated: {np.mean(z < 3)}"
+    assert 0.3 < np.diag(resol).mean() < 0.9
+    rel = np.linalg.norm(mu_map - mu_true) / np.linalg.norm(mu_true)
+    assert rel < 0.1, f"MAP recovery {rel}"
+
+
 # ---------------------------------------------------------------------------
 # fault-slip inversion through the coupled multiblock solve
 # ---------------------------------------------------------------------------
@@ -139,6 +191,33 @@ def test_slip_uq_exact_gauss_newton():
     z = np.abs(mean - d_true) / np.maximum(std, 1e-12)
     assert np.mean(z < 3) > 0.95, "posterior bars uncalibrated"
     assert 0.4 < np.diag(resol).mean() < 1.0
+
+
+def test_slip_inversion_args_form():
+    """The 413-safe arrays-as-arguments form (forward_with/arrs — the
+    accelerator deployment path, CLAUDE.md closure-constant rule)
+    matches the closure forward for invert_linear and dense_jacobian."""
+    from hybridsbp_tpu.inverse import dense_jacobian, invert_linear
+
+    inv, d_true = _flower_slip_setup(per=2)
+    d = inv.forward(jnp.asarray(d_true))
+    # CGNE iterates amplify rounding differences between the
+    # constant-folded and argument-passed programs (normal equations
+    # square the condition number), so gate at the SOLUTION level:
+    # both runs must recover the same slip to iterate-path noise
+    r1 = invert_linear(inv.forward, d, inv.nf, lam=1e-8,
+                       reg_mv=inv.reg_mv, tol=1e-10, maxiter=40)
+    r2 = invert_linear(None, d, inv.nf, lam=1e-8, tol=1e-10, maxiter=40,
+                       forward_with=inv.forward_with, arrs=inv.arrs)
+    diff = (np.linalg.norm(np.asarray(r2.x) - np.asarray(r1.x))
+            / np.linalg.norm(np.asarray(r1.x)))
+    assert diff < 1e-3, f"args-form CGNE diverged from closure: {diff}"
+    # each Jacobian column is a CONVERGED solve -> tight parity
+    J1 = dense_jacobian(inv.forward, inv.nf, batch=64)
+    J2 = dense_jacobian(None, inv.nf, batch=64,
+                        forward_with=inv.forward_with, arrs=inv.arrs)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J1),
+                               rtol=1e-6, atol=1e-8)
 
 
 def test_slip_recovery_flower():
