@@ -67,25 +67,36 @@ def main():
     ap.add_argument("--uq", action="store_true",
                     help="exact Gauss-Newton + posterior uncertainty "
                          "via the dense Jacobian (batched solves)")
+    ap.add_argument("--f32", action="store_true",
+                    help="mixed precision: f32 inner CGNE (accelerator "
+                         "dtype) + f64 outer refinement; needs a "
+                         "well-conditioned --lam (>= ~1e-4)")
     ap.add_argument("--out", default=None, help="PNG path")
     a = ap.parse_args()
 
+    import jax.numpy as jnp  # noqa: F811
+
     from hybridsbp_tpu.inverse import (dense_jacobian, invert_linear,
+                                       invert_linear_refined,
                                        linear_posterior,
                                        make_slip_inversion)
 
-    lam = a.lam if a.lam is not None else (1e-5 if a.noise > 0 else 1e-8)
+    lam = a.lam if a.lam is not None else (
+        1e-4 if a.f32 else 1e-5 if a.noise > 0 else 1e-8)
     t0 = time.time()
     prob = build_flower_problem(a.p, a.N)
-    inv = make_slip_inversion(prob, per=a.per)
+    if a.f32:
+        inv = make_slip_inversion(prob, per=a.per, tol=3e-6, maxiter=400,
+                                  dtype=jnp.float32)
+    else:
+        inv = make_slip_inversion(prob, per=a.per)
     print(f"flower: {len(prob.lops)} blocks, {len(inv.fault_faces)} fault "
           f"faces, {inv.nf} slip unknowns, {len(inv.stations[0])} stations "
           f"(setup {time.time() - t0:.1f} s)")
 
     # observations from the forward model + optional noise
     d_true = true_slip(inv)
-    import jax.numpy as jnp
-    d_obs = inv.forward(jnp.asarray(d_true))
+    d_obs = inv.forward(jnp.asarray(d_true, dtype=inv.Rmat.dtype))
     if a.noise > 0:
         rng = np.random.default_rng(a.seed)
         d_obs = d_obs + a.noise * float(jnp.abs(d_obs).std()) \
@@ -113,6 +124,14 @@ def main():
             print(f"posterior calibration: {100 * np.mean(z < 2):.0f}% "
                   f"of dofs within 2 sigma; mean resolution "
                   f"{np.diag(resol).mean():.2f}")
+    elif a.f32:
+        rec, resn = invert_linear_refined(inv, d_obs, lam=lam, tol=1e-5,
+                                          maxiter=a.maxiter, refine=3)
+        dt = time.time() - t0
+        rel = np.linalg.norm(rec - d_true) / np.linalg.norm(d_true)
+        print(f"f32 refined GN: 3 steps, normal-residual "
+              f"{resn[0]:.2e} -> {resn[-1]:.2e} in {dt:.1f} s")
+        print(f"relative L2 slip recovery error: {rel:.4f}")
     else:
         res = invert_linear(None, d_obs, inv.nf, lam=lam, tol=1e-10,
                             maxiter=a.maxiter,
@@ -144,7 +163,16 @@ def main():
         print(f"figure: {a.out}")
 
     if a.noise == 0:
-        assert rel < 0.08, f"slip recovery error {rel:.3f} exceeds 8%"
+        if a.f32:
+            # recovery at the f32-required lam (>=1e-4) is SMOOTHING-
+            # limited, not precision-limited (f64 at the same lam gives
+            # the same ~0.26 — tests/test_inverse.py gates the f32-vs-
+            # exact-oracle error at 1e-2); gate the refinement instead
+            assert resn[-1] < 1e-2 * resn[0], "refinement did not bite"
+            assert rel < 0.35, f"f32 recovery {rel:.3f} off the lam=1e-4 " \
+                               "smoothing plateau"
+        else:
+            assert rel < 0.08, f"slip recovery error {rel:.3f} exceeds 8%"
     else:
         assert np.mean(np.abs(rec - d_true)
                        <= 3 * np.maximum(std, 1e-12)) > 0.9 \
