@@ -362,7 +362,7 @@ def slip_smoothness(FTods, fault_faces, nf):
 
 def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
                         inner_iters=8, tol=1e-9, maxiter=300,
-                        dtype=jnp.float64) -> SlipInversion:
+                        dtype=jnp.float64, mesh=None) -> SlipInversion:
     """Differentiable slip->stations forward model on a multiblock mesh
     (e.g. the flower fault network).
 
@@ -377,7 +377,14 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
     pair threads every large operator array (blocked operator, RHS-map
     columns, Woodbury inverse, R) through jit as *arguments* — the
     axon 413-avoidance convention (:func:`.tpu.multiblock.bp_arrays`);
-    ``forward`` is the convenience closure form (CPU/eager use)."""
+    ``forward`` is the convenience closure form (CPU/eager use).
+
+    ``mesh``: an optional 1D ``jax.sharding.Mesh(('block',))`` — the
+    forward then runs the MULTI-CHIP block-sharded solve
+    (:func:`.parallel.sharded.make_sharded_solver`'s implicit path);
+    its ``custom_linear_solve`` adjoint re-solves the sharded system,
+    so the whole inversion (CGNE / dense Jacobian / refinement) scales
+    over the device mesh unchanged."""
     from .tpu import build_blocked, build_woodbury
     from .tpu.multiblock import (bp_arrays, bp_with,
                                  solve_displacements_implicit,
@@ -394,23 +401,43 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
     Rmat = jnp.asarray(slip_smoothness(FTods, fault_faces, nf),
                        dtype=dtype)
 
-    arrs = {"bp": bp_arrays(bp), "Gg": rhs_map.Gg,
-            "blocks": rhs_map.blocks, "Gd": rhs_map.Gd,
-            "faces": rhs_map.faces, "R": Rmat}
-    if trace_inv is not None:
-        arrs["Binv"] = traceinv_arrays(trace_inv)
+    rhs_arrs = {"Gg": rhs_map.Gg, "blocks": rhs_map.blocks,
+                "Gd": rhs_map.Gd, "faces": rhs_map.faces, "R": Rmat}
 
-    def forward_with(a, delta):
-        bp2 = bp_with(bp, a["bp"])
-        ti2 = (traceinv_with(trace_inv, a["Binv"])
-               if trace_inv is not None else None)
-        rm = rhs_map._replace(Gg=a["Gg"], blocks=a["blocks"],
-                              Gd=a["Gd"], faces=a["faces"])
-        g, gd = rm.apply(delta)
-        u = solve_displacements_implicit(bp2, g, gd, tol=tol,
-                                         maxiter=maxiter, trace_inv=ti2,
-                                         inner_iters=inner_iters)
-        return u[bi_j, si_j, ri_j]
+    if mesh is not None:
+        from .parallel.sharded import make_sharded_solver
+        solver = make_sharded_solver(bp, mesh, maxiter=maxiter,
+                                     trace_inv=trace_inv,
+                                     inner_iters=inner_iters)
+        E_pad = solver.bp.nblocks
+        arrs = {"sh": solver.arrs, **rhs_arrs}
+
+        def forward_with(a, delta):
+            rm = rhs_map._replace(Gg=a["Gg"], blocks=a["blocks"],
+                                  Gd=a["Gd"], faces=a["faces"])
+            g, gd = rm.apply(delta)
+            if E_pad > rm.E:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((E_pad - rm.E,) + g.shape[1:], g.dtype)])
+            u = solver.solve_implicit_with(a["sh"], g, gd, tol=tol,
+                                           cg_maxiter=maxiter)
+            return u[bi_j, si_j, ri_j]
+    else:
+        arrs = {"bp": bp_arrays(bp), **rhs_arrs}
+        if trace_inv is not None:
+            arrs["Binv"] = traceinv_arrays(trace_inv)
+
+        def forward_with(a, delta):
+            bp2 = bp_with(bp, a["bp"])
+            ti2 = (traceinv_with(trace_inv, a["Binv"])
+                   if trace_inv is not None else None)
+            rm = rhs_map._replace(Gg=a["Gg"], blocks=a["blocks"],
+                                  Gd=a["Gd"], faces=a["faces"])
+            g, gd = rm.apply(delta)
+            u = solve_displacements_implicit(bp2, g, gd, tol=tol,
+                                             maxiter=maxiter, trace_inv=ti2,
+                                             inner_iters=inner_iters)
+            return u[bi_j, si_j, ri_j]
 
     return SlipInversion(nf=nf, fault_faces=fault_faces, FTods=FTods,
                          stations=(bi, si, ri),

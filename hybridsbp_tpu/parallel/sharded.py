@@ -11,7 +11,7 @@ Blocks are padded with decoupled identity blocks when E is not divisible
 by the device count, so every shard has equal extent (static shapes).
 """
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +127,11 @@ class ShardedSolver(NamedTuple):
     bp: BlockedHybrid          # padded
     E: int                     # original (unpadded) block count
     solve: callable            # (g_padded, gdelta_faces, tol) -> CGResult
+    # differentiable path (None on solvers that don't build it):
+    arrs: Optional[dict] = None            # operator arrays (jit args)
+    solve_implicit_with: Optional[callable] = None
+    # (arrs, g_padded, gdelta_faces, tol, cg_maxiter) -> u; wrap it in
+    # YOUR jit (custom_linear_solve adjoint — see inverse.py)
 
 
 def face_combination_meta(bpp: BlockedHybrid):
@@ -286,15 +291,18 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             "diag": bpp.coefs[:, diag_k],
             "Binv": None if trace_inv is None else _tia(trace_inv)}
 
-    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
-    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
+    def _prep(a, g, gdelta_faces):
+        """Shared prologue: constrain the operator arrays to the mesh,
+        build the preconditioner, assemble b = g - scatter(gδ·D⁻¹), and
+        return (b, matvec, precond, flexible).  Everything is linear in
+        (g, gdelta_faces), so the implicit path can transpose it."""
         g = constrain(g)
         Dinv = a["Dinv"]
         w0 = gdelta_faces * Dinv
-        coefs = jax.lax.with_sharding_constraint(
-            a["coefs"], NamedSharding(mesh, coef_spec))
         cf = jax.lax.with_sharding_constraint(
             a["coefs_flat"], NamedSharding(mesh, coef_spec))
+        coefs = jax.lax.with_sharding_constraint(
+            a["coefs"], NamedSharding(mesh, coef_spec))
         T = tuple(constrain(t) for t in a["T"])
         etof = constrain(a["etof"])
         flps = constrain(a["flip"])
@@ -310,9 +318,13 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                       P(axis), P(axis)),
             out_specs=P(axis))(w0, T, etof, flps, g)
         b = g - corr
+        mv = lambda u: matvec_sm(u, cf, T, etof, flps, Dinv)  # noqa: E731
+        return b, mv, precond, flexible
 
-        return cg(lambda u: matvec_sm(u, cf, T, etof, flps, Dinv), b,
-                  tol=tol, maxiter=cg_maxiter, precond=precond,
+    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
+    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
+        b, mv, precond, flexible = _prep(a, g, gdelta_faces)
+        return cg(mv, b, tol=tol, maxiter=cg_maxiter, precond=precond,
                   flexible=flexible)
 
     def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
@@ -320,4 +332,22 @@ def make_sharded_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         gdelta_faces: (nfaces, L)."""
         return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)
 
-    return ShardedSolver(mesh=mesh, bp=bpp, E=E, solve=solve)
+    def solve_implicit_with(a, g, gdelta_faces, tol=1e-10,
+                            cg_maxiter=maxiter):
+        """Differentiable sharded solve (u only): the SPD system under
+        ``lax.custom_linear_solve(symmetric=True)``, so reverse/forward
+        derivatives re-solve the sharded system (shard_map collectives
+        transpose: all_gather <-> reduce-scatter) instead of unrolling
+        CG — the multi-chip adjoint-state path (see inverse.py).  Not
+        jitted: embed it in the caller's jitted program with ``a`` the
+        solver's ``arrs`` passed as jit arguments."""
+        b, mv, precond, flexible = _prep(a, g, gdelta_faces)
+
+        def slv(mv_, bb):
+            return cg(mv_, bb, tol=tol, maxiter=cg_maxiter,
+                      precond=precond, flexible=flexible).x
+
+        return jax.lax.custom_linear_solve(mv, b, slv, symmetric=True)
+
+    return ShardedSolver(mesh=mesh, bp=bpp, E=E, solve=solve, arrs=arrs,
+                         solve_implicit_with=solve_implicit_with)
