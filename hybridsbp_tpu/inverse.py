@@ -83,7 +83,8 @@ def station_grid(N: int, nsta: int = 8, margin: Optional[int] = None):
 def make_material_inversion(p: int, N: int, *, metrics=None, nsta: int = 8,
                             ctrl: int = 7, smooth: float = 1e-5,
                             tol: float = 1e-10, maxiter: int = 2000,
-                            precond: bool = True,
+                            precond: bool = True, mesh=None,
+                            source_axis: str = "src",
                             dtype=jnp.float64) -> MaterialInversion:
     """Build the differentiable forward model for material inversion on
     one block.
@@ -91,6 +92,15 @@ def make_material_inversion(p: int, N: int, *, metrics=None, nsta: int = 8,
     ``precond=True`` uses the fast-diagonalization preconditioner of the
     BACKGROUND (mu=1) operator inside CG — a fixed linear map, so it
     changes only the solver path, never the solution or its adjoint.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with a ``source_axis``
+    — the K independent source solves are then DATA-PARALLEL over the
+    devices (sharding constraints on the source batch; GSPMD partitions
+    the vmapped CG — everything else is per-source — and inserts the
+    psum over sources in the loss gradient).  The operator/theta stay
+    replicated: the complement of the model-parallel block-sharded slip
+    inversion (:func:`make_slip_inversion` ``mesh=``).  K must divide
+    evenly by the axis size.
     """
     if metrics is None:
         metrics = create_metrics(p, N, N)
@@ -111,6 +121,10 @@ def make_material_inversion(p: int, N: int, *, metrics=None, nsta: int = 8,
     def upsample(theta):
         return jax.image.resize(theta.astype(dtype), (Nsp, Nsp), "cubic")
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        src_sh = NamedSharding(mesh, PartitionSpec(source_axis))
+
     def forward(theta, sources):
         mu = jnp.exp(upsample(theta))
         coefs = assemble_planes(data, mu * crr0, mu * css0, mu * crs0,
@@ -121,7 +135,12 @@ def make_material_inversion(p: int, N: int, *, metrics=None, nsta: int = 8,
             return cg_solve(lambda u: dia_apply(op, u), b,
                             tol=tol, maxiter=maxiter, precond=prec)
 
-        u = jax.vmap(solve1)(sources.astype(dtype))
+        srcs = sources.astype(dtype)
+        if mesh is not None:
+            srcs = jax.lax.with_sharding_constraint(srcs, src_sh)
+        u = jax.vmap(solve1)(srcs)
+        if mesh is not None:
+            u = jax.lax.with_sharding_constraint(u, src_sh)
         return u[:, si_j, ri_j]
 
     def loss(theta, sources, d_obs):

@@ -76,6 +76,30 @@ def test_material_recovery():
     assert mu_rec.max() > 1.5 and mu_rec.min() < 0.75
 
 
+def test_material_inversion_source_sharded():
+    """make_material_inversion(mesh=...) — data-parallel over sources:
+    loss and gradient on an 8-device source-sharded mesh must match the
+    unsharded program (GSPMD partitions the vmapped CG per source and
+    inserts the gradient psum; bitwise up to reduction order)."""
+    from jax.sharding import Mesh
+
+    p, N, K = 2, 12, 8
+    _, sources, d_obs = demo_problem(p, N, K=K, nsta=4)
+    inv_ref = make_material_inversion(p, N, nsta=4, ctrl=4)
+    mesh = Mesh(np.array(jax.devices()), ("src",))
+    inv_sh = make_material_inversion(p, N, nsta=4, ctrl=4, mesh=mesh)
+
+    th0 = jnp.asarray(0.05 * np.random.default_rng(1).standard_normal(
+        (4, 4)))
+    l_ref, g_ref = jax.value_and_grad(
+        lambda th: inv_ref.loss(th, sources, d_obs))(th0)
+    l_sh, g_sh = jax.jit(jax.value_and_grad(
+        lambda th: inv_sh.loss(th, sources, d_obs)))(th0)
+    assert abs(float(l_sh) - float(l_ref)) < 1e-11 * abs(float(l_ref))
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-14)
+
+
 def test_station_grid_interior():
     si, ri = station_grid(24, 5)
     assert len(si) == 25 and si.min() >= 2 and si.max() <= 22
