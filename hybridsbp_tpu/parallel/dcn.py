@@ -174,8 +174,10 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             "diag": bpp.coefs[:, diag_k],
             "Binv": None if trace_inv is None else _tia(trace_inv)}
 
-    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
-    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
+    def _prep(a, g, gdelta_faces):
+        """Shared prologue (linear in (g, gdelta_faces) — the implicit
+        path transposes it): sharding constraints, preconditioner,
+        b = g - scatter(gδ·D⁻¹), the two-level matvec closure."""
         g = jax.lax.with_sharding_constraint(g, sh(both))
         coefs = jax.lax.with_sharding_constraint(a["coefs"], sh(coef_spec))
         cf = jax.lax.with_sharding_constraint(a["coefs_flat"],
@@ -196,12 +198,35 @@ def make_two_level_solver(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             in_specs=(P(), tuple(both for _ in range(4)), both, both, both),
             out_specs=both)(w0, T, etof, flps, g)
         b = g - corr
-        return cg(lambda u: matvec_sm(u, cf, T, etof, flps, Dinv), b,
-                  tol=tol, maxiter=cg_maxiter, precond=precond,
+        mv = lambda u: matvec_sm(u, cf, T, etof, flps, Dinv)  # noqa: E731
+        return b, mv, precond, flexible
+
+    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
+    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
+        b, mv, precond, flexible = _prep(a, g, gdelta_faces)
+        return cg(mv, b, tol=tol, maxiter=cg_maxiter, precond=precond,
                   flexible=flexible)
 
     def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
         return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)
 
+    def solve_implicit_with(a, g, gdelta_faces, tol=1e-10,
+                            cg_maxiter=maxiter):
+        """Differentiable two-level solve (u only): the SPD system under
+        ``lax.custom_linear_solve(symmetric=True)`` — derivatives
+        re-solve the (slice x block) sharded system, the cut-face DCN
+        exchange transposing along with the intra-slice collectives.
+        Not jitted: embed in the caller's jitted program with ``a`` =
+        ``solve.arrs`` passed as jit arguments (see inverse.py)."""
+        b, mv, precond, flexible = _prep(a, g, gdelta_faces)
+
+        def slv(mv_, bb):
+            return cg(mv_, bb, tol=tol, maxiter=cg_maxiter,
+                      precond=precond, flexible=flexible).x
+
+        return jax.lax.custom_linear_solve(mv, b, slv, symmetric=True)
+
     solve.slots = slots
+    solve.arrs = arrs
+    solve.implicit_with = solve_implicit_with
     return bpp, parts, ncut, solve

@@ -258,8 +258,10 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
 
     sh_cmv = NamedSharding(mesh, coef_spec)
 
-    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
-    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
+    def _prep(a, g, gdelta_faces):
+        """Shared prologue (linear in (g, gdelta_faces) — the implicit
+        path transposes it): sharding constraints, preconditioner,
+        b = g - scatter(gδ·D⁻¹), the 2D-mesh matvec closure."""
         g = jax.lax.with_sharding_constraint(g, sh_u)
         coefs = jax.lax.with_sharding_constraint(a["coefs_mv"], sh_cmv)
         T_we = tuple(jax.lax.with_sharding_constraint(
@@ -295,12 +297,35 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             out_specs=P(block_axis, space_axis, None))(
                 w0, T_we, T_sn, etof, flps, g)
         b = g - corr
-        return cg(lambda u: matvec_sm(u, coefs, T_we, T_sn, etof, flps,
-                                      Dinv), b,
-                  tol=tol, maxiter=cg_maxiter, precond=precond,
+        mv = lambda u: matvec_sm(u, coefs, T_we, T_sn, etof, flps,  # noqa
+                                 Dinv)
+        return b, mv, precond, flexible
+
+    @partial(jax.jit, static_argnames=("tol", "cg_maxiter"))
+    def _solve(a, g, gdelta_faces, tol, cg_maxiter):
+        b, mv, precond, flexible = _prep(a, g, gdelta_faces)
+        return cg(mv, b, tol=tol, maxiter=cg_maxiter, precond=precond,
                   flexible=flexible)
 
     def solve(g, gdelta_faces, tol=1e-10, cg_maxiter=maxiter):
         return _solve(arrs, g, gdelta_faces, tol, cg_maxiter)
 
+    def solve_implicit_with(a, g, gdelta_faces, tol=1e-10,
+                            cg_maxiter=maxiter):
+        """Differentiable 2D-mesh solve (u only): the SPD system under
+        ``lax.custom_linear_solve(symmetric=True)`` — derivatives
+        re-solve the (block x space) sharded system; the halo ppermutes
+        and face collectives transpose automatically.  Not jitted:
+        embed in the caller's jitted program with ``a`` = ``solve.arrs``
+        passed as jit arguments (see inverse.py)."""
+        b, mv, precond, flexible = _prep(a, g, gdelta_faces)
+
+        def slv(mv_, bb):
+            return cg(mv_, bb, tol=tol, maxiter=cg_maxiter,
+                      precond=precond, flexible=flexible).x
+
+        return jax.lax.custom_linear_solve(mv, b, slv, symmetric=True)
+
+    solve.arrs = arrs
+    solve.implicit_with = solve_implicit_with
     return bpp, solve

@@ -211,6 +211,61 @@ def test_two_level_dcn_solver_matches_host():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_implicit_gradients_all_topologies():
+    """Every sharded solver exposes a differentiable implicit solve
+    (lax.custom_linear_solve over the shard_map matvec).  Gate: the
+    jitted gradient of 0.5||u||^2 wrt g through the 1D block-sharded,
+    two-level (slice x block), and 2D (block x space) paths all match
+    the single-device implicit gradient — i.e. the collectives
+    (all_gather, cut-face exchange, halo ppermute, psum) transpose
+    correctly."""
+    from hybridsbp_tpu.parallel import make_two_level_solver
+    from hybridsbp_tpu.parallel.sharded2d import make_sharded_solver_2d
+    from hybridsbp_tpu.tpu.multiblock import solve_displacements_implicit
+
+    E, N = 4, 47                # Nsp = 48: divisible by the space axis
+    prob, bp, g, u_host = strip4_problem(N)
+    gj = jnp.asarray(g)
+
+    def loss_single(gg):
+        u = solve_displacements_implicit(bp, gg, jnp.zeros_like(bp.Dinv),
+                                         tol=1e-11)
+        return 0.5 * jnp.sum(u * u)
+
+    g_ref = np.asarray(jax.jit(jax.grad(loss_single))(gj))
+
+    # 1D block-sharded
+    mesh1 = Mesh(np.array(jax.devices()[:4]), ("block",))
+    s1 = make_sharded_solver(bp, mesh1)
+
+    g1 = np.asarray(jax.jit(jax.grad(lambda gg: 0.5 * jnp.sum(
+        s1.solve_implicit_with(s1.arrs, gg,
+                               jnp.zeros_like(s1.bp.Dinv),
+                               tol=1e-11) ** 2), argnums=0))(gj))
+    np.testing.assert_allclose(g1, g_ref, rtol=1e-6, atol=1e-10)
+
+    # two-level (slice x block): one cut face over the DCN axis
+    mesh_sl = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                   ("slice", "block"))
+    bpsl, _, ncut, solve_sl = make_two_level_solver(bp, mesh_sl)
+    assert ncut == 1
+    g2 = np.asarray(jax.jit(jax.grad(lambda gg: 0.5 * jnp.sum(
+        solve_sl.implicit_with(solve_sl.arrs, gg,
+                               jnp.zeros_like(bpsl.Dinv),
+                               tol=1e-11) ** 2)))(gj))
+    np.testing.assert_allclose(g2, g_ref, rtol=1e-6, atol=1e-10)
+
+    # 2D (block x space)
+    mesh2 = Mesh(np.array(jax.devices()).reshape(2, 4),
+                 ("block", "space"))
+    bpp2, solve2 = make_sharded_solver_2d(bp, mesh2)
+    g3 = np.asarray(jax.jit(jax.grad(lambda gg: 0.5 * jnp.sum(
+        solve2.implicit_with(solve2.arrs, gg,
+                             jnp.zeros_like(bpp2.Dinv),
+                             tol=1e-11) ** 2)))(gj))
+    np.testing.assert_allclose(g3, g_ref, rtol=1e-6, atol=1e-10)
+
+
 def test_sharded_solver_woodbury_precond():
     """The Woodbury two-level preconditioner composes with the
     block-sharded solver: fastdiag inner solves stay block-local, the
