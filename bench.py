@@ -312,6 +312,59 @@ def bench_bp1_sub():
         "bp1_sim_years": 1000}))
 
 
+def bench_inversion_sub():
+    """Differentiable-inversion unit cost (beyond-reference layer,
+    DESIGN.md §8): one ``value_and_grad`` of the station misfit through
+    the coupled flower-network solve — one forward + one adjoint
+    coupled solve, the per-iteration cost of ``invert_linear``'s CGNE —
+    as ONE jitted program with operator arrays as arguments (413-safe).
+    The full nested-while CGNE program is deliberately not compiled
+    here (nested data-dependent while_loops explode remote-compile
+    time; the unit pair is the meaningful on-chip primitive)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "drivers"))
+    from invert_slip import build_flower_problem, true_slip
+
+    from hybridsbp_tpu.inverse import make_slip_inversion
+
+    prob = build_flower_problem(2, 8)
+    inv = make_slip_inversion(prob, per=3, dtype=jnp.float32, tol=3e-6,
+                              maxiter=400)
+    fwd = inv.forward_with
+    d_true = jnp.asarray(true_slip(inv), dtype=jnp.float32)
+    jfwd = jax.jit(fwd)
+    d_obs = jfwd(inv.arrs, d_true)
+
+    @jax.jit
+    def fwdgrad(a, x, d):
+        def mis(z):
+            r = fwd(a, z) - d
+            return 0.5 * jnp.sum(r * r)
+        return jax.value_and_grad(mis)(x)
+
+    def timed(fn, *args):
+        out = fn(*args)                       # compile + warm
+        jax.tree_util.tree_map(np.asarray, out)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.tree_util.tree_map(np.asarray, out)   # real sync
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), out
+
+    t_fwd, _ = timed(jfwd, inv.arrs, d_true)
+    x0 = jnp.zeros_like(d_true)
+    t_fg, (val, gr) = timed(fwdgrad, inv.arrs, x0, d_obs)
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(gr)).all()
+    print(json.dumps({
+        "inv_forward_ms": round(t_fwd * 1e3, 2),
+        "inv_fwdgrad_ms": round(t_fg * 1e3, 2),
+        "inv_slip_dofs": inv.nf,
+        "inv_stations": int(len(inv.stations[0])),
+        "inv_blocks": len(prob.lops)}))
+
+
 def main():
     from hybridsbp_tpu.mesh import create_metrics
     from hybridsbp_tpu.ops2d import locoperator
@@ -471,6 +524,12 @@ def main():
             detail.update(sub)
     else:
         _log("skipping hybrid_ref sub-bench on CPU fallback")
+    # differentiable-inversion unit (forward + adjoint pair through the
+    # coupled flower solve); cheap enough to run on the CPU fallback
+    _log("sub-bench: inversion forward/adjoint pair")
+    sub = _run_sub("inversion", timeout=900)
+    if sub:
+        detail.update(sub)
     _log("done")
 
     print(json.dumps({
@@ -485,6 +544,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
         {"hybrid": bench_hybrid_sub, "bp1": bench_bp1_sub,
-         "hybrid_ref": bench_hybrid_ref_sub}[sys.argv[2]]()
+         "hybrid_ref": bench_hybrid_ref_sub,
+         "inversion": bench_inversion_sub}[sys.argv[2]]()
     else:
         main()

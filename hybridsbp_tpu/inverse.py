@@ -398,12 +398,17 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
     axon 413-avoidance convention (:func:`.tpu.multiblock.bp_arrays`);
     ``forward`` is the convenience closure form (CPU/eager use).
 
-    ``mesh``: an optional 1D ``jax.sharding.Mesh(('block',))`` — the
-    forward then runs the MULTI-CHIP block-sharded solve
-    (:func:`.parallel.sharded.make_sharded_solver`'s implicit path);
-    its ``custom_linear_solve`` adjoint re-solves the sharded system,
-    so the whole inversion (CGNE / dense Jacobian / refinement) scales
-    over the device mesh unchanged."""
+    ``mesh``: an optional ``jax.sharding.Mesh`` — the forward then
+    runs the MULTI-CHIP sharded solve through that topology's
+    differentiable implicit path (``custom_linear_solve`` adjoint
+    re-solves the sharded system), dispatched on the axis names:
+    ``('block',)`` -> :func:`.parallel.sharded.make_sharded_solver`;
+    a ``slice`` axis -> the two-level cut-face DCN solver
+    (:func:`.parallel.dcn.make_two_level_solver`); a ``space`` axis ->
+    the 2D block x space solver
+    (:func:`.parallel.sharded2d.make_sharded_solver_2d`).  The whole
+    inversion (CGNE / dense Jacobian / refinement) scales over the
+    device mesh unchanged."""
     from .tpu import build_blocked, build_woodbury
     from .tpu.multiblock import (bp_arrays, bp_with,
                                  solve_displacements_implicit,
@@ -424,12 +429,29 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
                 "Gd": rhs_map.Gd, "faces": rhs_map.faces, "R": Rmat}
 
     if mesh is not None:
-        from .parallel.sharded import make_sharded_solver
-        solver = make_sharded_solver(bp, mesh, maxiter=maxiter,
-                                     trace_inv=trace_inv,
-                                     inner_iters=inner_iters)
-        E_pad = solver.bp.nblocks
-        arrs = {"sh": solver.arrs, **rhs_arrs}
+        axes = tuple(mesh.axis_names)
+        if "slice" in axes:
+            from .parallel.dcn import make_two_level_solver
+            bpp_sh, _, _, slv = make_two_level_solver(
+                bp, mesh, maxiter=maxiter, trace_inv=trace_inv,
+                inner_iters=inner_iters)
+            E_pad, sh_arrs, implicit = (bpp_sh.nblocks, slv.arrs,
+                                        slv.implicit_with)
+        elif "space" in axes:
+            from .parallel.sharded2d import make_sharded_solver_2d
+            bpp_sh, slv = make_sharded_solver_2d(
+                bp, mesh, maxiter=maxiter, trace_inv=trace_inv,
+                inner_iters=inner_iters)
+            E_pad, sh_arrs, implicit = (bpp_sh.nblocks, slv.arrs,
+                                        slv.implicit_with)
+        else:
+            from .parallel.sharded import make_sharded_solver
+            solver = make_sharded_solver(bp, mesh, maxiter=maxiter,
+                                         trace_inv=trace_inv,
+                                         inner_iters=inner_iters)
+            E_pad, sh_arrs, implicit = (solver.bp.nblocks, solver.arrs,
+                                        solver.solve_implicit_with)
+        arrs = {"sh": sh_arrs, **rhs_arrs}
 
         def forward_with(a, delta):
             rm = rhs_map._replace(Gg=a["Gg"], blocks=a["blocks"],
@@ -438,8 +460,7 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
             if E_pad > rm.E:
                 g = jnp.concatenate(
                     [g, jnp.zeros((E_pad - rm.E,) + g.shape[1:], g.dtype)])
-            u = solver.solve_implicit_with(a["sh"], g, gd, tol=tol,
-                                           cg_maxiter=maxiter)
+            u = implicit(a["sh"], g, gd, tol=tol, cg_maxiter=maxiter)
             return u[bi_j, si_j, ri_j]
     else:
         arrs = {"bp": bp_arrays(bp), **rhs_arrs}

@@ -298,21 +298,39 @@ def test_slip_inversion_sharded_mesh():
     inv_ref = make_slip_inversion(prob, per=2)
     mesh = Mesh(np.array(jax.devices()), ("block",))
     inv_sh = make_slip_inversion(prob, per=2, mesh=mesh)
-
     d = jnp.asarray(true_slip(inv_ref))
-    y_ref = inv_ref.forward(d)
-    y_sh = inv_sh.forward(d)
-    rel = float(jnp.linalg.norm(y_sh - y_ref) / jnp.linalg.norm(y_ref))
-    assert rel < 1e-9, f"sharded forward vs single-device: {rel}"
-
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal(inv_sh.nf))
     y = jnp.asarray(rng.standard_normal(len(inv_sh.stations[0])))
-    Jt = jax.linear_transpose(inv_sh.forward, jnp.zeros(inv_sh.nf))
-    lhs = float(jnp.vdot(inv_sh.forward(x), y))
-    rhs = float(jnp.vdot(x, Jt(y)[0]))
-    assert abs(lhs - rhs) < 1e-7 * abs(lhs), \
+
+    # jit everything: eager shard_map dispatch on the virtual mesh is
+    # ~10x slower than one compiled program per topology
+    def run(inv):
+        """(forward(d), <Jx,y>, <x,J'y>) in one jitted program."""
+        @jax.jit
+        def prog(a, d, x, y):
+            f = lambda z: inv.forward_with(a, z)      # noqa: E731
+            Jt = jax.linear_transpose(f, jnp.zeros(inv.nf))
+            return f(d), jnp.vdot(f(x), y), jnp.vdot(x, Jt(y)[0])
+        return prog(inv.arrs, d, x, y)
+
+    y_ref, _, _ = run(inv_ref)
+    y_sh, lhs, rhs = run(inv_sh)
+    rel = float(jnp.linalg.norm(y_sh - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 1e-9, f"sharded forward vs single-device: {rel}"
+    assert abs(float(lhs) - float(rhs)) < 1e-7 * abs(float(lhs)), \
         f"sharded adjoint identity violated: {lhs} vs {rhs}"
+
+    # topology dispatch: a ('slice', 'block') mesh routes the forward
+    # through the two-level cut-face DCN solver's implicit path
+    mesh_sl = Mesh(np.array(jax.devices()).reshape(2, 4),
+                   ("slice", "block"))
+    inv_sl = make_slip_inversion(prob, per=2, mesh=mesh_sl)
+    y_sl, lhs, rhs = run(inv_sl)
+    rel_sl = float(jnp.linalg.norm(y_sl - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel_sl < 1e-9, f"two-level forward vs single-device: {rel_sl}"
+    assert abs(float(lhs) - float(rhs)) < 1e-7 * abs(float(lhs)), \
+        f"two-level adjoint identity violated: {lhs} vs {rhs}"
 
 
 def test_slip_recovery_flower():
