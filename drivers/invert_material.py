@@ -55,8 +55,9 @@ def main():
     print(f"problem: p={a.p} N={a.N} ({(a.N + 1) ** 2} dof/solve), "
           f"{a.K} sources, {a.nsta ** 2} stations, "
           f"{a.ctrl ** 2} control parameters, noise={a.noise}")
-    mu_true, sources, d_obs = demo_problem(a.p, a.N, K=a.K, nsta=a.nsta,
-                                           noise=a.noise, seed=a.seed)
+    mu_true, sources, d_obs, d_clean = demo_problem(
+        a.p, a.N, K=a.K, nsta=a.nsta, noise=a.noise, seed=a.seed,
+        return_clean=True)
     inv = make_material_inversion(a.p, a.N, nsta=a.nsta, ctrl=a.ctrl,
                                   smooth=smooth)
     t0 = time.time()
@@ -75,16 +76,11 @@ def main():
 
     std_mu = None
     if a.uq:
-        import jax
-        import jax.numpy as jnp
-
         # noise std actually injected (relative to the clean data)
-        _, _, d_clean = demo_problem(a.p, a.N, K=a.K, nsta=a.nsta,
-                                     noise=0.0)
         sigma = (a.noise * float(np.abs(np.asarray(d_clean)).std())
                  if a.noise > 0 else 1e-8)
         t0 = time.time()
-        mu_map, std_mu, resol = material_posterior(
+        mu_map, std_mu, resol, U = material_posterior(
             inv, res.theta, sources, d_obs, sigma=sigma)
         r = np.asarray(inv.forward(res.theta, sources)) - np.asarray(d_obs)
         chi2 = float(np.sum(r ** 2) / sigma ** 2 / r.size)
@@ -95,10 +91,6 @@ def main():
             # calibration vs the RECOVERABLE (resolution-filtered) truth:
             # the posterior quantifies noise; smoothing bias is what the
             # resolution matrix removes (see DESIGN.md §8)
-            c = inv.ctrl
-            U = np.asarray(jax.jacfwd(
-                lambda t: inv.upsample(t.reshape(c, c)))(
-                jnp.zeros(c * c))).reshape(-1, c * c)
             th_best, *_ = np.linalg.lstsq(U, np.log(mu_true).ravel(),
                                           rcond=None)
             mu_reach = np.exp(U @ (resol @ th_best)).reshape(mu_true.shape)

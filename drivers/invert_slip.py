@@ -167,8 +167,11 @@ def main():
             # recovery at the f32-required lam (>=1e-4) is SMOOTHING-
             # limited, not precision-limited (f64 at the same lam gives
             # the same ~0.26 — tests/test_inverse.py gates the f32-vs-
-            # exact-oracle error at 1e-2); gate the refinement instead
-            assert resn[-1] < 1e-2 * resn[0], "refinement did not bite"
+            # exact-oracle error at 1e-2), so the plateau gate applies
+            # to both the refined-CGNE and the exact-GN (--uq) branch;
+            # the refinement-residual gate only exists in the former
+            if not a.uq:
+                assert resn[-1] < 1e-2 * resn[0], "refinement did not bite"
             assert rel < 0.35, f"f32 recovery {rel:.3f} off the lam=1e-4 " \
                                "smoothing plateau"
         else:

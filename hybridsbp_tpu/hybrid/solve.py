@@ -121,7 +121,12 @@ class HybridProblem:
         # forward sweep without materializing the dense (nvol, k) U0:
         # subtract each nonzero block's Fbar contribution directly
         BLAM = np.array(GD, dtype=np.float64, copy=True)
-        Fc = self.FbarT.tocsc()
+        # cache the two sparse-format conversions (identical across the
+        # many chunked calls a probing setup makes)
+        if not hasattr(self, "_Fbar_csc"):
+            self._Fbar_csc = self.FbarT.tocsc()
+            self._Fbar_T_csr = self.FbarT.T.tocsr()
+        Fc = self._Fbar_csc
         for e, fac in enumerate(self.store.factors):
             Ge = G[vs[e]:vs[e + 1]]
             cols = np.flatnonzero(np.abs(Ge).max(axis=0) > 0)
@@ -135,7 +140,7 @@ class HybridProblem:
         else:
             LAM = self._B_factor[1].solve(BLAM)
         U = np.zeros_like(G)
-        Ft = self.FbarT.T.tocsr()
+        Ft = self._Fbar_T_csr
         which = (range(len(self.store.factors)) if elements is None
                  else sorted({int(e) for e in elements}))
         for e in which:

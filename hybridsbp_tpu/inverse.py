@@ -226,7 +226,10 @@ def material_posterior(inv: MaterialInversion, theta_map, sources, d_obs,
     The pointwise std of ``mu = exp(upsample(theta))`` follows by the
     delta method through the (linear) upsample and the exp.
 
-    Returns ``(mu_map (Nsp,Nsp), std_mu (Nsp,Nsp), resol (n,n))``.
+    Returns ``(mu_map (Nsp,Nsp), std_mu (Nsp,Nsp), resol (n,n),
+    U (Nsp*Nsp, n))`` — U is the (linear) log-space upsample Jacobian,
+    returned so callers computing resolution-filtered fields don't
+    re-derive it.
     """
     c = inv.ctrl
     n = c * c
@@ -248,7 +251,7 @@ def material_posterior(inv: MaterialInversion, theta_map, sources, d_obs,
     var_log = np.einsum("ij,jk,ik->i", U2, cov_th, U2)
     mu = np.asarray(jnp.exp(inv.upsample(th)))
     std_mu = mu.ravel() * np.sqrt(np.maximum(var_log, 0.0))
-    return mu, std_mu.reshape(Nsp, Nsp), resol
+    return mu, std_mu.reshape(Nsp, Nsp), resol, U2
 
 
 # ---------------------------------------------------------------------------
@@ -444,13 +447,18 @@ def make_slip_inversion(prob, bp=None, *, per=2, trace_inv=None,
                 inner_iters=inner_iters)
             E_pad, sh_arrs, implicit = (bpp_sh.nblocks, slv.arrs,
                                         slv.implicit_with)
-        else:
+        elif "block" in axes:
             from .parallel.sharded import make_sharded_solver
             solver = make_sharded_solver(bp, mesh, maxiter=maxiter,
                                          trace_inv=trace_inv,
                                          inner_iters=inner_iters)
             E_pad, sh_arrs, implicit = (solver.bp.nblocks, solver.arrs,
                                         solver.solve_implicit_with)
+        else:
+            raise ValueError(
+                f"unsupported mesh axes {axes}: expected 'block' "
+                "(1D block sharding), 'slice' (+'block', two-level "
+                "DCN), or 'space' (+'block', 2D block x space)")
         arrs = {"sh": sh_arrs, **rhs_arrs}
 
         def forward_with(a, delta):
@@ -654,7 +662,8 @@ def demo_material_field(metrics):
 
 
 def demo_problem(p: int, N: int, *, K: int = 6, nsta: int = 8,
-                 noise: float = 0.0, seed: int = 0, metrics=None):
+                 noise: float = 0.0, seed: int = 0, metrics=None,
+                 return_clean: bool = False):
     """Generate (mu_true, sources, d_obs) for the inversion demo.
 
     Observations are produced by the HOST sparse path
@@ -662,6 +671,8 @@ def demo_problem(p: int, N: int, *, K: int = 6, nsta: int = 8,
     independent code path from the device-assembly forward model used
     in the inversion (their operator parity is separately gated).
     ``noise`` is the relative std of Gaussian noise added per datum.
+    ``return_clean`` appends the noise-free observations (for noise-std
+    bookkeeping) so UQ callers don't re-run the K sparse solves.
     """
     import scipy.sparse.linalg as spla
 
@@ -689,8 +700,10 @@ def demo_problem(p: int, N: int, *, K: int = 6, nsta: int = 8,
     d_obs = np.stack([
         lu.solve(sources[k].ravel()).reshape(N + 1, N + 1)[si, ri]
         for k in range(K)])
+    d_clean = d_obs
     if noise > 0:
         rng = np.random.default_rng(seed)
         d_obs = d_obs + noise * np.abs(d_obs).std() * rng.standard_normal(
             d_obs.shape)
-    return mu_true, jnp.asarray(sources), jnp.asarray(d_obs)
+    out = (mu_true, jnp.asarray(sources), jnp.asarray(d_obs))
+    return out + (jnp.asarray(d_clean),) if return_clean else out

@@ -132,20 +132,16 @@ def test_material_posterior_calibration():
     from hybridsbp_tpu.inverse import material_posterior
 
     p, N, ctrl, K, nsta, noise = 2, 12, 5, 3, 6, 0.01
-    mu_true, sources, d_obs = demo_problem(p, N, K=K, nsta=nsta,
-                                           noise=noise)
+    mu_true, sources, d_obs, d_clean = demo_problem(
+        p, N, K=K, nsta=nsta, noise=noise, return_clean=True)
     inv = make_material_inversion(p, N, nsta=nsta, ctrl=ctrl, smooth=1e-4)
     res = invert_material(inv, sources, d_obs, steps=120, lr=0.25)
-    _, _, d_clean = demo_problem(p, N, K=K, nsta=nsta, noise=0.0)
     sigma = noise * float(np.abs(np.asarray(d_clean)).std())
-    mu_map, std_mu, resol = material_posterior(inv, res.theta, sources,
-                                               d_obs, sigma=sigma)
+    mu_map, std_mu, resol, U = material_posterior(inv, res.theta, sources,
+                                                  d_obs, sigma=sigma)
     r = np.asarray(inv.forward(res.theta, sources)) - np.asarray(d_obs)
     chi2 = float(np.sum(r ** 2) / sigma ** 2 / r.size)
     assert chi2 < 6.0, f"MAP misfit far from the noise level: {chi2}"
-    U = np.asarray(jax.jacfwd(
-        lambda t: inv.upsample(t.reshape(ctrl, ctrl)))(
-        jnp.zeros(ctrl * ctrl))).reshape(-1, ctrl * ctrl)
     th_best, *_ = np.linalg.lstsq(U, np.log(mu_true).ravel(), rcond=None)
     mu_reach = np.exp(U @ (resol @ th_best)).reshape(mu_true.shape)
     z = np.abs(mu_map - mu_reach) / np.maximum(std_mu, 1e-12)
