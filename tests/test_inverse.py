@@ -328,6 +328,11 @@ def test_slip_inversion_sharded_mesh():
     assert abs(float(lhs) - float(rhs)) < 1e-7 * abs(float(lhs)), \
         f"two-level adjoint identity violated: {lhs} vs {rhs}"
 
+    # unknown axis names fail fast at the dispatch point
+    with pytest.raises(ValueError, match="unsupported mesh axes"):
+        make_slip_inversion(prob, per=2,
+                            mesh=Mesh(np.array(jax.devices()), ("data",)))
+
 
 def test_slip_recovery_flower():
     """Recover the 18-face slip distribution from 603 interior stations
