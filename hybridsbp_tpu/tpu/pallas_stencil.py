@@ -354,8 +354,11 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym, shared,
     def body(cbuf, sem):
         # halo-pad the resident field once as a value (aligned base:
         # Lpad is a lane multiple, so each shift pays one rotate — the
-        # same relayout cost the XLA flat form pays)
-        uval = u_ref[...]
+        # same relayout cost the XLA flat form pays).  u blocks arrive
+        # as (1, 1, Nvol) — the unit middle axis exists only to satisfy
+        # Mosaic's (sublane, lane) block-shape rule on the (E, 1, Nvol)
+        # operand view; drop it here.
+        uval = u_ref[..., 0, :]
         upv = jnp.pad(uval, ((0, 0), (Lpad, Lpad)))
 
         def dma(slot, t):
@@ -381,7 +384,7 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym, shared,
                     wp = jnp.pad(c * uval, ((0, 0), (Lpad, Lpad)))
                     acc = acc + jax.lax.slice(
                         wp, (0, Lpad - off), (1, Lpad - off + Nvol))
-        out_ref[...] = acc
+        out_ref[...] = acc[:, None, :]
 
     pl.run_scoped(
         body,
@@ -405,21 +408,41 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, sym=False,
     Lpad = -(L // -128) * 128            # aligned halo: u lands on a
     #                                      lane-aligned base, shifts pay
     #                                      one rotate each (as XLA does)
-    return pl.pallas_call(
-        partial(_kernel_flat_stream, tuple(offsets_flat), nflat, Nvol,
+    # Mosaic DMA slices must be tile-aligned: pad the lane (volume) dim
+    # to a 128 multiple and the strip (offset) dim to a KO multiple.
+    # Tail zeros in u reproduce the unpadded form's halo zeros exactly,
+    # and zero coefficient rows (offset 0) are no-ops; the coefficient
+    # pad is loop-invariant, so XLA hoists it out of solver loops.
+    Nvp = -(Nvol // -128) * 128
+    nfp = -(nflat // -KO) * KO
+    if Nvp != Nvol:
+        u = jnp.pad(u, ((0, 0), (0, Nvp - Nvol)))
+        coefs_flat = jnp.pad(coefs_flat,
+                             ((0, 0), (0, 0), (0, Nvp - Nvol)))
+    if nfp != nflat:
+        coefs_flat = jnp.pad(coefs_flat,
+                             ((0, 0), (0, nfp - nflat), (0, 0)))
+        offsets_flat = tuple(offsets_flat) + (0,) * (nfp - nflat)
+    # the field rides a (E, 1, Nvol) view so the VMEM block's last two
+    # dims (1, Nvol) EQUAL the operand's last two dims — Mosaic's
+    # block-shape rule rejects a (1, Nvol) block of an (E, Nvol) array
+    # whenever E is not the block extent (measured on-chip, r3)
+    out = pl.pallas_call(
+        partial(_kernel_flat_stream, tuple(offsets_flat), nfp, Nvp,
                 Lpad, KO, sym, shared),
         grid=(E,),
         in_specs=[
-            pl.BlockSpec((1, Nvol), lambda e: (e, 0),
+            pl.BlockSpec((1, 1, Nvp), lambda e: (e, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ec, nflat, Nvol), lambda e: (0, 0, 0),
+            pl.BlockSpec((Ec, nfp, Nvp), lambda e: (0, 0, 0),
                          memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Nvol), lambda e: (e, 0),
+        out_specs=pl.BlockSpec((1, 1, Nvp), lambda e: (e, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E, Nvol), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((E, 1, Nvp), u.dtype),
         interpret=interpret,
-    )(u, coefs_flat)
+    )(u[:, None, :], coefs_flat)
+    return out[:, 0, :Nvol]
 
 
 def dia_apply_flat_stream(coefs_flat, offsets_flat, u, *, KO=8,
