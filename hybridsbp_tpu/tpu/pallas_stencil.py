@@ -327,15 +327,20 @@ def dia_apply_shared_stream(coefs, u, offsets, interpret=False):
     )(u, coefs)
 
 
-def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym, shared,
-                        u_ref, coef_hbm, out_ref):
-    """Flat-layout streaming kernel: the block's field is staged once in
+def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, EB, sym,
+                        shared, u_ref, coef_hbm, out_ref):
+    """Flat-layout streaming kernel: EB blocks' fields are staged once in
     VMEM (padded by the max linear offset), and the flat coefficient
     stack — the dominant HBM traffic — is streamed in KO-offset strips
     with double-buffered manual DMA, overlapping the next strip's DMA
     with the current strip's VPU fma work.  The strip loop is a static
     Python unroll because each linear offset must be a static slice
     start (Mosaic lane-rotates misaligned loads).
+
+    ``EB`` blocks per program ride the SUBLANE axis: a (1, Nvol) field
+    uses 1 of 8 sublanes per vreg, so the EB=1 form runs the fma work
+    at ~1/8 VPU throughput (measured 4051 us vs 1040 us XLA at the
+    flagship shape, r3); EB=8 packs full (8, 128) tiles.
 
     ``sym``: the stack holds only o >= 0 diagonals (see
     stencil.flatten_dia_sym) and each o > 0 plane also contributes its
@@ -345,29 +350,33 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym, shared,
 
     # shared stacks keep their broadcast (extent-1) block axis in HBM —
     # every program streams block 0 (no E-fold materialized copy)
-    e = 0 if shared else pl.program_id(0)
+    g = pl.program_id(0)
     nstrips = -(nflat // -KO)            # last strip may be ragged
 
     def nk(t):
         return min(KO, nflat - t * KO)   # offsets in strip t (static)
 
     def body(cbuf, sem):
-        # halo-pad the resident field once as a value (aligned base:
+        # halo-pad the resident fields once as a value (aligned base:
         # Lpad is a lane multiple, so each shift pays one rotate — the
         # same relayout cost the XLA flat form pays).  u blocks arrive
-        # as (1, 1, Nvol) — the unit middle axis exists only to satisfy
+        # as (EB, 1, Nvol) — the unit middle axis exists only to satisfy
         # Mosaic's (sublane, lane) block-shape rule on the (E, 1, Nvol)
         # operand view; drop it here.
-        uval = u_ref[..., 0, :]
+        uval = u_ref[..., 0, :]                       # (EB, Nvol)
         upv = jnp.pad(uval, ((0, 0), (Lpad, Lpad)))
 
         def dma(slot, t):
+            if shared:
+                return pltpu.make_async_copy(
+                    coef_hbm.at[0, pl.ds(t * KO, nk(t)), :],
+                    cbuf.at[slot, pl.ds(0, nk(t))], sem.at[slot])
             return pltpu.make_async_copy(
-                coef_hbm.at[e, pl.ds(t * KO, nk(t)), :],
-                cbuf.at[slot, pl.ds(0, nk(t))], sem.at[slot])
+                coef_hbm.at[pl.ds(g * EB, EB), pl.ds(t * KO, nk(t)), :],
+                cbuf.at[slot, :, pl.ds(0, nk(t))], sem.at[slot])
 
         dma(0, 0).start()
-        acc = jnp.zeros((1, Nvol), dtype=out_ref.dtype)
+        acc = jnp.zeros((EB, Nvol), dtype=out_ref.dtype)
         for t in range(nstrips):
             slot = t % 2
             if t + 1 < nstrips:
@@ -376,27 +385,31 @@ def _kernel_flat_stream(offsets_flat, nflat, Nvol, Lpad, KO, sym, shared,
             cv = cbuf[slot]
             for k in range(nk(t)):
                 off = offsets_flat[t * KO + k]
-                c = cv[k][None, :]
+                # shared: one coefficient row broadcasts over the EB
+                # sublane-packed blocks; per-block: each sublane gets
+                # its own block's row
+                c = cv[k][None, :] if shared else cv[:, k, :]
                 sh = jax.lax.slice(upv, (0, Lpad + off),
-                                   (1, Lpad + off + Nvol))
+                                   (EB, Lpad + off + Nvol))
                 acc = acc + c * sh
                 if sym and off:
                     wp = jnp.pad(c * uval, ((0, 0), (Lpad, Lpad)))
                     acc = acc + jax.lax.slice(
-                        wp, (0, Lpad - off), (1, Lpad - off + Nvol))
+                        wp, (0, Lpad - off), (EB, Lpad - off + Nvol))
         out_ref[...] = acc[:, None, :]
 
+    cshape = (2, KO, Nvol) if shared else (2, EB, KO, Nvol)
     pl.run_scoped(
         body,
-        cbuf=pltpu.VMEM((2, KO, Nvol), coef_hbm.dtype),
+        cbuf=pltpu.VMEM(cshape, coef_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
-@partial(jax.jit, static_argnames=("offsets_flat", "KO", "sym",
+@partial(jax.jit, static_argnames=("offsets_flat", "KO", "EB", "sym",
                                    "interpret"))
-def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, sym=False,
-                           interpret=False):
+def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, EB=None,
+                           sym=False, interpret=False):
     """coefs_flat: (E, nflat, Nvol) or (1, nflat, Nvol) shared; u: (E, Nvol)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -404,6 +417,13 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, sym=False,
     E = u.shape[0]
     Ec, nflat, Nvol = coefs_flat.shape
     shared = Ec == 1 and E > 1            # broadcast stack stays 1 in HBM
+    if EB is None:
+        # blocks per program ride the sublane axis: prefer full (8, 128)
+        # tiles; a divisor of E avoids padding the coefficient stream
+        EB = next((b for b in (8, 4, 2) if E % b == 0), 1) \
+            if E < 8 or E % 8 else 8
+    EB = min(EB, E)
+    E_pad = -(E // -EB) * EB
     L = max(abs(o) for o in offsets_flat)
     Lpad = -(L // -128) * 128            # aligned halo: u lands on a
     #                                      lane-aligned base, shifts pay
@@ -423,36 +443,53 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, sym=False,
         coefs_flat = jnp.pad(coefs_flat,
                              ((0, 0), (0, nfp - nflat), (0, 0)))
         offsets_flat = tuple(offsets_flat) + (0,) * (nfp - nflat)
+    if E_pad != E:
+        u = jnp.pad(u, ((0, E_pad - E), (0, 0)))
+        if not shared and Ec != E_pad:
+            coefs_flat = jnp.pad(coefs_flat,
+                                 ((0, E_pad - Ec), (0, 0), (0, 0)))
+    elif not shared and Ec > E:
+        coefs_flat = coefs_flat[:E]       # drop caller-side chunk pad
     # the field rides a (E, 1, Nvol) view so the VMEM block's last two
     # dims (1, Nvol) EQUAL the operand's last two dims — Mosaic's
     # block-shape rule rejects a (1, Nvol) block of an (E, Nvol) array
     # whenever E is not the block extent (measured on-chip, r3)
+    Ecp = coefs_flat.shape[0]
     out = pl.pallas_call(
         partial(_kernel_flat_stream, tuple(offsets_flat), nfp, Nvp,
-                Lpad, KO, sym, shared),
-        grid=(E,),
+                Lpad, KO, EB, sym, shared),
+        grid=(E_pad // EB,),
         in_specs=[
-            pl.BlockSpec((1, 1, Nvp), lambda e: (e, 0, 0),
+            pl.BlockSpec((EB, 1, Nvp), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ec, nfp, Nvp), lambda e: (0, 0, 0),
+            # ANY-space blocks must cover the whole array (trivial
+            # index map); the kernel indexes by program_id in the DMA
+            pl.BlockSpec((Ecp, nfp, Nvp), lambda g: (0, 0, 0),
                          memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, Nvp), lambda e: (e, 0, 0),
+        out_specs=pl.BlockSpec((EB, 1, Nvp), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E, 1, Nvp), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((E_pad, 1, Nvp), u.dtype),
+        # per-block cbuf is (2, EB, KO, Nvp): ~10 MB at the flagship
+        # shape with EB=KO=8 — above the 16 MB default together with
+        # the field blocks, well under physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(u[:, None, :], coefs_flat)
-    return out[:, 0, :Nvol]
+    return out[:E, 0, :Nvol]
 
 
-def dia_apply_flat_stream(coefs_flat, offsets_flat, u, *, KO=8,
+def dia_apply_flat_stream(coefs_flat, offsets_flat, u, *, KO=8, EB=None,
                           sym=False, interpret=False):
     """Pallas flat-layout apply (see :func:`.stencil.dia_apply_flat`
     for the XLA form and :func:`.stencil.flatten_dia` for the layout).
 
     The r3 frontier kernel (TODO.md): flat HBM coefficient storage
-    (no lane-padding waste) + double-buffered strip DMA + one VMEM-
-    resident field per block.  ``sym=True`` streams a symmetric
+    (no lane-padding waste) + double-buffered strip DMA + VMEM-resident
+    fields, ``EB`` blocks per program packed along the sublane axis
+    (default: the largest power-of-two divisor of E up to 8 — full
+    (8, 128) vregs for the fma work).  ``sym=True`` streams a symmetric
     (o >= 0 only) stack from :func:`.stencil.flatten_dia_sym` — half
     the DMA traffic.  u: (E, Nsp, Nrp) or (E, Nvol)."""
     out_shape = u.shape
@@ -460,7 +497,8 @@ def dia_apply_flat_stream(coefs_flat, offsets_flat, u, *, KO=8,
     if u.shape[-1] != Nvol:
         u = u.reshape(u.shape[0], Nvol)
     out = _dia_apply_flat_pallas(coefs_flat, u, tuple(offsets_flat),
-                                 KO=KO, sym=sym, interpret=interpret)
+                                 KO=KO, EB=EB, sym=sym,
+                                 interpret=interpret)
     return out.reshape(out_shape)
 
 

@@ -508,6 +508,16 @@ def test_pallas_flat_stream_kernel():
                                              interpret=True))
     want_sh = np.asarray(dia_apply_flat(cf[:1], offs_flat, u))
     np.testing.assert_allclose(gotsh, want_sh, rtol=1e-12, atol=1e-12)
+    # multi-block sublane packing (EB > 1), incl. the E-padding path
+    # (E=3, EB=2 -> E_pad=4 zero block) and EB on the shared + sym forms
+    for kw in (dict(EB=2), dict(EB=2, sym=True), dict(EB=3)):
+        c_in, o_in = (cs, offs_sym) if kw.get("sym") else (cf, offs_flat)
+        got_eb = np.asarray(dia_apply_flat_stream(
+            c_in, o_in, u, KO=8, interpret=True, **kw))
+        np.testing.assert_allclose(got_eb, want, rtol=1e-12, atol=1e-12)
+    gotsh_eb = np.asarray(dia_apply_flat_stream(
+        cf[:1], offs_flat, u, KO=8, EB=3, interpret=True))
+    np.testing.assert_allclose(gotsh_eb, want_sh, rtol=1e-12, atol=1e-12)
 
 
 def test_pallas_kernels_bf16_coefs():

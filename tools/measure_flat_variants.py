@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--coarse", type=int, default=16)
     ap.add_argument("--iters", type=int, nargs=2, default=(30, 90))
     ap.add_argument("--ko", type=int, default=8)
+    ap.add_argument("--eb", type=int, default=None,
+                    help="blocks per Pallas program (sublane packing; "
+                         "default: auto = largest pow2 divisor <= 8)")
     ap.add_argument("--echunk", type=int, default=8)
     ap.add_argument("--skip-pallas", action="store_true")
     ap.add_argument("--interpret", action="store_true",
@@ -95,8 +98,8 @@ def main():
         from hybridsbp_tpu.tpu.pallas_stencil import dia_apply_flat_stream
 
         def f(c, v):
-            return dia_apply_flat_stream(c, offs, v, KO=a.ko, sym=sym,
-                                         interpret=a.interpret)
+            return dia_apply_flat_stream(c, offs, v, KO=a.ko, EB=a.eb,
+                                         sym=sym, interpret=a.interpret)
         return f
 
     # name -> (coefs, apply(c, v))
@@ -110,12 +113,14 @@ def main():
         "sym_chunk_bf16": (cf_sym.astype(jnp.bfloat16),
                            chunked(dia_apply_flat_sym, offs_sym)),
         "pallas": (cf_full, pallas(offs_full, False)),
+        "pallas_bf16": (cf_full.astype(jnp.bfloat16),
+                        pallas(offs_full, False)),
         "pallas_sym": (cf_sym, pallas(offs_sym, True)),
         "pallas_sym_bf16": (cf_sym.astype(jnp.bfloat16),
                             pallas(offs_sym, True)),
     }
     order = ["flat_chunk", "sym", "sym_chunk", "sym_chunk_bf16", "flat",
-             "pallas", "pallas_sym", "pallas_sym_bf16"]
+             "pallas", "pallas_bf16", "pallas_sym", "pallas_sym_bf16"]
     if a.skip_pallas:
         order = [n for n in order if not n.startswith("pallas")]
     if a.only:
