@@ -266,10 +266,18 @@ def bench_hybrid_ref_sub():
                            methods=("displacements", "trace"),
                            trace_mode="banded")
     d, t = res["displacements"], res["trace"]
+
+    def _ms(v):
+        return None if v is None else round(v * 1e3, 1)
+
     print(json.dumps({
         "hybrid_ref_dofs": d["nvol"],
         "hybrid_ref_ms": round(d["t_warm_s"] * 1e3, 1),
         "hybrid_ref_ms_min": round(d["t_warm_min_s"] * 1e3, 1),
+        # chained = RTT-free device time (per-call walls carry one
+        # ~27 ms tunnel round trip; see run_device_multi)
+        "hybrid_ref_chained_ms": _ms(d.get("t_chained_s")),
+        "hybrid_ref_trace_chained_ms": _ms(t.get("t_chained_s")),
         "hybrid_ref_iters": d["iters"],
         "hybrid_ref_converged": d["converged"],
         "hybrid_ref_rel_err": float(f"{d['rel_err']:.3g}"),

@@ -1013,7 +1013,16 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                                    flexible=flexible, stencil=stencil)
 
     solve_jit = jax.jit(solve_fn)
-    return lambda g, gdelta_faces: solve_jit(arrs, g, gdelta_faces)
+
+    def solve(g, gdelta_faces):
+        return solve_jit(arrs, g, gdelta_faces)
+
+    # exposed for chained (RTT-free) timing and for embedding the solve
+    # in larger jitted programs: ``fn(arrs, g, gd)`` is the traced body,
+    # ``arrs`` the operator arrays to pass as jit arguments
+    solve.fn = solve_fn
+    solve.arrs = arrs
+    return solve
 
 
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
