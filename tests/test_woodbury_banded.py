@@ -74,3 +74,33 @@ def test_banded_jit_solver_matches_host(sc56, method, max_outer):
     assert int(res.iters) <= max_outer, f"outer iters {int(res.iters)}"
     np.testing.assert_allclose(np.asarray(res.x).ravel(), u_host,
                                rtol=1e-5, atol=1e-7)
+
+
+def test_jit_solver_chain_embedding(sc56):
+    """The solver exposes its traced body (solve.fn) + operator arrays
+    (solve.arrs) so callers can embed the whole solve inside a larger
+    jitted program — the chained RTT-free timing in run_device_multi
+    and bench.py's hybrid_ref sub-bench depend on this surface.  A
+    2-solve fori_loop chain must reproduce the single-call solution."""
+    import jax
+    import jax.numpy as jnp
+
+    prob, bp, g, gd = sc56
+    gb, gdf = blocked_rhs_from_host(prob, g, gd)
+    banded = build_woodbury_banded(bp, prob, iters=16)
+    solve = make_jit_solver(bp, method="displacements", trace_inv=banded,
+                            tol=1e-9, maxiter=100, inner_iters=8)
+    want = np.asarray(solve(gb, gdf).x)
+
+    @jax.jit
+    def chain(a, g0, gd0, iters):
+        def body(i, carry):
+            gi, x = carry
+            r = solve.fn(a, gi, gd0)
+            return (g0 + 0.0 * r.x, r.x)     # serialized dependence
+        _, x = jax.lax.fori_loop(0, iters, body,
+                                 (g0, jnp.zeros_like(g0)))
+        return x
+
+    got = np.asarray(chain(solve.arrs, gb, gdf, jnp.asarray(2)))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
