@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Measured sweep of the Woodbury inner-sweep length (and banded-B CG
+count) using chained RTT-free timing — picks the fastest CONVERGED
+config for the hybrid device solve at reference scale.
+
+The preconditioner cost per outer iteration is dominated by TWO
+fixed-length fastdiag-CG inner sweeps (profile_solve.py: 2 x 2.75 ms of
+a 5.7 ms Woodbury apply at N=68), so inner_iters trades per-outer cost
+against outer count; binv_iters is the banded trace-inverse CG count
+inside each Woodbury apply (profiled cheap: 474 us at 32).
+
+Usage: python tools/tune_inner.py [--p 6] [--N 68] [--method
+         displacements] [--inner 4,6,8,12] [--binv 16,32]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "drivers"))
+
+
+def _log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--p", type=int, default=6)
+    ap.add_argument("--N", type=int, default=68)
+    ap.add_argument("--method", default="displacements")
+    ap.add_argument("--inner", default="4,6,8,12")
+    ap.add_argument("--binv", default="32")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from square_circle import assemble_level
+    from hybridsbp_tpu.tpu import build_blocked, make_jit_solver
+    from hybridsbp_tpu.tpu import multiblock as mb
+
+    backend = jax.default_backend()
+    _log(f"backend={backend}; assembling p={a.p} N={a.N}")
+    prob, g, gd = assemble_level(a.p, a.N)[:3]
+    bp = build_blocked(prob, dtype=jnp.float32)
+    gb, gdf = mb.blocked_rhs_from_host(prob, g, gd)
+    gb, gdf = jnp.asarray(gb, jnp.float32), jnp.asarray(gdf, jnp.float32)
+
+    results = []
+    for bi in [int(x) for x in a.binv.split(",")]:
+        ti = mb.build_woodbury_banded(bp, prob, iters=bi)
+        for ii in [int(x) for x in a.inner.split(",")]:
+            try:
+                _log(f"inner_iters={ii} binv={bi}: compile + chain")
+                sj = make_jit_solver(bp, method=a.method, trace_inv=ti,
+                                     tol=a.tol, maxiter=200,
+                                     inner_iters=ii)
+
+                @jax.jit
+                def chain(ar, g0, gd0, iters, sj=sj):
+                    def body(i, carry):
+                        gi, acc, it = carry
+                        r = sj.fn(ar, gi, gd0)
+                        return (g0 + 0.0 * r.x, acc + r.resnorm,
+                                r.iters)
+                    _, acc, it = jax.lax.fori_loop(
+                        0, iters, body,
+                        (g0, jnp.float32(0.0), jnp.asarray(0)))
+                    return acc, it
+
+                def run(k, reps=3, sj=sj, chain=chain):
+                    kk = jnp.asarray(k, jnp.int32)
+                    acc, it = chain(sj.arrs, gb, gdf, kk)
+                    float(acc)
+                    ts = []
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        acc, it2 = chain(sj.arrs, gb, gdf, kk)
+                        float(acc)
+                        ts.append(time.perf_counter() - t0)
+                    return float(np.median(ts)), int(it)
+
+                t1, outers = run(1)
+                t3, _ = run(3)
+                dt = max((t3 - t1) / 2, 0.0)
+                res = sj(gb, gdf)
+                conv = bool(res.converged)
+                row = {"inner_iters": ii, "binv_iters": bi,
+                       "outers": outers, "converged": conv,
+                       "t_chained_ms": round(dt * 1e3, 2),
+                       "backend": backend}
+                results.append(row)
+                print(json.dumps(row), flush=True)
+            except Exception as e:                        # noqa: BLE001
+                _log(f"config ({ii},{bi}) FAILED: "
+                     f"{type(e).__name__}: {str(e)[:200]}")
+
+    ok = [r for r in results if r["converged"]]
+    best = min(ok, key=lambda r: r["t_chained_ms"]) if ok else None
+    print(json.dumps({"best": best, "method": a.method, "p": a.p,
+                      "N": a.N}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
