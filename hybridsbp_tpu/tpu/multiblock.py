@@ -837,21 +837,27 @@ def _fbar_raw(bp: BlockedHybrid, u):
     return t / jnp.where(bp.Dinv == 0, 1.0, bp.Dinv)
 
 
-def make_woodbury_M(minv, fbar_fn, fbarT_fn, trace_inv):
+def make_woodbury_M(minv, fbar_fn, fbarT_fn, trace_inv, minv2=None):
     """Assemble the Woodbury application r -> M̃⁻¹r + M̃⁻¹Fbar'B⁻¹FbarM̃⁻¹r
     from its pieces (pytree-generic; shared by the batched and bucketed
-    preconditioners)."""
+    preconditioners).  ``minv2``: optional cheaper block solve for the
+    trace-correction term (the second M̃⁻¹ multiplies a low-rank face
+    correction, which can tolerate a shorter sweep than the primary
+    z1 = M̃⁻¹r — tune with tools/tune_inner.py)."""
+    minv2 = minv if minv2 is None else minv2
+
     def M(r):
         z1 = minv(r)
         y = apply_traceinv(trace_inv, fbar_fn(z1))
-        z2 = minv(fbarT_fn(y))
+        z2 = minv2(fbarT_fn(y))
         return jax.tree_util.tree_map(lambda a, c: a + c, z1, z2)
 
     return M
 
 
 def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
-                     stencil="auto", block_precond=None):
+                     stencil="auto", block_precond=None,
+                     inner_iters2=None):
     """SPD two-level preconditioner r -> FD r + FD Fbar' B^{-1} Fbar FD r.
 
     With ``inner_iters=k > 0`` the fastdiag block solve FD is upgraded
@@ -864,7 +870,10 @@ def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
 
     ``block_precond``: override for the per-block preconditioner
     inside the inner sweep (e.g. a mesh-aware sharded fastdiag form —
-    see parallel/sharded2d); default: fastdiag, else Jacobi."""
+    see parallel/sharded2d); default: fastdiag, else Jacobi.
+
+    ``inner_iters2``: sweep length for the trace-correction term only
+    (z2 = M̃⁻¹ Fbar' B⁻¹ ...); default: same as ``inner_iters``."""
     from .cg import cg_fixed
     from .fastdiag import fastdiag_apply
 
@@ -875,18 +884,24 @@ def woodbury_precond(bp: BlockedHybrid, Binv_pad, inner_iters=0,
     else:
         diag = bp.coefs[:, bp.offsets.index((0, 0))]
         fd_apply = lambda r: r / diag
-    if inner_iters:
+
+    def sweep(k):
+        if not k:
+            return fd_apply
         # fixed-length inner sweep (fori_loop): a tolerance-free CG as
         # a nested data-dependent while_loop explodes compile time
-        minv = lambda r: cg_fixed(
-            lambda u: _dia_apply_batched(bp, u, stencil), r, inner_iters,
+        return lambda r: cg_fixed(
+            lambda u: _dia_apply_batched(bp, u, stencil), r, k,
             precond=fd_apply)
-    else:
-        minv = fd_apply
+
+    minv = sweep(inner_iters)
+    minv2 = (minv if inner_iters2 is None or inner_iters2 == inner_iters
+             else sweep(inner_iters2))
 
     return make_woodbury_M(
         minv, lambda z: _fbar_raw(bp, z),
-        lambda y: face_scatter(bp, y, 0, bp.nblocks), Binv_pad)
+        lambda y: face_scatter(bp, y, 0, bp.nblocks), Binv_pad,
+        minv2=minv2)
 
 
 def recover_lambda(bp: BlockedHybrid, u, gdelta_faces):
@@ -968,7 +983,7 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
 
 def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                     trace_inv=None, tol=1e-6, maxiter=200,
-                    inner_iters=8, stencil="auto"):
+                    inner_iters=8, inner_iters2=None, stencil="auto"):
     """One-compile serving solver: returns ``solve(g, gdelta_faces)``
     — a single jitted program for the whole hybrid solve.
 
@@ -1004,6 +1019,7 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
             return res._replace(x=u)
         if ti2 is not None:
             precond = woodbury_precond(bp2, ti2, inner_iters=inner_iters,
+                                       inner_iters2=inner_iters2,
                                        stencil=stencil)
             flexible = True
         else:

@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--p", type=int, default=6)
     ap.add_argument("--N", type=int, default=68)
     ap.add_argument("--method", default="displacements")
-    ap.add_argument("--inner", default="4,6,8,12")
+    ap.add_argument("--inner", default="4,6,8,12",
+                    help="sweep lengths; a 'k:k2' entry sets the "
+                         "trace-correction sweep (inner_iters2) "
+                         "separately")
     ap.add_argument("--binv", default="32")
     ap.add_argument("--tol", type=float, default=1e-6)
     a = ap.parse_args()
@@ -54,15 +57,19 @@ def main():
     gb, gdf = mb.blocked_rhs_from_host(prob, g, gd)
     gb, gdf = jnp.asarray(gb, jnp.float32), jnp.asarray(gdf, jnp.float32)
 
+    def parse_inner(s):
+        k, _, k2 = s.partition(":")
+        return int(k), (int(k2) if k2 else None)
+
     results = []
     for bi in [int(x) for x in a.binv.split(",")]:
         ti = mb.build_woodbury_banded(bp, prob, iters=bi)
-        for ii in [int(x) for x in a.inner.split(",")]:
+        for ii, ii2 in [parse_inner(x) for x in a.inner.split(",")]:
             try:
-                _log(f"inner_iters={ii} binv={bi}: compile + chain")
+                _log(f"inner_iters={ii}:{ii2} binv={bi}: compile + chain")
                 sj = make_jit_solver(bp, method=a.method, trace_inv=ti,
                                      tol=a.tol, maxiter=200,
-                                     inner_iters=ii)
+                                     inner_iters=ii, inner_iters2=ii2)
 
                 @jax.jit
                 def chain(ar, g0, gd0, iters, sj=sj):
@@ -93,7 +100,8 @@ def main():
                 dt = max((t3 - t1) / 2, 0.0)
                 res = sj(gb, gdf)
                 conv = bool(res.converged)
-                row = {"inner_iters": ii, "binv_iters": bi,
+                row = {"inner_iters": ii, "inner_iters2": ii2,
+                       "binv_iters": bi,
                        "outers": outers, "converged": conv,
                        "t_chained_ms": round(dt * 1e3, 2),
                        "backend": backend}
