@@ -983,7 +983,8 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
 
 def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                     trace_inv=None, tol=1e-6, maxiter=200,
-                    inner_iters=8, inner_iters2=None, stencil="auto"):
+                    inner_iters=8, inner_iters2=None, stencil="auto",
+                    precond_coef_dtype=None):
     """One-compile serving solver: returns ``solve(g, gdelta_faces)``
     — a single jitted program for the whole hybrid solve.
 
@@ -1000,6 +1001,17 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
     trace method, square_circle.jl:374-388; requires ``trace_inv`` for
     the O(1)-iteration outer preconditioner, else Jacobi-D).
     ``trace_inv``: a :func:`build_woodbury` result.
+
+    ``precond_coef_dtype``: optional narrower dtype (e.g.
+    ``jnp.bfloat16``) for the coefficient stacks INSIDE the Woodbury
+    preconditioner's inner sweeps only — the outer matvec (and hence
+    any converged answer) stays exact.  MEASURED NEGATIVE at reference
+    scale (RESULTS.md r3): at p=6 N=68 the bf16 ~3e-3 operator
+    perturbation (which fine-level conditioning amplifies — the same
+    sensitivity as the assembly-precision trap) stagnates the flexible
+    outer (200 iters, no convergence) despite converging on small
+    problems.  Left as an explicit opt-in for well-conditioned cases;
+    do not enable by default.
     """
     if method not in ("displacements", "trace"):
         raise ValueError(f"unknown method {method!r}")
@@ -1018,7 +1030,21 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                 stencil=stencil, Binv_pad=ti2)
             return res._replace(x=u)
         if ti2 is not None:
-            precond = woodbury_precond(bp2, ti2, inner_iters=inner_iters,
+            bp_pre = bp2
+            if precond_coef_dtype is not None:
+                # narrower coefficient storage for the PRECONDITIONER's
+                # inner matvecs only (the outer matvec stays exact):
+                # the Woodbury apply is inexact by design (flexible
+                # outer), and bf16 stacks cut its dominant HBM stream.
+                # The casts are loop-invariant — XLA hoists them out of
+                # the CG while_loop (one-time cast, cached in HBM).
+                cf = bp2.coefs_flat
+                bp_pre = bp2._replace(
+                    coefs=bp2.coefs.astype(precond_coef_dtype),
+                    coefs_flat=(None if cf is None
+                                else cf.astype(precond_coef_dtype)))
+            precond = woodbury_precond(bp_pre, ti2,
+                                       inner_iters=inner_iters,
                                        inner_iters2=inner_iters2,
                                        stencil=stencil)
             flexible = True

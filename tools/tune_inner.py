@@ -39,6 +39,9 @@ def main():
                          "trace-correction sweep (inner_iters2) "
                          "separately")
     ap.add_argument("--binv", default="32")
+    ap.add_argument("--precond-bf16", action="store_true",
+                    help="bf16 coefficient stacks inside the Woodbury "
+                         "inner sweeps (outer matvec stays exact)")
     ap.add_argument("--tol", type=float, default=1e-6)
     a = ap.parse_args()
 
@@ -67,9 +70,12 @@ def main():
         for ii, ii2 in [parse_inner(x) for x in a.inner.split(",")]:
             try:
                 _log(f"inner_iters={ii}:{ii2} binv={bi}: compile + chain")
-                sj = make_jit_solver(bp, method=a.method, trace_inv=ti,
-                                     tol=a.tol, maxiter=200,
-                                     inner_iters=ii, inner_iters2=ii2)
+                sj = make_jit_solver(
+                    bp, method=a.method, trace_inv=ti,
+                    tol=a.tol, maxiter=200,
+                    inner_iters=ii, inner_iters2=ii2,
+                    precond_coef_dtype=(jnp.bfloat16 if a.precond_bf16
+                                        else None))
 
                 @jax.jit
                 def chain(ar, g0, gd0, iters, sj=sj):
