@@ -984,7 +984,7 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
 def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                     trace_inv=None, tol=1e-6, maxiter=200,
                     inner_iters=8, inner_iters2=None, stencil="auto",
-                    precond_coef_dtype=None):
+                    precond_coef_dtype=None, trace_inner_tol=None):
     """One-compile serving solver: returns ``solve(g, gdelta_faces)``
     — a single jitted program for the whole hybrid solve.
 
@@ -1024,9 +1024,16 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
         ti2 = (traceinv_with(trace_inv, a["Binv"])
                if trace_inv is not None else None)
         if method == "trace":
+            # inner_tol default tol*0.2: measured on-chip (p=6 N=68,
+            # tools/tune_inner.py --method trace --check-host) —
+            # identical solution error to tol*0.05 at 10% less time;
+            # inner_tol = tol costs 4.6x in solution error (inexact
+            # inner solves perturb the reconstruction, TODO.md r2)
             u, lam, res = solve_trace(
                 bp2, g, gdelta_faces, tol=tol, maxiter=maxiter,
-                inner_tol=tol * 0.05, inner_maxiter=200,
+                inner_tol=(tol * 0.2 if trace_inner_tol is None
+                           else trace_inner_tol),
+                inner_maxiter=200,
                 stencil=stencil, Binv_pad=ti2)
             return res._replace(x=u)
         if ti2 is not None:

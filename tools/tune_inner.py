@@ -42,6 +42,15 @@ def main():
     ap.add_argument("--precond-bf16", action="store_true",
                     help="bf16 coefficient stacks inside the Woodbury "
                          "inner sweeps (outer matvec stays exact)")
+    ap.add_argument("--trace-inner-tol", default=None,
+                    help="comma-separated inner_tol values for "
+                         "method=trace (default: tol*0.05); each is "
+                         "a separate config")
+    ap.add_argument("--check-host", action="store_true",
+                    help="also report rel err vs the host f64 direct "
+                         "solve (required when loosening the trace "
+                         "inner tol — inexact inner solves perturb the "
+                         "final reconstruction, TODO.md r2 lesson)")
     ap.add_argument("--tol", type=float, default=1e-6)
     a = ap.parse_args()
 
@@ -59,21 +68,31 @@ def main():
     bp = build_blocked(prob, dtype=jnp.float32)
     gb, gdf = mb.blocked_rhs_from_host(prob, g, gd)
     gb, gdf = jnp.asarray(gb, jnp.float32), jnp.asarray(gdf, jnp.float32)
+    u_host = None
+    if a.check_host:
+        _log("host f64 direct solve (error oracle)")
+        u_host, _ = prob.solve(g, gd, method="trace")
 
     def parse_inner(s):
         k, _, k2 = s.partition(":")
         return int(k), (int(k2) if k2 else None)
 
+    itols = ([None] if a.trace_inner_tol is None
+             else [float(x) for x in a.trace_inner_tol.split(",")])
     results = []
     for bi in [int(x) for x in a.binv.split(",")]:
         ti = mb.build_woodbury_banded(bp, prob, iters=bi)
-        for ii, ii2 in [parse_inner(x) for x in a.inner.split(",")]:
+        for (ii, ii2), itol in [(parse_inner(x), it)
+                                for x in a.inner.split(",")
+                                for it in itols]:
             try:
-                _log(f"inner_iters={ii}:{ii2} binv={bi}: compile + chain")
+                _log(f"inner_iters={ii}:{ii2} binv={bi} itol={itol}: "
+                     "compile + chain")
                 sj = make_jit_solver(
                     bp, method=a.method, trace_inv=ti,
                     tol=a.tol, maxiter=200,
                     inner_iters=ii, inner_iters2=ii2,
+                    trace_inner_tol=itol,
                     precond_coef_dtype=(jnp.bfloat16 if a.precond_bf16
                                         else None))
 
@@ -107,10 +126,15 @@ def main():
                 res = sj(gb, gdf)
                 conv = bool(res.converged)
                 row = {"inner_iters": ii, "inner_iters2": ii2,
-                       "binv_iters": bi,
+                       "binv_iters": bi, "inner_tol": itol,
                        "outers": outers, "converged": conv,
                        "t_chained_ms": round(dt * 1e3, 2),
                        "backend": backend}
+                if u_host is not None:
+                    err = np.abs(np.asarray(res.x).ravel()
+                                 - u_host).max()
+                    row["rel_err"] = float(
+                        f"{err / np.abs(u_host).max():.3g}")
                 results.append(row)
                 print(json.dumps(row), flush=True)
             except Exception as e:                        # noqa: BLE001
