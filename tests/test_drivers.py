@@ -58,6 +58,12 @@ def test_square_circle_run_device():
     assert out["converged"], out
     assert out["iters"] <= 25, out
     assert out["rel_err"] < 1e-3, out
+    # bench.py's hybrid_ref sub-bench reads these keys (chained =
+    # RTT-free device time; None only if the chain harness failed)
+    for k in ("nvol", "t_warm_s", "t_warm_min_s", "t_chained_s",
+              "t_first_s", "t_host_s"):
+        assert k in out, f"missing {k}"
+    assert out["t_chained_s"] is not None and out["t_chained_s"] > 0
 
 
 def test_square_circle_run_device_trace():
