@@ -472,6 +472,41 @@ def main():
 
     best_name = min(candidates, key=candidates.get)
     best = candidates[best_name]
+
+    # physics guard on the HEADLINE (CLAUDE.md: the tunnel produces
+    # anomalously SHORT readings too — a 66.7 us kernel once measured
+    # 32.1 us, implying > spec HBM traffic).  If the best kernel's
+    # implied traffic exceeds the chip's published bandwidth, the
+    # reading is a timing artifact: re-measure once and take the
+    # SLOWER median; if still above spec, clamp to the spec-implied
+    # bound and keep the raw value in detail.
+    kernel_makers = {
+        "xla_perblock": lambda: per_iter_time(
+            lambda v: scale * dia_apply_batched(
+                coefs, op.offsets, v, use_pallas=False), u),
+        "xla_shared": lambda: per_iter_time(
+            lambda v: scale * dia_apply_shared(c1, v, op.offsets), u),
+        "xla_shared_flat": lambda: per_iter_time(
+            lambda v: scale * dia_apply_flat(c1_flat, offs_flat, v), uf),
+    }
+    bpd_of = {"xla_perblock": (noff + 2) * 4}  # bytes/dof by layout
+    bpd_of["xla_shared"] = bpd_of["xla_shared_flat"] = (2 + noff / E) * 4
+    spec = _HBM_SPEC_GBS.get(jax.devices()[0].device_kind)
+    best_raw = None
+    if spec is not None:
+        t_floor = dofs * bpd_of[best_name] / (spec * 1e9)  # s at spec bw
+        if best < t_floor:
+            _log(f"headline {best * 1e6:.1f} us implies > spec HBM "
+                 f"bandwidth (floor {t_floor * 1e6:.1f} us); "
+                 "re-measuring the fast-transient reading")
+            best_raw = best
+            best = max(kernel_makers[best_name](), best)
+            if best < t_floor:
+                _log("still above spec after re-measure; clamping to "
+                     "the spec-implied bound")
+                best = t_floor
+            candidates[best_name] = best
+
     gdof_s = dofs / best / 1e9
 
     # --- bf16 coefficient storage (documented approximation, ~3e-3
@@ -501,6 +536,8 @@ def main():
         "backend": backend, "kernel": best_name, "p": p, "N": N,
         "blocks": E, "noff": noff,
         "us_per_apply": round(best * 1e6, 2),
+        **({"us_per_apply_raw_transient": round(best_raw * 1e6, 2)}
+           if best_raw is not None else {}),
         "all_kernels_us": {k: round(v * 1e6, 2)
                            for k, v in candidates.items()},
         "bf16_shared_us": round(bf16_dt * 1e6, 2),
