@@ -449,26 +449,30 @@ def main():
     # exact kernel, i.e. what the framework actually runs on this mesh.
     from hybridsbp_tpu.tpu.pallas_stencil import dia_apply_shared
 
-    candidates = {}
-    _log("timing xla per-block kernel")
-    candidates["xla_perblock"] = per_iter_time(
-        lambda v: scale * dia_apply_batched(
-            coefs, op.offsets, v, use_pallas=False), u)
-    _log("timing xla shared kernel")
-    candidates["xla_shared"] = per_iter_time(
-        lambda v: scale * dia_apply_shared(c1, v, op.offsets), u)
-
     # flat (1D raveled-diagonal) shared layout: avoids the (8, 128)
     # tile padding of the 2D planes (257 lanes pad to 384 here — ~1.5x
     # wasted coefficient+field traffic).  This is what the framework
     # auto-selects on this mesh (build_blocked flat='auto' on TPU);
     # exact — flatten_dia is a bit-exact relayout (test-gated).
     from hybridsbp_tpu.tpu.stencil import dia_apply_flat, flatten_dia
-    _log("timing xla shared flat kernel")
     c1_flat, offs_flat = flatten_dia(c1, op.offsets, N + 1)
     uf = u.reshape(E, -1)
-    candidates["xla_shared_flat"] = per_iter_time(
-        lambda v: scale * dia_apply_flat(c1_flat, offs_flat, v), uf)
+
+    # ONE definition per kernel timing — the physics guard below
+    # re-measures through the same maker it validated
+    kernel_makers = {
+        "xla_perblock": lambda: per_iter_time(
+            lambda v: scale * dia_apply_batched(
+                coefs, op.offsets, v, use_pallas=False), u),
+        "xla_shared": lambda: per_iter_time(
+            lambda v: scale * dia_apply_shared(c1, v, op.offsets), u),
+        "xla_shared_flat": lambda: per_iter_time(
+            lambda v: scale * dia_apply_flat(c1_flat, offs_flat, v), uf),
+    }
+    candidates = {}
+    for name, mk in kernel_makers.items():
+        _log(f"timing {name} kernel")
+        candidates[name] = mk()
 
     best_name = min(candidates, key=candidates.get)
     best = candidates[best_name]
@@ -480,15 +484,6 @@ def main():
     # reading is a timing artifact: re-measure once and take the
     # SLOWER median; if still above spec, clamp to the spec-implied
     # bound and keep the raw value in detail.
-    kernel_makers = {
-        "xla_perblock": lambda: per_iter_time(
-            lambda v: scale * dia_apply_batched(
-                coefs, op.offsets, v, use_pallas=False), u),
-        "xla_shared": lambda: per_iter_time(
-            lambda v: scale * dia_apply_shared(c1, v, op.offsets), u),
-        "xla_shared_flat": lambda: per_iter_time(
-            lambda v: scale * dia_apply_flat(c1_flat, offs_flat, v), uf),
-    }
     bpd_of = {"xla_perblock": (noff + 2) * 4}  # bytes/dof by layout
     bpd_of["xla_shared"] = bpd_of["xla_shared_flat"] = (2 + noff / E) * 4
     spec = _HBM_SPEC_GBS.get(jax.devices()[0].device_kind)

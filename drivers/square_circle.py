@@ -290,39 +290,19 @@ def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
         t_warm = float(np.median(ts))
         t_warm_min = float(np.min(ts))
 
-        # chained (RTT-free) device time: per-call walls carry one
-        # host<->device round trip (~27 ms over the axon tunnel —
-        # ~35% of a 70 ms solve); running k back-to-back solves inside
-        # ONE program and two-point-fitting removes it (the same
-        # methodology bench.py uses for kernels).  Each next RHS takes
-        # a zero-weight dependence on the previous solution so XLA
-        # cannot parallelize the chain.
+        # chained (RTT-free) device time: per-call walls carry
+        # host-dispatch + tunnel round trips (~50 ms on a 75 ms call);
+        # running k back-to-back solves inside ONE program and
+        # two-point-fitting removes them (shared harness:
+        # utils.profiling.chained_time — median-of-5 per the repo
+        # timing policy, serialized chain links)
         t_chain = None
         try:
+            from hybridsbp_tpu.utils.profiling import chained_time
             sj2 = solve.sj
-
-            @jax.jit
-            def chain_runner(a, g0, gd0, iters):
-                def body(i, carry):
-                    gi, acc = carry
-                    r = sj2.fn(a, gi, gd0)
-                    return (g0 + 0.0 * r.x, acc + r.resnorm)
-                _, acc = jax.lax.fori_loop(
-                    0, iters, body, (g0, jnp.float32(0.0)), unroll=1)
-                return acc
-
-            def chain_time(k, reps=3):
-                kk = jnp.asarray(k, jnp.int32)
-                float(chain_runner(sj2.arrs, gb, gd, kk))  # compile+warm
-                tt = []
-                for _ in range(reps):
-                    t1 = time.time()
-                    float(chain_runner(sj2.arrs, gb, gd, kk))
-                    tt.append(time.time() - t1)
-                return float(np.median(tt))
-
-            t1c, t3c = chain_time(1), chain_time(3)
-            t_chain = max((t3c - t1c) / 2, 0.0)
+            t_chain = chained_time(
+                lambda g_, a_, gd_: sj2.fn(a_, g_, gd_).x,
+                (gb, sj2.arrs, gd))
         except Exception as e:               # noqa: BLE001
             if verbose:
                 print(f"  chained timing unavailable: "

@@ -1045,11 +1045,7 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                 # outer), and bf16 stacks cut its dominant HBM stream.
                 # The casts are loop-invariant — XLA hoists them out of
                 # the CG while_loop (one-time cast, cached in HBM).
-                cf = bp2.coefs_flat
-                bp_pre = bp2._replace(
-                    coefs=bp2.coefs.astype(precond_coef_dtype),
-                    coefs_flat=(None if cf is None
-                                else cf.astype(precond_coef_dtype)))
+                bp_pre = with_coef_dtype(bp2, precond_coef_dtype)
             precond = woodbury_precond(bp_pre, ti2,
                                        inner_iters=inner_iters,
                                        inner_iters2=inner_iters2,

@@ -418,10 +418,12 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, EB=None,
     Ec, nflat, Nvol = coefs_flat.shape
     shared = Ec == 1 and E > 1            # broadcast stack stays 1 in HBM
     if EB is None:
-        # blocks per program ride the sublane axis: prefer full (8, 128)
-        # tiles; a divisor of E avoids padding the coefficient stream
-        EB = next((b for b in (8, 4, 2) if E % b == 0), 1) \
-            if E < 8 or E % 8 else 8
+        # blocks per program ride the sublane axis: full (8, 128) tiles
+        # whenever E allows.  Padding E up to an EB multiple (<= 7
+        # zero blocks) beats falling back to narrower tiles: the
+        # measured EB=1 path is ~4x slower (compute-bound), far more
+        # than the worst-case padded-DMA overhead.
+        EB = min(8, E)
     EB = min(EB, E)
     E_pad = -(E // -EB) * EB
     L = max(abs(o) for o in offsets_flat)
@@ -443,13 +445,14 @@ def _dia_apply_flat_pallas(coefs_flat, u, offsets_flat, KO=8, EB=None,
         coefs_flat = jnp.pad(coefs_flat,
                              ((0, 0), (0, nfp - nflat), (0, 0)))
         offsets_flat = tuple(offsets_flat) + (0,) * (nfp - nflat)
+    if not shared and coefs_flat.shape[0] > E:
+        coefs_flat = coefs_flat[:E]       # drop caller-side chunk pad
     if E_pad != E:
         u = jnp.pad(u, ((0, E_pad - E), (0, 0)))
-        if not shared and Ec != E_pad:
-            coefs_flat = jnp.pad(coefs_flat,
-                                 ((0, E_pad - Ec), (0, 0), (0, 0)))
-    elif not shared and Ec > E:
-        coefs_flat = coefs_flat[:E]       # drop caller-side chunk pad
+        if not shared:
+            coefs_flat = jnp.pad(
+                coefs_flat,
+                ((0, E_pad - coefs_flat.shape[0]), (0, 0), (0, 0)))
     # the field rides a (E, 1, Nvol) view so the VMEM block's last two
     # dims (1, Nvol) EQUAL the operand's last two dims — Mosaic's
     # block-shape rule rejects a (1, Nvol) block of an (E, Nvol) array
@@ -488,8 +491,9 @@ def dia_apply_flat_stream(coefs_flat, offsets_flat, u, *, KO=8, EB=None,
     The r3 frontier kernel (TODO.md): flat HBM coefficient storage
     (no lane-padding waste) + double-buffered strip DMA + VMEM-resident
     fields, ``EB`` blocks per program packed along the sublane axis
-    (default: the largest power-of-two divisor of E up to 8 — full
-    (8, 128) vregs for the fma work).  ``sym=True`` streams a symmetric
+    (default min(8, E) — full (8, 128) vregs for the fma work; E pads
+    up to an EB multiple with zero blocks).  ``sym=True`` streams a
+    symmetric
     (o >= 0 only) stack from :func:`.stencil.flatten_dia_sym` — half
     the DMA traffic.  u: (E, Nsp, Nrp) or (E, Nvol)."""
     out_shape = u.shape

@@ -46,3 +46,57 @@ def device_trace(logdir):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def chained_time(step_fn, args0, *, k1=1, k2=3, reps=5, serialize=None):
+    """RTT-free per-application time of ``step_fn`` by a chained
+    two-point fit: run ``k`` back-to-back applications inside ONE jitted
+    program at k1 and k2, median over ``reps`` wall clocks each
+    (median-of-5+ per the repo timing policy — tunnel noise is
+    two-sided), return (t_k2 - t_k1) / (k2 - k1).
+
+    ``step_fn(*args0)`` must return a pytree; ``serialize(prev_result,
+    args0) -> next_args`` forces a data dependence between chain links
+    so XLA cannot parallelize them (default: first arg takes a
+    zero-weight dependence on the first leaf of the result).
+
+    Why this exists once: per-call walls over the axon tunnel carry
+    host-dispatch + ~27 ms round trips (measured ~2 RTTs on a 75 ms
+    solve), so three call sites (run_device_multi, tune_inner,
+    profile_solve) were each reimplementing this harness.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if serialize is None:
+        def serialize(res, a0):
+            leaf = jax.tree_util.tree_leaves(res)[0]
+            dep = 0.0 * jnp.sum(leaf).astype(a0[0].dtype)
+            return (a0[0] + dep,) + tuple(a0[1:])
+
+    @jax.jit
+    def runner(a0, iters):
+        def body(i, carry):
+            a, acc = carry
+            res = step_fn(*a)
+            leaf = jax.tree_util.tree_leaves(res)[0]
+            return (serialize(res, a0), acc + jnp.sum(leaf).astype(
+                jnp.float32))
+        _, acc = jax.lax.fori_loop(0, iters, body,
+                                   (tuple(a0), jnp.float32(0.0)))
+        return acc
+
+    def timed(k):
+        kk = jnp.asarray(k, jnp.int32)
+        s = float(runner(tuple(args0), kk))     # compile + warm
+        assert np.isfinite(s), "chained benchmark diverged"
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(runner(tuple(args0), kk))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = timed(k1), timed(k2)
+    return max((t2 - t1) / (k2 - k1), 0.0)

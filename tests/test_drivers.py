@@ -63,7 +63,9 @@ def test_square_circle_run_device():
     for k in ("nvol", "t_warm_s", "t_warm_min_s", "t_chained_s",
               "t_first_s", "t_host_s"):
         assert k in out, f"missing {k}"
-    assert out["t_chained_s"] is not None and out["t_chained_s"] > 0
+    # the chain harness clamps noisy fits to 0.0 on tiny problems —
+    # gate presence and non-negativity, not strict positivity
+    assert out["t_chained_s"] is not None and out["t_chained_s"] >= 0
 
 
 def test_square_circle_run_device_trace():

@@ -87,7 +87,13 @@ def main():
         return y / (jnp.max(jnp.abs(y)) + 1e-30)
 
     def chain_time(fn, x0, k1, k2):
-        """Two-point chained fit; operator arrays enter as jit args."""
+        """Two-point chained fit; operator arrays enter as jit args.
+
+        Deliberately NOT utils.profiling.chained_time: raw operator
+        pieces (dia, coupled, fastdiag, ...) are unbounded maps whose
+        chains diverge, so each link here max-abs NORMALIZES its
+        output; the shared helper serializes without normalizing and
+        is for solve-like bounded maps."""
         @jax.jit
         def runner(ar, x, iters):
             body = lambda i, v: norm(fn(ar, v))  # noqa: E731
