@@ -118,11 +118,25 @@ def timed_chain(runner, init, iters, repeats=5):
     return float(np.median(ts))
 
 
-def per_iter_time(step_fn, init, k1=50, k2=200):
+def per_iter_time(step_fn, init, k1=200, k2=1000, fits=3):
+    """Median of `fits` independent two-point fits of the per-iteration
+    time.
+
+    Chain lengths are sized so the k2 chain (~70 ms at the headline
+    kernel's ~70 us/apply) DOMINATES the tunnel RTT: with the r2 K=50/200
+    the fitted dt was (t2-t1)/150 on ~13 ms chains, so a few ms of RTT
+    jitter leaked tens of us into a ~70 us reading (measured on-chip:
+    five K=50/200 fits spanned 69.7-93.1 us where K=200/1000 fits
+    spanned 61.5-71.7 us).  The trip count is a traced argument, so all
+    fits share one compile; the median-of-fits rejects whole-fit
+    outliers the per-point median can't."""
     runner = make_chain_runner(step_fn)
-    t1 = timed_chain(runner, init, k1)
-    t2 = timed_chain(runner, init, k2)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    vals = []
+    for _ in range(fits):
+        t1 = timed_chain(runner, init, k1)
+        t2 = timed_chain(runner, init, k2)
+        vals.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    return float(np.median(vals))
 
 
 # published per-chip HBM bandwidth (GB/s) — sanity cap for the measured
@@ -141,7 +155,8 @@ def measure_hbm_bw():
     larger than on-chip memories, capped at the device's published spec."""
     n = 256 * 1024 * 1024  # 1 GB (f32)
     x = jnp.ones((n,), dtype=jnp.float32)
-    dt = per_iter_time(lambda v: 0.999999 * v + 1e-7, x, k1=10, k2=30)
+    # ~2.6 ms/iter at v5e spec bw: k2=80 makes the chain ~210 ms >> RTT
+    dt = per_iter_time(lambda v: 0.999999 * v + 1e-7, x, k1=20, k2=80)
     bw = 2 * 4 * n / dt
     kind = jax.devices()[0].device_kind
     spec = _HBM_SPEC_GBS.get(kind)
