@@ -188,15 +188,11 @@ def _op_fingerprint():
     """Cheap numerics fingerprint for the operator cache (ADVICE r1):
     a small locoperator assembled with the same tables/code path —
     changes whenever SBP tables or locoperator numerics change, so a
-    stale cached bench operator is detected and re-assembled."""
-    from hybridsbp_tpu.mesh import create_metrics
-    from hybridsbp_tpu.ops2d import locoperator
-    from hybridsbp_tpu.seas.bp1 import BP1Params, tan_stretch_maps
+    stale cached bench operator is detected and re-assembled.  Shared
+    with the flagship device-problem cache (utils.fingerprint)."""
+    from hybridsbp_tpu.utils.fingerprint import op_fingerprint
 
-    par = BP1Params(N=16, el=10.0)
-    xt, yt = tan_stretch_maps(par)
-    lop = locoperator(2, 16, 16, create_metrics(2, 16, 16, xt, yt))
-    return float(np.abs(lop.M).sum())
+    return op_fingerprint()
 
 
 def _run_sub(mode, timeout):
@@ -321,6 +317,47 @@ def bench_hybrid_ref_sub():
         "hybrid_ref_trace_converged": t["converged"],
         "hybrid_ref_trace_rel_err": float(f"{t['rel_err']:.3g}"),
         "hybrid_ref_host_direct_ms": round(t["t_host_s"] * 1e3, 1)}))
+
+
+def bench_hybrid_flagship_sub():
+    """Flagship-scale hybrid solve (VERDICT r3 next #1): the reference's
+    FINEST refinement level (square_circle.jl:22,40,209 — 56 blocks,
+    p=6, N=136/block, ~1.05M volume DOF), both hybrid methods, from the
+    prebuilt device-problem cache so the ~20-32 min host
+    HybridProblem.build is NOT paid inside the bench (the cache stores
+    metrics for on-device assembly, banded trace blocks, RHS, and the
+    host f64 reference solution; drivers/square_circle.py
+    --flagship-cache-build regenerates it, fingerprint-guarded)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "drivers"))
+    from square_circle import FLAGSHIP_CACHE, run_flagship_cached
+
+    if not os.path.exists(FLAGSHIP_CACHE):
+        _log("flagship cache missing; run drivers/square_circle.py "
+             "--flagship-cache-build once to enable this sub-bench")
+        print(json.dumps({"hybrid_flagship_skipped": "cache missing"}))
+        return
+    res = run_flagship_cached(repeats=5, verbose=False,
+                              methods=("displacements", "trace"))
+    d, t = res["displacements"], res["trace"]
+
+    def _ms(v):
+        return None if v is None else round(v * 1e3, 1)
+
+    print(json.dumps({
+        "hybrid_flagship_dofs": d["nvol"],
+        "hybrid_flagship_ms": round(d["t_warm_s"] * 1e3, 1),
+        "hybrid_flagship_chained_ms": _ms(d.get("t_chained_s")),
+        "hybrid_flagship_iters": d["iters"],
+        "hybrid_flagship_converged": d["converged"],
+        "hybrid_flagship_rel_err": float(f"{d['rel_err']:.3g}"),
+        "hybrid_flagship_resnorm": float(f"{d['resnorm']:.3g}"),
+        "hybrid_flagship_trace_ms": round(t["t_warm_s"] * 1e3, 1),
+        "hybrid_flagship_trace_chained_ms": _ms(t.get("t_chained_s")),
+        "hybrid_flagship_trace_iters": t["iters"],
+        "hybrid_flagship_trace_converged": t["converged"],
+        "hybrid_flagship_trace_rel_err": float(f"{t['rel_err']:.3g}"),
+        "hybrid_flagship_host_direct_ms": round(d["t_host_s"] * 1e3, 1)}))
 
 
 def bench_bp1_sub():
@@ -617,8 +654,14 @@ def main():
         sub = _run_sub("hybrid_ref", timeout=2700)
         if sub:
             detail.update(sub)
+        # flagship finest level (1.05M DOF) from the prebuilt cache —
+        # no host assembly inside the bench (VERDICT r3 next #1)
+        _log("sub-bench: hybrid flagship (1.05M DOF, cached setup)")
+        sub = _run_sub("hybrid_flagship", timeout=1800)
+        if sub:
+            detail.update(sub)
     else:
-        _log("skipping hybrid_ref sub-bench on CPU fallback")
+        _log("skipping hybrid_ref/flagship sub-benches on CPU fallback")
     # differentiable-inversion unit (forward + adjoint pair through the
     # coupled flower solve); cheap enough to run on the CPU fallback
     _log("sub-bench: inversion forward/adjoint pair")
@@ -640,6 +683,7 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
         {"hybrid": bench_hybrid_sub, "bp1": bench_bp1_sub,
          "hybrid_ref": bench_hybrid_ref_sub,
+         "hybrid_flagship": bench_hybrid_flagship_sub,
          "inversion": bench_inversion_sub}[sys.argv[2]]()
     else:
         main()
