@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from hybridsbp_tpu import BC_DIRICHLET, BC_JUMP_INTERFACE, BC_NEUMANN  # noqa: E402
-from hybridsbp_tpu.hybrid import build_problem  # noqa: E402
+from hybridsbp_tpu.hybrid import build_problem, build_problem_light  # noqa: E402
 from hybridsbp_tpu.hybrid.assemble import bcstarts  # noqa: E402
 from hybridsbp_tpu.mesh import read_inp_2d  # noqa: E402
 from hybridsbp_tpu.hybrid import assemble_jump_rhs  # noqa: E402
@@ -119,8 +119,12 @@ def make_edge_override(verts, EToV, EToF, FToB):
     return override
 
 
-def assemble_level(p, N_per_block, mesh_data=None):
+def assemble_level(p, N_per_block, mesh_data=None, light=False):
     """Build the hybrid problem + MMS RHS for one refinement level.
+
+    ``light=True`` uses :func:`hybridsbp_tpu.hybrid.build_problem_light`
+    — no per-block factorizations, no assembled trace matrix B — for
+    device-only runs at sizes the host pipeline cannot reach.
 
     Returns (prob, g, gdelta, delta, FTods, EToDomain, conn).
     """
@@ -130,7 +134,8 @@ def assemble_level(p, N_per_block, mesh_data=None):
     nelems, nfaces = EToV.shape[1], len(FToB)
     override = make_edge_override(verts, EToV, EToF, FToB)
     N = np.full(nelems, N_per_block)
-    prob, (FToE, FToLF, EToO, EToS) = build_problem(
+    builder = build_problem_light if light else build_problem
+    prob, (FToE, FToLF, EToO, EToS) = builder(
         p, verts, EToV, EToF, FToB, N, N, edge_override=override)
     lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
     FTods = bcstarts(FToB, FToE, FToLF, [BC_JUMP_INTERFACE], lops)
@@ -348,8 +353,9 @@ def _timed_device_solves(bp, trace_inv, gb, gd, u_host, *, nvol, methods,
                        "t_warm_s": t_warm, "t_warm_min_s": t_warm_min,
                        "t_chained_s": t_chain,
                        "t_first_s": t_first,
-                       "t_host_s": t_host, "rel_err": rel}
-    return out
+                       "t_host_s": t_host, "rel_err": rel,
+                       "_x": res.x}      # device fields (for callers
+    return out                           # that verify further)
 
 
 FLAGSHIP_CACHE = os.path.join(os.path.dirname(__file__), "..",
@@ -508,6 +514,128 @@ def run_flagship_cached(path=None, tol=1e-6, inner_iters=8, repeats=3,
         nblocks=meta["E"])
 
 
+def _mms_errors(prob, EToDomain, u, lam, delta, FTods, conn):
+    """Energy-norm solution error and fault-traction error against the
+    manufactured solution (the same measures :func:`run` reports per
+    refinement level), from stacked host vectors."""
+    FToE, FToLF, EToO, EToS = conn
+    lops, vstarts, FToLs = prob.lops, prob.vstarts, prob.FToLstarts
+    nelems, nfaces = len(lops), len(prob.FToB)
+    err2, umax, uerrmax = 0.0, 0.0, 0.0
+    for e in range(nelems):
+        lop = lops[e]
+        x, y = lop.coord
+        ue = vex(x.ravel(), y.ravel(), EToDomain[e])
+        du = u[vstarts[e]:vstarts[e + 1]] - ue
+        err2 += du @ (lop.JH * du)
+        umax = max(umax, np.abs(ue).max())
+        uerrmax = max(uerrmax, np.abs(du).max())
+    terr2 = 0.0
+    if lam is not None:
+        for f in range(nfaces):
+            if prob.FToB[f] != BC_JUMP_INTERFACE:
+                continue
+            e1, lf1 = FToE[0, f], FToLF[0, f]
+            lop = lops[e1]
+            xf = lop.facecoord[0][lf1]
+            yf = lop.facecoord[1][lf1]
+            tex = (lop.nx[lf1] * vex_x(xf, yf, EToDomain[e1])
+                   + lop.ny[lf1] * vex_y(xf, yf, EToDomain[e1]))
+            tau = computetraction(
+                lop, lf1, u[vstarts[e1]:vstarts[e1 + 1]],
+                lam[FToLs[f]:FToLs[f + 1]], delta[FTods[f]:FTods[f + 1]])
+            dt = tau - tex
+            terr2 += dt @ (lop.Hf[lf1] * lop.sJ[lf1] * dt)
+    return (float(np.sqrt(err2)),
+            float(np.sqrt(terr2)) if lam is not None else None,
+            float(uerrmax / umax))
+
+
+def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
+                    probe_iters=24, k_chunk=8, verbose=True,
+                    methods=("displacements", "trace"), stencil="auto"):
+    """Solve one refinement level ENTIRELY without the host direct
+    pipeline (VERDICT r3 next #2) — the configuration for problem
+    sizes the reference's host path cannot reach (its ladder stops at
+    N=136, square_circle.jl:207-210; p=6 N=272 is ~4.2M volume DOF,
+    whose HybridProblem.build would take hours on this host):
+
+    - light host assembly only (lops + face metadata; no per-block LU,
+      no assembled B — hybrid.build_problem_light),
+    - on-device operator assembly from ~L² metric planes
+      (build_blocked(assemble_on_device=True) + flat layout),
+    - on-device banded trace preconditioner by fastdiag-CG probing
+      (tpu.multiblock.banded_from_device — no host B anywhere),
+    - verification WITHOUT a host oracle: the solver residual norm +
+      energy-norm / max / traction errors against the exact
+      manufactured solution (extends the MMS ladder of
+      tools/mms_oracle.py one level past the reference's finest).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hybridsbp_tpu.tpu import build_blocked
+    from hybridsbp_tpu.tpu.multiblock import (banded_from_device,
+                                              blocked_rhs_from_host,
+                                              recover_lambda)
+
+    t0 = time.time()
+    prob, g, gdelta, delta, FTods, EToDomain, conn = assemble_level(
+        p, N, light=True)
+    nvol = int(prob.vstarts[-1])
+    t_light = time.time() - t0
+    if verbose:
+        print(f"light host assembly p={p} N={N}: {nvol} volume DOF, "
+              f"{len(prob.lops)} blocks ({t_light:.1f}s — no LU, no B)")
+
+    t0 = time.time()
+    bp = build_blocked(prob, dtype=jnp.float32, assemble_on_device=True)
+    gb, gd = blocked_rhs_from_host(prob, g, gdelta)
+    gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
+    t_bp = time.time() - t0
+    t0 = time.time()
+    trace_inv = banded_from_device(bp, prob, iters=32,
+                                   probe_iters=probe_iters,
+                                   k_chunk=k_chunk, stencil=stencil)
+    jax.block_until_ready(trace_inv.blocks)
+    float(jnp.sum(trace_inv.diag_inv))      # scalar fetch = real sync
+    t_binv = time.time() - t0
+    if verbose:
+        print(f"device setup: blocked+assemble {t_bp:.1f}s, on-device "
+              f"banded B~ probing {t_binv:.1f}s")
+
+    out = _timed_device_solves(
+        bp, trace_inv, gb, gd, None, nvol=nvol, methods=methods,
+        tol=tol, inner_iters=inner_iters, repeats=repeats,
+        stencil=stencil, t_host=None, verbose=verbose,
+        nblocks=len(prob.lops))
+
+    # MMS verification (no host oracle): reuse the timed solves' final
+    # device fields — no extra solve/compile.
+    for method in methods:
+        x = out[method].pop("_x")
+        u = np.asarray(x[:len(prob.lops)],
+                       dtype=np.float64).reshape(len(prob.lops), -1).ravel()
+        lamf = recover_lambda(bp, x[:len(prob.lops)].astype(
+            jnp.float32), gd)
+        # face-padded -> stacked FToLstarts layout
+        lam = np.zeros(int(prob.FToLstarts[-1]))
+        lamf = np.asarray(lamf, dtype=np.float64)
+        for f in range(len(prob.FToB)):
+            s0, s1 = prob.FToLstarts[f], prob.FToLstarts[f + 1]
+            lam[s0:s1] = lamf[f, :s1 - s0]
+        e_en, e_tau, e_rel = _mms_errors(prob, EToDomain, u, lam, delta,
+                                         FTods, conn)
+        out[method].update(mms_energy_err=e_en, mms_traction_err=e_tau,
+                           mms_rel_maxerr=e_rel)
+        if verbose:
+            print(f"  [{method}] MMS energy err {e_en:.4e}, traction "
+                  f"err {e_tau:.4e}, rel max err {e_rel:.3e}")
+    out["setup"] = {"t_light_host_s": t_light, "t_blocked_s": t_bp,
+                    "t_banded_device_s": t_binv, "nvol": nvol}
+    return out
+
+
 def run(p=6, N0=17, levels=4, method="trace", verbose=True,
         plot_mesh=None):
     mesh_data = load_mesh()
@@ -608,6 +736,16 @@ if __name__ == "__main__":
                     choices=[None, "float32", "bfloat16"],
                     help="storage dtype for the Woodbury B^-1 "
                          "(bfloat16 halves the setup transfer)")
+    ap.add_argument("--device-only", action="store_true",
+                    help="solve ONE level (--N0 as N/block) with NO "
+                         "host direct pipeline: light assembly + "
+                         "on-device operator assembly + on-device "
+                         "banded B~ probing; verified against the "
+                         "exact MMS solution (the beyond-reference "
+                         "N=272 configuration)")
+    ap.add_argument("--probe-iters", type=int, default=24,
+                    help="fastdiag-CG count per probe column in the "
+                         "on-device banded B~ assembly")
     ap.add_argument("--flagship-cache-build", action="store_true",
                     help="one-time build of the flagship (p=6 N=136) "
                          "device-problem cache (~20-35 min host)")
@@ -615,6 +753,11 @@ if __name__ == "__main__":
                     help="run the flagship solve from the prebuilt "
                          "cache (no host assembly)")
     a = ap.parse_args()
+    if a.device_only:
+        run_device_only(p=a.p, N=a.N0, tol=a.tol,
+                        inner_iters=a.inner_iters,
+                        probe_iters=a.probe_iters, stencil=a.stencil)
+        raise SystemExit(0)
     if a.flagship_cache_build:
         build_flagship_cache(p=a.p, N=a.N0 if a.N0 != 17 else 136)
         raise SystemExit(0)

@@ -8,5 +8,10 @@ from .assemble import (  # noqa: F401
     local_global_operators,
     local_to_global_rhs,
 )
-from .builder import build_block_operators, build_problem, corner_edges  # noqa: F401
+from .builder import (  # noqa: F401
+    build_block_operators,
+    build_problem,
+    build_problem_light,
+    corner_edges,
+)
 from .solve import HybridProblem  # noqa: F401

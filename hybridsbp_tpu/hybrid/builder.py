@@ -108,3 +108,35 @@ def build_problem(p, verts, EToV, EToF, FToB, Nr, Ns, *, tau_scale=2.0,
         lops, (EToF, FToB, FToE, FToLF, EToO, EToS),
         factorization=factorization)
     return prob, (FToE, FToLF, EToO, EToS)
+
+
+def build_problem_light(p, verts, EToV, EToF, FToB, Nr, Ns, *,
+                        tau_scale=2.0, edge_override=None,
+                        use_sbp_blend=False):
+    """:func:`build_problem` WITHOUT the two host-side scaling walls:
+    the per-block sparse LU factorizations and the assembled trace
+    Schur matrix B (+ its factorization) — together ~20-32 min at the
+    flagship p=6 N=136 level on a 1-vCPU host and super-linearly worse
+    beyond.  The result carries everything the DEVICE path needs
+    end-to-end (``tpu.build_blocked(assemble_on_device=True)`` +
+    ``tpu.multiblock.banded_from_device``): lops, D, FbarT,
+    FToLstarts, connectivity.  Host ``solve()`` / ``solve_many()`` are
+    NOT available on the result (``store.factors`` are None, ``B`` is
+    None) — this is the builder for problem sizes where the host
+    direct pipeline is out of reach (e.g. p=6 N=272, ~4.2M DOF; the
+    reference's refinement ladder stops at N=136,
+    square_circle.jl:207-210)."""
+    FToE, FToLF, EToO, EToS = connectivityarrays(EToV, EToF)
+    lops = build_block_operators(p, verts, EToV, EToF, FToB, Nr, Ns,
+                                 tau_scale=tau_scale,
+                                 edge_override=edge_override,
+                                 use_sbp_blend=use_sbp_blend)
+    from .assemble import local_global_operators
+    store, FbarT, D, vstarts, FToLstarts = local_global_operators(
+        lops, FToB, FToE, FToLF, EToO, EToS,
+        factorization=lambda M: None)
+    prob = HybridProblem(lops=lops, store=store, FbarT=FbarT, D=D,
+                         vstarts=vstarts, FToLstarts=FToLstarts,
+                         EToF=EToF, FToB=FToB, FToE=FToE, FToLF=FToLF,
+                         EToO=EToO, EToS=EToS)
+    return prob, (FToE, FToLF, EToO, EToS)

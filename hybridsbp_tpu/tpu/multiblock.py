@@ -784,6 +784,38 @@ def build_woodbury_banded(bp: BlockedHybrid, prob, dtype=None,
                          iters)
 
 
+def _trace_face_graph(FToLstarts, FToB, EToF, nfaces_pad, L):
+    """Static face-coupling graph of the trace Schur complement B: two
+    interior faces couple iff they share an element.  Returns
+    (faceids, comp, nbr, K, mask, lens, slot) — ``slot[(a, b)]`` is
+    the compact neighbor-slot index of face-row b in face-row a's
+    ``nbr`` row (shared by the host and on-device banded builders)."""
+    lens = np.diff(np.asarray(FToLstarts))
+    faceids = np.nonzero(lens > 0)[0]
+    nif = len(faceids)
+    comp = -np.ones(len(FToB), dtype=np.int64)
+    comp[faceids] = np.arange(nif)
+    assert faceids.max(initial=-1) < nfaces_pad
+    nbrs = [set() for _ in range(nif)]
+    EToF = np.asarray(EToF)
+    for e in range(EToF.shape[1]):
+        fs = [comp[EToF[lf, e]] for lf in range(4)
+              if comp[EToF[lf, e]] >= 0]
+        for a in fs:
+            nbrs[a].update(fs)
+    K = max((len(s) for s in nbrs), default=1)
+    nbr = np.zeros((nif, K), dtype=np.int64)
+    slot = {}
+    for a in range(nif):
+        for kk, b in enumerate(sorted(nbrs[a])):
+            nbr[a, kk] = b
+            slot[(a, b)] = kk
+    mask = np.zeros((nif, L), dtype=bool)
+    for a, f in enumerate(faceids):
+        mask[a, :lens[f]] = True
+    return faceids, comp, nbr, K, mask, lens, slot
+
+
 def banded_from_B(dinv_shape, prob, dtype, iters=32) -> TraceBanded:
     """Core of :func:`build_woodbury_banded`, parameterized by the
     face-padded trace layout (shared with the bucketed mixed-shape
@@ -792,43 +824,172 @@ def banded_from_B(dinv_shape, prob, dtype, iters=32) -> TraceBanded:
 
     nfaces_pad, L = dinv_shape
     FToLstarts = np.asarray(prob.FToLstarts)
-    lens = np.diff(FToLstarts)
-    faceids = np.nonzero(lens > 0)[0]
+    faceids, comp, nbr, K, mask, lens, slot = _trace_face_graph(
+        FToLstarts, prob.FToB, prob.EToF, nfaces_pad, L)
     nif = len(faceids)
-    comp = -np.ones(len(prob.FToB), dtype=np.int64)
-    comp[faceids] = np.arange(nif)
-    assert faceids.max(initial=-1) < nfaces_pad
 
-    # face graph: two faces couple iff they share an element
-    nbrs = [set() for _ in range(nif)]
-    EToF = np.asarray(prob.EToF)
-    for e in range(EToF.shape[1]):
-        fs = [comp[EToF[lf, e]] for lf in range(4)
-              if comp[EToF[lf, e]] >= 0]
-        for a in fs:
-            nbrs[a].update(fs)
-    K = max((len(s) for s in nbrs), default=1)
+    rows = [[] for _ in range(nif)]      # true neighbors per face row
+    for (a, bcomp), kk in slot.items():
+        rows[a].append((kk, bcomp))
 
     B = sp.csr_matrix(prob.B)
     blocks = np.zeros((nif, K, L, L))
-    nbr = np.zeros((nif, K), dtype=np.int64)
     diag_inv = np.zeros((nif, L, L))
-    mask = np.zeros((nif, L), dtype=bool)
     for a, f in enumerate(faceids):
         r0, r1 = FToLstarts[f], FToLstarts[f + 1]
         la = r1 - r0
-        mask[a, :la] = True
-        for k, bcomp in enumerate(sorted(nbrs[a])):
+        for kk, bcomp in rows[a]:
             g = faceids[bcomp]
             c0, c1 = FToLstarts[g], FToLstarts[g + 1]
-            blocks[a, k, :la, :c1 - c0] = B[r0:r1, c0:c1].toarray()
-            nbr[a, k] = bcomp
+            blocks[a, kk, :la, :c1 - c0] = B[r0:r1, c0:c1].toarray()
         dblk = np.eye(L)                 # identity tail: padded entries
         dblk[:la, :la] = B[r0:r1, r0:r1].toarray()   # stay decoupled
         diag_inv[a] = np.linalg.inv(dblk)
     return TraceBanded(blocks=jnp.asarray(blocks, dtype=dtype),
                        diag_inv=jnp.asarray(diag_inv, dtype=dtype),
                        nbr=nbr, faceids=faceids, mask=mask, iters=iters)
+
+
+def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
+                       probe_iters=24, k_chunk=8,
+                       stencil="auto") -> TraceBanded:
+    """Assemble the banded face-block trace preconditioner ON the
+    device — no host B, no factorizations (VERDICT r3 next #2).
+
+    Probes B̃ = D − Fbar M̃⁻¹ Fbarᵀ column-block-wise with face-basis
+    vectors: for each trace index k (a ``lax.map`` over k-chunks) and
+    each local face lf₂, scatter the basis into the volume
+    (``banded_scatter_1f``), run ``probe_iters`` of batched
+    fastdiag-preconditioned CG as M̃⁻¹ (every block probed
+    simultaneously — M̃ is block-diagonal), and read all four face
+    traces back (``block_traces``).  The per-element (lf₁, lf₂) probe
+    tensor is then gathered into the global face-pair blocks with the
+    plus-side orientation flips, entirely on-device (nothing bigger
+    than the final O(nif·K·L²) block tensor is ever fetched).
+
+    M̃⁻¹ is inexact, so B̃ is a *preconditioner*-grade trace matrix —
+    exactly how :class:`TraceBanded` is consumed (fixed block-Jacobi
+    CG under flexible outers).  ``prob`` supplies only static face
+    metadata (FToLstarts/FToB/EToF) — a light problem without B or
+    factors is fine (:func:`hybridsbp_tpu.hybrid.build_problem_light`),
+    which unlocks problem sizes the host pipeline cannot reach (the
+    reference stops at N=136, square_circle.jl:207-210).
+    """
+    from .cg import cg_fixed
+    from .fastdiag import fastdiag_apply
+
+    dtype = dtype or bp.coefs.dtype
+    nfaces_pad, L = bp.Dinv.shape
+    faceids, comp, nbr, K, mask, lens, slot = _trace_face_graph(
+        prob.FToLstarts, prob.FToB, prob.EToF, nfaces_pad, L)
+    nif = len(faceids)
+    E = bp.nblocks
+    Nsp, Nrp = bp.grid_shape
+    EToF = np.asarray(bp.EToF)
+    flip = np.asarray(bp.flip)
+    assert bp.fd is not None, \
+        "banded_from_device needs the fastdiag block preconditioner " \
+        "(build_blocked(with_fastdiag=True))"
+
+    # ---- static contribution lists: per element e, every ordered pair
+    # of its interior local faces (lf1 rows, lf2 cols) adds
+    # -R1 (F_lf1^T M^-1 F_lf2) R2^T to block (comp[f1], slot of comp[f2])
+    ca, ckk, ce, cl1, cl2, ridx, cidx = [], [], [], [], [], [], []
+    base = np.arange(L)
+    for e in range(E):
+        for lf1 in range(4):
+            f = EToF[lf1, e]
+            a = comp[f]
+            if a < 0:
+                continue
+            for lf2 in range(4):
+                g = EToF[lf2, e]
+                b = comp[g]
+                if b < 0:
+                    continue
+                ca.append(a)
+                ckk.append(slot[(a, b)])
+                ce.append(e)
+                cl1.append(lf1)
+                cl2.append(lf2)
+                r = base.copy()
+                if flip[lf1, e]:
+                    r[:lens[f]] = lens[f] - 1 - base[:lens[f]]
+                ridx.append(r)
+                c = base.copy()
+                if flip[lf2, e]:
+                    c[:lens[g]] = lens[g] - 1 - base[:lens[g]]
+                cidx.append(c)
+    ca, ckk, ce = map(np.asarray, (ca, ckk, ce))
+    cl1, cl2 = np.asarray(cl1), np.asarray(cl2)
+    ridx, cidx = np.asarray(ridx), np.asarray(cidx)
+    nc = len(ca)
+    kk_self = np.array([slot[(a, a)] for a in range(nif)], dtype=np.int64)
+
+    # ---- device probing (operator arrays as jit ARGUMENTS: closure
+    # arrays serialize into the HLO as literals — HTTP 413 lesson)
+    arrs = bp_arrays(bp)
+
+    def _probe(arrs_):
+        bpl = bp_with(bp, arrs_)
+        fd_apply = lambda r: jax.vmap(fastdiag_apply)(bpl.fd, r)
+
+        def probe_k(k):
+            vs = []
+            for lf2 in range(4):
+                Tb = bpl.faces.Tb[lf2]
+                A = Tb.shape[-1]
+                val = jnp.where(k < A, 1.0, 0.0).astype(dtype)
+                w = jnp.zeros((E, A), dtype=dtype) \
+                    .at[:, jnp.minimum(k, A - 1)].set(val)
+                vals = banded_scatter_1f(Tb.astype(dtype),
+                                         bpl.faces.offs[lf2], w)
+                v = jnp.zeros((E, Nsp, Nrp), dtype=dtype)
+                layers = list(bpl.faces.layers[lf2])
+                if lf2 < 2:
+                    v = v.at[:, :, layers].add(vals.transpose(0, 2, 1))
+                else:
+                    v = v.at[:, layers, :].add(vals)
+                vs.append(v)
+            v4 = jnp.stack(vs)                       # (4, E, Nsp, Nrp)
+            z4 = jax.vmap(lambda b: cg_fixed(
+                lambda u: _dia_apply_batched(bpl, u, stencil), b,
+                probe_iters, precond=fd_apply))(v4)
+            return jax.vmap(lambda z: block_traces(bpl, z))(z4)
+
+        # (L, 4lf2, E, 4lf1, L_row) -> (E, lf1, lf2, row, col=k)
+        P = jax.lax.map(probe_k, jnp.arange(L), batch_size=k_chunk)
+        return P.transpose(2, 3, 1, 4, 0)
+
+    Pm = jax.jit(_probe)(arrs)
+
+    def _assemble(Pm_, Dinv, ce_, cl1_, cl2_, ridx_, cidx_, ca_, ckk_,
+                  faceids_, kk_self_, mask_):
+        G = Pm_[ce_, cl1_, cl2_]                      # (nc, L, L)
+        G = G[jnp.arange(nc)[:, None, None],
+              ridx_[:, :, None], cidx_[:, None, :]]
+        blocks = jnp.zeros((nif, K, L, L), dtype=dtype) \
+            .at[ca_, ckk_].add(-G)
+        dvals = jnp.where(Dinv[faceids_] > 0,
+                          1.0 / jnp.where(Dinv[faceids_] > 0,
+                                          Dinv[faceids_], 1.0),
+                          0.0).astype(dtype)          # (nif, L)
+        ll = jnp.arange(L)
+        ii = jnp.arange(nif)
+        blocks = blocks.at[ii[:, None], kk_self_[:, None],
+                           ll[None, :], ll[None, :]].add(dvals)
+        dblk = blocks[ii, kk_self_]
+        # identity tail so padded entries stay decoupled (cf.
+        # banded_from_B)
+        dblk = dblk.at[:, ll, ll].add(1.0 - mask_.astype(dtype))
+        diag_inv = jnp.linalg.inv(dblk)
+        return blocks, diag_inv
+
+    blocks, diag_inv = jax.jit(_assemble)(
+        Pm, bp.Dinv, ce, cl1, cl2, ridx, cidx, ca, ckk,
+        faceids, kk_self, mask)
+    return TraceBanded(blocks=blocks, diag_inv=diag_inv, nbr=nbr,
+                       faceids=faceids, mask=mask, iters=iters)
 
 
 def _fbar_raw(bp: BlockedHybrid, u):

@@ -6,6 +6,8 @@ batched fastdiag-CG inner block solves.  Gates: u and lambda match the
 host :trace direct solve; the sharded variant matches on the virtual
 8-device mesh.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,3 +142,67 @@ def test_sharded_trace_solve_matches_host():
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(_lambda_padded_to_host(bp, prob, lam),
                                lam_host, rtol=1e-6, atol=1e-8)
+
+
+def test_banded_from_device_matches_host():
+    """On-device banded-B̃ probing (banded_from_device, VERDICT r3
+    next #2) with a near-exact inner solve must reproduce the
+    host-assembled banded blocks (banded_from_B) to solver precision,
+    including statics (graph, faceids, masks) — on a 4-block strip
+    with two interior faces per element so off-diagonal blocks and
+    plus-side flips are exercised."""
+    from hybridsbp_tpu import BC_LOCKED_INTERFACE
+    from hybridsbp_tpu.hybrid import build_problem_light
+    from hybridsbp_tpu.tpu.multiblock import (banded_from_device,
+                                              build_woodbury_banded)
+
+    E, N, p = 4, 12, 2
+    verts = np.array(
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    etov = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
+    etof = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
+    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:4] = BC_LOCKED_INTERFACE
+    Narr = np.full(E, N)
+    prob, _ = build_problem(p, verts, etov, etof, FToB, Narr, Narr)
+    bp = build_blocked(prob, dtype=jnp.float64)
+    tb_host = build_woodbury_banded(bp, prob, iters=32)
+    # the light problem (no LU, no B) must suffice for the device form
+    probl, _ = build_problem_light(p, verts, etov, etof, FToB, Narr,
+                                   Narr)
+    assert probl.B is None and probl.store.factors[0] is None
+    tb_dev = banded_from_device(bp, probl, iters=32, probe_iters=300,
+                                k_chunk=4)
+    np.testing.assert_array_equal(tb_host.nbr, tb_dev.nbr)
+    np.testing.assert_array_equal(tb_host.faceids, tb_dev.faceids)
+    np.testing.assert_array_equal(tb_host.mask, tb_dev.mask)
+    scale = np.abs(np.asarray(tb_host.blocks)).max()
+    assert np.abs(np.asarray(tb_host.blocks)
+                  - np.asarray(tb_dev.blocks)).max() < 1e-10 * scale
+    assert np.abs(np.asarray(tb_host.diag_inv)
+                  - np.asarray(tb_dev.diag_inv)).max() < 1e-8
+
+
+@pytest.mark.skipif(not os.environ.get("HYBRIDSBP_SLOW_TESTS"),
+                    reason="device-only square_circle pipeline ~90s "
+                           "(slow gate)")
+def test_device_only_square_circle():
+    """The full device-only pipeline (light assembly + on-device
+    operator assembly + on-device banded B̃) on the 56-block curved
+    mesh at N=17: both methods converge and the MMS errors sit at the
+    f32 iterative floor (matching the host-setup path's quality)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "drivers"))
+    import square_circle as sc
+
+    out = sc.run_device_only(p=6, N=17, repeats=1, probe_iters=24,
+                             k_chunk=6, verbose=False)
+    for m in ("displacements", "trace"):
+        d = out[m]
+        assert d["converged"], m
+        assert d["iters"] <= 10, (m, d["iters"])
+        assert d["mms_rel_maxerr"] < 1e-3, (m, d["mms_rel_maxerr"])
+        assert d["mms_traction_err"] < 5e-3, (m, d["mms_traction_err"])
