@@ -707,3 +707,241 @@ def demo_problem(p: int, N: int, *, K: int = 6, nsta: int = 8,
             d_obs.shape)
     out = (mu_true, jnp.asarray(sources), jnp.asarray(d_obs))
     return out + (jnp.asarray(d_clean),) if return_clean else out
+
+
+# ---------------------------------------------------------------------------
+# Multiblock material inversion (VERDICT r3 next #5): recover a
+# per-block material field THROUGH the trace-coupled hybrid solve.
+# ---------------------------------------------------------------------------
+
+class MBMaterialInversion(NamedTuple):
+    """Differentiable per-block-material forward model on a multiblock
+    mesh.  Exploits exact degree-1 homogeneity of the SBP-SAT local
+    operator in its coefficient planes (ops2d.local_op: M, F, tau and
+    hence the trace diagonal D are all linear under a per-block
+    constant scaling mu_e > 0 — tau = (2s/h)(c^2/beta + ...)/psi with
+    psi linear in c), so the coupled heterogeneous operator is the
+    background BlockedHybrid with coefs/face tensors scaled by mu_e
+    and D rebuilt from its per-side components.  Parity with a host
+    locoperator(crr=mu*crr, ...) assembly is test-gated."""
+    E: int
+    stations: Tuple[np.ndarray, np.ndarray, np.ndarray]   # (bi, si, ri)
+    smooth: float
+    Lblk: np.ndarray              # block-adjacency Laplacian (E, E)
+    forward: Callable             # (theta, sources) -> (K, nsta)
+    loss: Callable                # (theta, sources, d_obs) -> scalar
+    arrs: dict                    # operator arrays (jit ARGUMENTS)
+    forward_with: Callable        # (arrs, theta, sources) -> (K, nsta)
+
+
+def _face_D_sides(prob, dinv_shape):
+    """Per-side components of the trace diagonal in the face-padded
+    layout: D_f(mu) = mu[em_f]*Dm[f] + mu[ep_f]*Dp[f] (the two SAT
+    penalties of glo_lambda_operator's D = Hf*(tau_m + tau_p), split
+    by owning element so per-block material scalings compose).
+    Returns (Dm, Dp, em, ep) with em/ep clamped to 0 on boundary rows
+    (their Dm/Dp rows are zero)."""
+    from . import BC_JUMP_INTERFACE as _BCJ
+    from . import BC_LOCKED_INTERFACE as _BCL
+
+    nfaces, L = dinv_shape
+    Dm = np.zeros((nfaces, L))
+    Dp = np.zeros((nfaces, L))
+    FToE, FToLF, EToO = prob.FToE, prob.FToLF, prob.EToO
+    em_arr = np.zeros(nfaces, dtype=np.int64)
+    ep_arr = np.zeros(nfaces, dtype=np.int64)
+    for f in range(nfaces):
+        b = prob.FToB[f]
+        if not (b == _BCL or b >= _BCJ):
+            continue
+        em, ep = int(FToE[0, f]), int(FToE[1, f])
+        fm, fp = int(FToLF[0, f]), int(FToLF[1, f])
+        lop_m, lop_p = prob.lops[em], prob.lops[ep]
+        nl = lop_m.face_length(fm)
+        tau_p = lop_p.tau[fp]
+        if not EToO[fp, ep]:
+            tau_p = tau_p[::-1]
+        Dm[f, :nl] = lop_m.Hf[fm] * lop_m.tau[fm]
+        Dp[f, :nl] = lop_m.Hf[fm] * tau_p
+        em_arr[f], ep_arr[f] = em, ep
+    return Dm, Dp, em_arr, ep_arr
+
+
+def block_adjacency_laplacian(prob):
+    """Graph Laplacian over blocks (edges = interior faces): the
+    mesh-topology smoothness quadratic for per-block parameters."""
+    from . import BC_JUMP_INTERFACE as _BCJ
+    from . import BC_LOCKED_INTERFACE as _BCL
+
+    E = len(prob.lops)
+    Lb = np.zeros((E, E))
+    for f in range(len(prob.FToB)):
+        b = prob.FToB[f]
+        if not (b == _BCL or b >= _BCJ):
+            continue
+        em, ep = int(prob.FToE[0, f]), int(prob.FToE[1, f])
+        Lb[em, em] += 1.0
+        Lb[ep, ep] += 1.0
+        Lb[em, ep] -= 1.0
+        Lb[ep, em] -= 1.0
+    return Lb
+
+
+def make_material_inversion_mb(prob, bp=None, *, per=2, smooth=1e-4,
+                               tol=1e-9, maxiter=2000, inner_iters=8,
+                               trace_inv=None, dtype=jnp.float64,
+                               mesh=None) -> MBMaterialInversion:
+    """Differentiable MULTIBLOCK material inversion: recover per-block
+    log-materials ``theta`` (mu_e = exp(theta_e)) from sparse station
+    observations of K source-driven solves of the COUPLED hybrid
+    system (the single-block :func:`make_material_inversion` composed
+    with the trace coupling — VERDICT r3 next #5; the square_circle
+    mesh's two-domain setup, square_circle.jl:100-110, is the natural
+    demo).
+
+    The forward scales the background operator exactly (see
+    :class:`MBMaterialInversion`): coefs_e, face tensors F_e and the
+    per-side trace penalties are all linear in mu_e, so no host
+    re-assembly is differentiated — one elementwise scale + the
+    implicitly-differentiated coupled solve
+    (:func:`.tpu.multiblock.solve_displacements_implicit`).  Sources
+    are volume loads (JH-weighted), which are material-independent.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``block`` axis —
+    the K solves then run through the sharded differentiable implicit
+    path (:func:`.parallel.sharded.make_sharded_solver`), with the
+    per-block scaling applied to the solver's own (padded) operator
+    arrays inside the traced program.
+    """
+    from .tpu import build_blocked
+    from .tpu.multiblock import bp_arrays, bp_with
+    from .tpu.multiblock import solve_displacements_implicit
+
+    if bp is None:
+        # per-block scaling needs per-block stacks even on meshes whose
+        # background blocks are identical (share_ops auto would fold them)
+        bp = build_blocked(prob, dtype=dtype, flat=False,
+                           share_ops=False)
+    assert not bp.shared, \
+        "per-block material scaling needs per-block coefficient stacks " \
+        "(build_blocked(share_ops=False))"
+    E = bp.nblocks
+    bi, si, ri = block_station_grid(prob, per)
+    bi_j, si_j, ri_j = map(jnp.asarray, (bi, si, ri))
+    Dm, Dp, em_arr, ep_arr = _face_D_sides(prob, bp.Dinv.shape)
+    Lblk = block_adjacency_laplacian(prob)
+    nfaces, L = bp.Dinv.shape
+
+    base = {"Dm": jnp.asarray(Dm, dtype=dtype),
+            "Dp": jnp.asarray(Dp, dtype=dtype),
+            "Lblk": jnp.asarray(Lblk, dtype=dtype)}
+    em_j, ep_j = jnp.asarray(em_arr), jnp.asarray(ep_arr)
+    zero_gd = jnp.zeros((nfaces, L), dtype=dtype)
+
+    def _dinv_of(a, mu):
+        D = mu[em_j][:, None] * a["Dm"] + mu[ep_j][:, None] * a["Dp"]
+        pos = D > 0
+        return jnp.where(pos, 1.0 / jnp.where(pos, D, 1.0), 0.0)
+
+    if mesh is not None:
+        from .parallel.sharded import make_sharded_solver
+
+        solver = make_sharded_solver(bp, mesh, maxiter=maxiter,
+                                     trace_inv=trace_inv,
+                                     inner_iters=inner_iters)
+        E_pad = solver.bp.nblocks
+        arrs = {"sh": solver.arrs, **base}
+
+        def forward_with(a, theta, sources):
+            mu = jnp.exp(theta).astype(dtype)
+            mu_pad = jnp.concatenate(
+                [mu, jnp.ones((E_pad - E,), dtype=dtype)])
+            sh = dict(a["sh"])
+            sh["coefs"] = sh["coefs"] * mu_pad[:, None, None, None]
+            if sh.get("coefs_flat") is not None:
+                sh["coefs_flat"] = (sh["coefs_flat"]
+                                    * mu_pad[:, None, None])
+            sh["T"] = tuple(t * mu_pad[:, None, None, None]
+                            for t in sh["T"])
+            sh["Dinv"] = _dinv_of(a, mu).astype(dtype)
+
+            outs = []
+            for k in range(sources.shape[0]):     # K static and small
+                gk = sources[k].astype(dtype)
+                gk = jnp.concatenate([gk, jnp.zeros(
+                    (E_pad - E,) + gk.shape[1:], dtype=dtype)])
+                u = solver.solve_implicit_with(sh, gk, zero_gd, tol=tol,
+                                               cg_maxiter=maxiter)
+                outs.append(u[bi_j, si_j, ri_j])
+            return jnp.stack(outs)
+    else:
+        arrs = {"bp": bp_arrays(bp), **base}
+
+        def forward_with(a, theta, sources):
+            mu = jnp.exp(theta).astype(dtype)
+            b = dict(a["bp"])
+            b["coefs"] = b["coefs"] * mu[:, None, None, None]
+            if b.get("coefs_flat") is not None:
+                b["coefs_flat"] = b["coefs_flat"] * mu[:, None, None]
+            b["Tb"] = tuple(t * mu[:, None, None, None]
+                            for t in b["Tb"])
+            bp2 = bp_with(bp, b)
+            bp2 = bp2._replace(Dinv=_dinv_of(a, mu).astype(dtype))
+
+            def solve1(gk):
+                return solve_displacements_implicit(
+                    bp2, gk.astype(dtype), zero_gd, tol=tol,
+                    maxiter=maxiter, inner_iters=inner_iters)
+
+            u = jax.vmap(solve1)(sources)
+            return u[:, bi_j, si_j, ri_j]
+
+    def loss_with(a, theta, sources, d_obs):
+        resid = forward_with(a, theta, sources) - d_obs
+        mis = 0.5 * jnp.sum(resid * resid) / jnp.sum(d_obs * d_obs)
+        reg = theta @ (a["Lblk"] @ theta)
+        return mis + smooth * reg
+
+    return MBMaterialInversion(
+        E=E, stations=(bi, si, ri), smooth=smooth, Lblk=Lblk,
+        forward=lambda th, s: forward_with(arrs, th, s),
+        loss=lambda th, s, d: loss_with(arrs, th, s, d),
+        arrs=arrs, forward_with=forward_with)
+
+
+def invert_material_mb(inv: MBMaterialInversion, sources, d_obs, *,
+                       steps: int = 150, lr: float = 0.15, theta0=None,
+                       optimizer=None) -> InversionResult:
+    """Adam on the multiblock material loss as ONE jitted lax.scan
+    (operator arrays enter as jit arguments — 413-safe)."""
+    import optax
+
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+    th0 = (jnp.zeros((inv.E,), dtype=jnp.result_type(d_obs))
+           if theta0 is None else jnp.asarray(theta0))
+
+    @jax.jit
+    def run(a, th0, sources, d_obs):
+        vg = jax.value_and_grad(
+            lambda th: _mb_loss(inv, a, th, sources, d_obs))
+
+        def step(carry, _):
+            th, ost = carry
+            val, g = vg(th)
+            upd, ost = opt.update(g, ost, th)
+            return (optax.apply_updates(th, upd), ost), val
+
+        (th, _), losses = jax.lax.scan(step, (th0, opt.init(th0)), None,
+                                       length=steps)
+        return th, losses
+
+    th, losses = run(inv.arrs, th0, jnp.asarray(sources),
+                     jnp.asarray(d_obs))
+    return InversionResult(theta=th, mu=jnp.exp(th), losses=losses)
+
+
+def _mb_loss(inv: MBMaterialInversion, a, theta, sources, d_obs):
+    resid = inv.forward_with(a, theta, sources) - d_obs
+    mis = 0.5 * jnp.sum(resid * resid) / jnp.sum(d_obs * d_obs)
+    reg = theta @ (a["Lblk"] @ theta)
+    return mis + inv.smooth * reg

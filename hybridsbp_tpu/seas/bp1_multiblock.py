@@ -218,10 +218,21 @@ def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20,
     if newton_tol is None:
         newton_tol = nd["tol"]
     eta, sigma_n = par.eta, par.sigma_n
-    V0, b, Dc, f0 = par.RSV0, par.RSb, par.RSDc, par.RSf0
+    V0, b, Dc, f0, Vp = par.RSV0, par.RSb, par.RSDc, par.RSf0, par.Vp
     tau_z0 = mp.tau_z0
     n = mp.n_fault
     state_dt = Kff.dtype
+    # canonical SEAS imposed-creep depth (BP1.jl:8-31 loading): RS
+    # fault dofs deeper than par.Wf slide at exactly Vp with frozen
+    # state — same semantics as the single-block rhs (bp1.py).  On the
+    # shipped BP1_v1 mesh the frictional side set already ends at
+    # Wf=40 (BP1_v1.jou:14,36-37: curve 8 spans 0..-Wf, curve 7 below
+    # is the steady-slide extension), so par.Wf only matters for
+    # meshes whose jump faces extend deeper.
+    if par.Wf is not None:
+        live_mask = np.asarray(mp.depth) <= par.Wf
+    else:
+        live_mask = np.ones(n, dtype=bool)
 
     def rhs(t, y, args):
         psi, delta = y[:n], y[n:]
@@ -232,17 +243,19 @@ def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20,
             tz0_ = args.get("tau_z0", tau_z0)
         else:
             a_arr, tz0_ = RSa, tau_z0
+        live = jnp.asarray(live_mask)
         dtau = jnp.matmul(Kff, delta, precision=jax.lax.Precision.HIGHEST) \
             + jnp.asarray(t).astype(Kff.dtype) * kt
         tau_n = dtau + tz0_
-        tau_ok = jnp.all(jnp.isfinite(tau_n))
+        tau_ok = jnp.all(jnp.where(live, jnp.isfinite(tau_n), True))
 
         V, it = newton_slip_rates(
             psi, tau_n, a_arr, sigma_n=sigma_n, eta=eta, V0=V0,
             newton_dtype=newton_dtype, newton_tol=newton_tol,
             newton_iters=newton_iters, newton_polish=nd["polish"],
             newton_xtol_rel=nd["xtol_rel"])
-        ok = tau_ok & jnp.all(jnp.isfinite(V)) & jnp.all(it >= 0)
+        ok = (tau_ok & jnp.all(jnp.where(live, jnp.isfinite(V), True))
+              & jnp.all(jnp.where(live, it >= 0, True)))
         # aging law in the widest available dtype (near-cancellation
         # along the creeping manifold — DESIGN.md §5)
         hi_dt = jnp.float64 if jax.config.jax_enable_x64 else state_dt
@@ -250,7 +263,13 @@ def make_odefun(mp: MultiBP1Problem, newton_tol=None, newton_iters=20,
         V_hi = V.astype(hi_dt)
         dpsi = ((b * V0 / Dc)
                 * (jnp.exp((f0 - psi_hi) / b) - jnp.abs(V_hi) / V0))
-        ok = ok & jnp.all(jnp.isfinite(dpsi))
+        ok = ok & jnp.all(jnp.where(live, jnp.isfinite(dpsi), True))
+        if par.Wf is not None:
+            # discarded deep-node results must not reject steps (the
+            # r3 single-block lesson) nor evolve: imposed creep at Vp
+            deep = ~live
+            V = jnp.where(deep, jnp.asarray(Vp, dtype=V.dtype), V)
+            dpsi = jnp.where(deep, jnp.zeros((), dtype=dpsi.dtype), dpsi)
         return jnp.concatenate([dpsi.astype(state_dt),
                                 V.astype(state_dt)]), ok
 

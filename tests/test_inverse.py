@@ -347,3 +347,136 @@ def test_slip_recovery_flower():
     rec = np.asarray(res.x)
     rel = np.linalg.norm(rec - d_true) / np.linalg.norm(d_true)
     assert rel < 0.12, f"slip recovery error {rel:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# Multiblock material inversion (VERDICT r3 next #5)
+# ---------------------------------------------------------------------------
+
+def _mb_strip(E=4, N=10, p=2):
+    from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE
+    from hybridsbp_tpu.hybrid import build_problem
+
+    verts = np.array(
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 4.0],
+         [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]])
+    etov = np.array([[e, e + 1, e + 5, e + 6] for e in range(E)]).T
+    etof = np.array([[e, e + 1, 5 + e, 9 + e] for e in range(E)]).T
+    FToB = np.full(13, BC_DIRICHLET, dtype=np.int64)
+    FToB[1:4] = BC_LOCKED_INTERFACE
+    Narr = np.full(E, N)
+    prob, _ = build_problem(p, verts, etov, etof, FToB, Narr, Narr)
+    return prob
+
+
+def _mb_sources(prob, K=2, seed=0):
+    """JH-weighted Gaussian volume loads (material-independent RHS)."""
+    E = len(prob.lops)
+    N = prob.lops[0].Nr
+    rng = np.random.default_rng(seed)
+    srcs = np.zeros((K, E, N + 1, N + 1))
+    for k in range(K):
+        e = int(rng.integers(E))
+        lop = prob.lops[e]
+        x, y = lop.coord
+        cx = float(x.mean()) + 0.2 * rng.standard_normal()
+        cy = float(y.mean()) + 0.1 * rng.standard_normal()
+        f = np.exp(-((x - cx) ** 2 + (y - cy) ** 2) / 0.03)
+        srcs[k, e] = (lop.JH.reshape(N + 1, N + 1) * f)
+    return srcs
+
+
+def test_mb_material_forward_matches_heterogeneous_host():
+    """The scaled-background multiblock forward must equal a host
+    direct solve of the TRUE heterogeneous problem (locoperator
+    rebuilt with crr=mu*crr etc. per block) — the exact-homogeneity
+    property the design relies on."""
+    from hybridsbp_tpu.hybrid.solve import HybridProblem
+    from hybridsbp_tpu.inverse import make_material_inversion_mb
+    from hybridsbp_tpu.ops2d import locoperator
+
+    prob = _mb_strip()
+    E, N = len(prob.lops), prob.lops[0].Nr
+    mu = np.array([1.0, 2.0, 0.7, 1.5])
+    theta = jnp.asarray(np.log(mu))
+    srcs = _mb_sources(prob, K=2)
+
+    inv = make_material_inversion_mb(prob, per=2, tol=1e-12,
+                                     maxiter=4000)
+    d_dev = np.asarray(inv.forward(theta, jnp.asarray(srcs)))
+
+    # host: true heterogeneous assembly
+    lops_h = {}
+    for e in range(E):
+        lop = prob.lops[e]
+        m = lop.metrics
+        lops_h[e] = locoperator(
+            prob.lops[e].p, N, N, m, lop.bctype,
+            crr=mu[e] * np.asarray(m.crr), css=mu[e] * np.asarray(m.css),
+            crs=mu[e] * np.asarray(m.crs))
+    prob_h = HybridProblem.build(
+        lops_h, (prob.EToF, prob.FToB, prob.FToE, prob.FToLF,
+                 prob.EToO, prob.EToS))
+    bi, si, ri = inv.stations
+    for k in range(srcs.shape[0]):
+        u, _ = prob_h.solve(srcs[k].reshape(-1), np.zeros(
+            int(prob_h.FToLstarts[-1])), method="trace")
+        ub = u.reshape(E, N + 1, N + 1)
+        np.testing.assert_allclose(d_dev[k], ub[bi, si, ri],
+                                   rtol=1e-8, atol=1e-12)
+
+
+def test_mb_material_gradient_fd():
+    """jax.grad of the multiblock material loss (adjoint through the
+    coupled implicit solve + the per-block operator scaling) matches
+    central finite differences."""
+    from hybridsbp_tpu.inverse import make_material_inversion_mb
+
+    prob = _mb_strip(N=8)
+    srcs = jnp.asarray(_mb_sources(prob, K=2))
+    inv = make_material_inversion_mb(prob, per=2, tol=1e-12,
+                                     maxiter=4000, smooth=1e-3)
+    th_true = jnp.asarray(np.log([1.0, 1.8, 0.8, 1.3]))
+    d_obs = inv.forward(th_true, srcs)
+
+    th0 = jnp.zeros(4)
+    g = jax.grad(lambda th: inv.loss(th, srcs, d_obs))(th0)
+    eps = 1e-5
+    for i in range(4):
+        dth = np.zeros(4)
+        dth[i] = eps
+        fp = float(inv.loss(th0 + dth, srcs, d_obs))
+        fm = float(inv.loss(th0 - dth, srcs, d_obs))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - float(g[i])) < 2e-5 * max(1.0, abs(fd)), \
+            (i, fd, float(g[i]))
+
+
+def test_mb_material_recovery_and_sharded_parity():
+    """End-to-end: recover a 4-block material contrast through the
+    coupled solve; and the mesh= (virtual 8-device, block-sharded)
+    forward matches the single-device forward at heterogeneous theta."""
+    from jax.sharding import Mesh
+
+    from hybridsbp_tpu.inverse import (invert_material_mb,
+                                       make_material_inversion_mb)
+
+    prob = _mb_strip(N=8)
+    srcs = jnp.asarray(_mb_sources(prob, K=3, seed=3))
+    inv = make_material_inversion_mb(prob, per=2, tol=1e-11,
+                                     maxiter=3000, smooth=1e-6)
+    th_true = jnp.asarray(np.log([1.0, 2.0, 0.7, 1.4]))
+    d_obs = inv.forward(th_true, srcs)
+
+    res = invert_material_mb(inv, srcs, d_obs, steps=200, lr=0.1)
+    err = np.abs(np.asarray(res.theta) - np.asarray(th_true)).max()
+    assert err < 0.05, f"recovered log-mu off by {err:.3f}"
+    assert float(res.losses[-1]) < float(res.losses[0]) * 1e-3
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("block",))
+    inv_sh = make_material_inversion_mb(prob, per=2, tol=1e-11,
+                                        maxiter=3000, mesh=mesh)
+    d_sh = np.asarray(jax.jit(inv_sh.forward_with)(
+        inv_sh.arrs, th_true, srcs))
+    np.testing.assert_allclose(d_sh, np.asarray(d_obs), rtol=1e-8,
+                               atol=1e-12)
