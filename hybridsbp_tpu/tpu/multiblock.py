@@ -484,8 +484,24 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
         if E_pad != E:
             uf = jnp.concatenate(
                 [uf, jnp.zeros((E_pad - E, uf.shape[1]), uf.dtype)])
+
+        def chunk(cv):
+            cc = cv[0]
+            # narrow-dtype coefficients: upcast the WHOLE staged chunk
+            # in one convert.  Left to XLA, the bf16 multiply chain
+            # splits into per-plane slice+convert fusions (10 fusions,
+            # 133 converts at the flagship shape) and realizes only
+            # 1.26x of the halved stream; the explicit whole-chunk
+            # convert restores the f32 path's single-fusion structure
+            # (4 fusions, 1 convert) — measured 683.5 vs 752.1 us
+            # (tools/bf16_hlo_probe.py, r4).  Exact: bf16->f32 convert
+            # is value-preserving and the multiply was promoting anyway.
+            if cc.dtype != cv[1].dtype:
+                cc = cc.astype(cv[1].dtype)
+            return ap_one(cc, bp.offsets_flat, cv[1])
+
         out = jax.lax.map(
-            lambda cv: ap_one(cv[0], bp.offsets_flat, cv[1]),
+            chunk,
             (cf.reshape(E_pad // K, K, *cf.shape[1:]),
              uf.reshape(E_pad // K, K, uf.shape[-1])))
         return out.reshape(E_pad, -1)[:E].reshape(u.shape)

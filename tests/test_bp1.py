@@ -376,3 +376,33 @@ def test_canonical_seas_bp1_recurrence():
     assert abs(rec - 78.1) < 6.0, "recurrence too far from SEAS BP1-QD"
     for c in coseis[1:]:
         assert abs(c - 2.46) < 0.2, f"coseismic slip {coseis}"
+
+
+@_pytest.mark.skipif(_os.environ.get("HYBRIDSBP_SLOW_TESTS") != "1",
+                     reason="full-cycle run (set HYBRIDSBP_SLOW_TESTS=1)")
+def test_canonical_seas_bp1_recurrence_converged():
+    """CONVERGED canonical pin (VERDICT r3 next #8): N=400, rtol=1e-4,
+    800 yr — the external-validation number itself, not the biased
+    N=200 proxy.  Measured r4: late intervals 77.79-77.82 yr
+    (scatter 0.03 yr; the r3 "78.1" was rtol=1e-3 controller jitter on
+    the same configuration — intervals then spread 77.8-79.3),
+    coseismic slip 2.454 m, peak log10 V 0.656.  Published SEAS
+    BP1-QD: ~78 yr.  ~2.2 min on the 1-vCPU host."""
+    import sys
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                     "tools"))
+    from seas_bp1_domain import events_from_sol
+
+    par = bp1.BP1Params(N=400, Lx=160, Ly=160, el=10.0, sim_years=800,
+                        Wf=40.0, RSDc=0.008)
+    prob = bp1.setup(par)
+    _, sol = bp1.run(par, prob=prob, max_steps=400_000, rtol=1e-4,
+                     atol=1e-6)
+    ev, coseis, maxlv = events_from_sol(sol, bp1.YEAR_SECONDS)
+    assert len(ev) == 8, f"events {np.round(ev, 1)}"
+    late = np.diff(ev)[2:]
+    assert np.all(np.abs(late - 77.8) < 0.5), \
+        f"late intervals {np.round(late, 3)}"
+    assert abs(np.mean(late) - 78.1) < 1.0     # within ~1 yr of r3 value
+    assert np.all(np.abs(np.asarray(coseis[2:]) - 2.454) < 0.02)
+    assert abs(maxlv - 0.656) < 0.1

@@ -190,3 +190,43 @@ def test_multiblock_canonical_seas_recurrence():
     assert abs(np.mean(recs) - 78.1) < 2.0       # single-block canonical
     assert np.all(np.abs(np.asarray(coseis[2:]) - 2.478) < 0.05)
     assert abs(maxlv - 0.65) < 0.3
+
+
+@pytest.mark.skipif(not os.environ.get('HYBRIDSBP_SLOW_TESTS'),
+                    reason='slow full-cycle gate (HYBRIDSBP_SLOW_TESTS=1)')
+def test_station_level_cross_path_consistency():
+    """Station-level SEAS consistency (VERDICT r3 next #9): the
+    single-block half-space reduction and the 194-block trace-coupled
+    mesh — independent discretizations, assemblies and solvers — must
+    agree per station on coseismic slip, peak slip rate, stress levels
+    and interseismic creep (tools/seas_station_compare.py; measured
+    r4 table in RESULTS.md)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from seas_station_compare import collect
+
+    from hybridsbp_tpu.seas import bp1
+
+    par1 = BP1Params(N=200, Lx=160, Ly=160, el=10.0, sim_years=360,
+                     Wf=40.0, RSDc=0.008)
+    _, sol1 = bp1.run(par1, max_steps=400_000)
+    par2 = BP1Params(N=16, RSDc=0.008)
+    mp = mb.setup(par=par2, N=16)
+    sol2 = mb.run(mp, sim_years=360, max_steps=400_000, rtol=1e-4)
+    nominal2, _ = mb.default_stations(mp)
+
+    depths = [0.0, 7.5, 17.5]
+    r1 = collect(sol1, YEAR_SECONDS, sol1.meta["station_depths"], depths)
+    r2 = collect(sol2, YEAR_SECONDS, nominal2, depths)
+    for d in depths:
+        e1, e2 = r1[d]["events"][-1], r2[d]["events"][-1]
+        assert abs(e1["coseis_m"] - e2["coseis_m"]) < 0.12, d
+        assert abs(e1["tau_pre_MPa"] - e2["tau_pre_MPa"]) < 2.0, d
+        assert abs(e1["stress_drop_MPa"]
+                   - e2["stress_drop_MPa"]) < 2.0, d
+        assert abs(r1[d]["log10V_inter"] - r2[d]["log10V_inter"]) < 0.3, d
+    # surface station: peak slip rate agrees to < 0.05 dex
+    p1 = r1[0.0]["events"][-1]["peak_log10V"]
+    p2 = r2[0.0]["events"][-1]["peak_log10V"]
+    assert abs(p1 - p2) < 0.05, (p1, p2)

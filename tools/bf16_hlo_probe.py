@@ -104,6 +104,19 @@ def main():
              uf.reshape(E // K, K, uf.shape[-1])))
         return out.reshape(E, -1)
 
+    def apply_chunked_upcast(cf, uf):
+        """bf16 storage, ONE whole-chunk upcast inside the map body:
+        the converted f32 chunk is a single intermediate the compute
+        fusion can consume like the f32 path's staged chunk — instead
+        of XLA's per-plane slice+convert split (the measured 1.26x
+        repayment mechanism)."""
+        out = jax.lax.map(
+            lambda cv: dia_apply_flat(cv[0].astype(jnp.float32), offs,
+                                      cv[1]),
+            (cf.reshape(E // K, K, *cf.shape[1:]),
+             uf.reshape(E // K, K, uf.shape[-1])))
+        return out.reshape(E, -1)
+
     key = jax.random.PRNGKey(0)
     cf32 = jax.jit(lambda k: jax.random.normal(
         k, (E, len(offs), Nvol), dtype=jnp.float32) / len(offs))(key)
@@ -111,10 +124,14 @@ def main():
         k, (E, Nvol), dtype=jnp.float32))(jax.random.PRNGKey(1))
 
     os.makedirs("artifacts", exist_ok=True)
+    cbf = cf32.astype(jnp.bfloat16)
+    variants = (("f32", apply_chunked, cf32),
+                ("bf16", apply_chunked, cbf),
+                ("bf16_upcast", apply_chunked_upcast, cbf))
     results = {}
-    for name, cf in (("f32", cf32), ("bf16", cf32.astype(jnp.bfloat16))):
+    for name, fn, cf in variants:
         _log(f"compiling {name} variant")
-        co = jax.jit(apply_chunked).lower(cf, uf).compile()
+        co = jax.jit(fn).lower(cf, uf).compile()
         txt = co.as_text()
         path = f"artifacts/hlo_flat_{name}.txt"
         with open(path, "w") as fh:
@@ -128,8 +145,20 @@ def main():
             "io_bytes": hbm_param_bytes(txt),
             **fusion_inventory(txt),
         }
+        # chained on-chip timing (the repo's RTT-free harness)
+        from hybridsbp_tpu.utils.profiling import chained_time
+        try:
+            # serialize through the FIELD (default would add a dep to
+            # the big coef array — an extra 2x coef stream per link)
+            ser = lambda res, a0: (  # noqa: E731
+                a0[0], a0[1] + 0.0 * jnp.sum(res).astype(a0[1].dtype))
+            dt = chained_time(lambda c, u: fn(c, u), (cf, uf),
+                              k1=30, k2=120, reps=5, serialize=ser)
+            res["us_per_apply"] = round(dt * 1e6, 1)
+        except Exception as e:  # noqa: BLE001
+            _log(f"timing failed: {e}")
         results[name] = res
-        print(json.dumps({name: res}))
+        print(json.dumps({name: res}), flush=True)
     if all(results[n]["bytes_accessed"] for n in results):
         ratio = (results["f32"]["bytes_accessed"]
                  / results["bf16"]["bytes_accessed"])
