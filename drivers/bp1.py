@@ -77,11 +77,23 @@ def main():
                          "member (spread set by --ensemble-spread)")
     ap.add_argument("--ensemble-spread", type=float, default=0.08)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--Dc", type=float, default=None,
+                    help="rate-and-state Dc (m); 0.008 with --Wf 40 = "
+                         "canonical SEAS BP1-QD")
+    ap.add_argument("--Wf", type=float, default=None,
+                    help="imposed-creep depth (km): nodes deeper slide "
+                         "at exactly Vp (canonical SEAS loading)")
     a = ap.parse_args()
 
     import jax.numpy as jnp
     dtype = jnp.float32 if a.dtype == "float32" else jnp.float64
-    par = bp1.BP1Params(N=a.N, p=a.p, sim_years=a.years, el=a.el)
+    par_kw = {}
+    if a.Dc is not None:
+        par_kw["RSDc"] = a.Dc
+    if a.Wf is not None:
+        par_kw["Wf"] = a.Wf
+    par = bp1.BP1Params(N=a.N, p=a.p, sim_years=a.years, el=a.el,
+                        **par_kw)
     t0 = time.time()
     prob = bp1.setup(par, dtype=dtype)
     print(f"setup: N={a.N} ({(a.N + 1) ** 2} volume DOF), "

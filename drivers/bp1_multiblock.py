@@ -45,13 +45,19 @@ def main():
     ap.add_argument("--ensemble-spread", type=float, default=0.08)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-steps", type=int, default=100_000)
+    ap.add_argument("--Dc", type=float, default=None,
+                    help="rate-and-state Dc (m); 0.008 = canonical "
+                         "SEAS BP1-QD (~78-yr recurrence through the "
+                         "coupled solve), default 0.016 (reference "
+                         "variant)")
     a = ap.parse_args()
 
     t0 = time.time()
     import jax.numpy as jnp
     dt = {None: None, "float64": jnp.float64,
           "float32": jnp.float32}[a.dtype]
-    par = BP1Params(N=a.N, p=a.p, sim_years=a.years)
+    par_kw = {} if a.Dc is None else {"RSDc": a.Dc}
+    par = BP1Params(N=a.N, p=a.p, sim_years=a.years, **par_kw)
     mp = mb.setup(par, N=a.N, p=a.p, dtype=dt, verbose=True)
     print(f"setup ({mp.n_fault} fault dofs, {mp.n_fault + 1} hybrid "
           f"solves): {time.time() - t0:.1f}s")
