@@ -69,25 +69,24 @@ class AssemblyData(NamedTuple):
 
 def _probe_vard2(p, N):
     """Extract the linear map c -> (A(c), S0(c), SN(c)) of the 1D
-    variable-coefficient D2 by probing with unit vectors (exact)."""
+    variable-coefficient D2 by probing with unit vectors (exact).
+
+    All N+1 unit vectors go through ONE identity-batched
+    ``build_vard2_batched`` call (its kernel is fully vectorized over
+    the batch axis): the per-probe python loop paid the full indexing
+    overhead N+1 times and dominated the device-only setup at large N
+    (r4: the N=272 extraction alone was ~10+ min of the 1-vCPU host)."""
     from ..ops1d import build_vard2_batched
 
     Np1 = N + 1
-    A_k = np.zeros((Np1, Np1, Np1))          # [k][i, j]
-    S0_k = np.zeros((Np1,), dtype=object)
     A0, S00, SN0 = build_vard2_batched(p, N, np.zeros((1, Np1)))
     nBS = S00.shape[1]
-    S0m = np.zeros((nBS, Np1))
-    SNm = np.zeros((nBS, Np1))
-    for k in range(Np1):
-        c = np.zeros((1, Np1))
-        c[0, k] = 1.0
-        Ak, S0k, SNk = build_vard2_batched(p, N, c)
-        A_k[k] = Ak[0] - A0[0]
-        S0m[:, k] = S0k[0] - S00[0]
-        SNm[:, k] = SNk[0] - SN0[0]
     assert np.abs(A0).max() == 0 and np.abs(S00).max() == 0, \
         "1D var-D2 is expected to be linear in c (zero at c=0)"
+    Ak, S0k, SNk = build_vard2_batched(p, N, np.eye(Np1))
+    A_k = Ak - A0                             # [k][i, j]
+    S0m = (S0k - S00).T                       # (nBS, Np1)
+    SNm = (SNk - SN0).T
     # compress A_k to banded W[i, d, k]
     nz = np.argwhere(np.abs(A_k).sum(axis=0) > 0)
     ds = sorted(set(int(j - i) for i, j in nz))
