@@ -255,7 +255,7 @@ def run_device_multi(p=6, N=136, tol=1e-6, inner_iters=8, verbose=True,
 
 def _timed_device_solves(bp, trace_inv, gb, gd, u_host, *, nvol, methods,
                          tol, inner_iters, repeats, stencil, t_host,
-                         verbose, nblocks):
+                         verbose, nblocks, trace_inner_tol=None):
     """Shared timing core of :func:`run_device_multi` /
     :func:`run_flagship_cached`: one jitted program per method
     (operator arrays as jit arguments — see tpu.multiblock.
@@ -271,7 +271,8 @@ def _timed_device_solves(bp, trace_inv, gb, gd, u_host, *, nvol, methods,
         def make_solve(stencil, method=method):
             sj = make_jit_solver(bp, method=method, trace_inv=trace_inv,
                                  tol=tol, maxiter=200,
-                                 inner_iters=inner_iters, stencil=stencil)
+                                 inner_iters=inner_iters, stencil=stencil,
+                                 trace_inner_tol=trace_inner_tol)
 
             def solve():
                 res = sj(gb, gd)
@@ -553,7 +554,10 @@ def _mms_errors(prob, EToDomain, u, lam, delta, FTods, conn):
 
 def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
                     probe_iters=24, k_chunk=8, verbose=True,
-                    methods=("displacements", "trace"), stencil="auto"):
+                    methods=("displacements", "trace"), stencil="auto",
+                    refine_sweeps=0, refine_inner_tol=2e-3,
+                    refine_inner_maxiter=60, assemble_chunk=8,
+                    trace_inner_tol="auto"):
     """Solve one refinement level ENTIRELY without the host direct
     pipeline (VERDICT r3 next #2) — the configuration for problem
     sizes the reference's host path cannot reach (its ladder stops at
@@ -570,6 +574,19 @@ def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
       energy-norm / max / traction errors against the exact
       manufactured solution (extends the MMS ladder of
       tools/mms_oracle.py one level past the reference's finest).
+
+    ``refine_sweeps > 0`` adds the mixed-precision refined solve
+    (tpu.refine.make_refined_solver): at 4.2M DOF the pure-f32 solve
+    bottoms out at the kappa*eps_f32 attainable-accuracy floor
+    (~1.5e-3 relative residual — BOTH methods stall there, which is
+    how the floor was diagnosed); f32 corrections + chunk-assembled
+    f64 on-device residuals break it, reaching ~1e-9 in 3-4 sweeps.
+
+    ``trace_inner_tol='auto'``: the trace method's inner block solves
+    get a floor-aware tolerance max(tol*0.2, 3e-4) — the default
+    tol*0.2 = 2e-7 is unreachable in f32 at this scale, so every inner
+    solve would burn inner_maxiter iterations without helping the
+    (also floor-limited) outer.
     """
     import jax
     import jax.numpy as jnp
@@ -588,11 +605,35 @@ def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
         print(f"light host assembly p={p} N={N}: {nvol} volume DOF, "
               f"{len(prob.lops)} blocks ({t_light:.1f}s — no LU, no B)")
 
+    def _mem(tag):
+        if not verbose:
+            return
+        try:
+            st = jax.devices()[0].memory_stats() or {}
+            print(f"  [{tag}] device bytes_in_use = "
+                  f"{st.get('bytes_in_use', 0) / 1e9:.2f} GB", flush=True)
+        except Exception:  # noqa: BLE001
+            pass
+
     t0 = time.time()
-    bp = build_blocked(prob, dtype=jnp.float32, assemble_on_device=True)
-    gb, gd = blocked_rhs_from_host(prob, g, gdelta)
-    gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
+    # flat-ONLY memory mode: at N=272 the padded plane stack is 3.2 GB
+    # on top of the 2.2 GB flat stack; assemble, flatten, then release
+    # the planes (with_flat_layout drop_planes) so the probing and
+    # solve programs fit comfortably in HBM
+    from hybridsbp_tpu.tpu.multiblock import with_flat_layout
+    bp = build_blocked(prob, dtype=jnp.float32, assemble_on_device=True,
+                       flat=False)
+    float(jnp.sum(bp.coefs[0, 0]))          # sync the on-device assembly
+    _mem("assembled planes")
+    bp = with_flat_layout(bp, drop_planes=True)
+    float(jnp.sum(bp.coefs_flat[0, 0]))     # sync the relayout
+    _mem("flat-only")
+    gb64, gd64 = blocked_rhs_from_host(prob, g, gdelta)
+    gb, gd = gb64.astype(jnp.float32), gd64.astype(jnp.float32)
     t_bp = time.time() - t0
+    if verbose:
+        print(f"device setup: blocked + on-device assemble + flat-only "
+              f"relayout {t_bp:.1f}s", flush=True)
     t0 = time.time()
     trace_inv = banded_from_device(bp, prob, iters=32,
                                    probe_iters=probe_iters,
@@ -600,24 +641,23 @@ def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
     jax.block_until_ready(trace_inv.blocks)
     float(jnp.sum(trace_inv.diag_inv))      # scalar fetch = real sync
     t_binv = time.time() - t0
+    _mem("banded B~ done")
     if verbose:
-        print(f"device setup: blocked+assemble {t_bp:.1f}s, on-device "
-              f"banded B~ probing {t_binv:.1f}s")
+        print(f"on-device banded B~ probing {t_binv:.1f}s", flush=True)
 
+    if trace_inner_tol == "auto":
+        trace_inner_tol = max(tol * 0.2, 3e-4)
     out = _timed_device_solves(
         bp, trace_inv, gb, gd, None, nvol=nvol, methods=methods,
         tol=tol, inner_iters=inner_iters, repeats=repeats,
         stencil=stencil, t_host=None, verbose=verbose,
-        nblocks=len(prob.lops))
+        nblocks=len(prob.lops), trace_inner_tol=trace_inner_tol)
 
-    # MMS verification (no host oracle): reuse the timed solves' final
-    # device fields — no extra solve/compile.
-    for method in methods:
-        x = out[method].pop("_x")
-        u = np.asarray(x[:len(prob.lops)],
-                       dtype=np.float64).reshape(len(prob.lops), -1).ravel()
-        lamf = recover_lambda(bp, x[:len(prob.lops)].astype(
-            jnp.float32), gd)
+    def _mms_from_x(x, bp_, gd_, tag):
+        """MMS errors of a device solution (no host oracle)."""
+        E = len(prob.lops)
+        u = np.asarray(x[:E], dtype=np.float64).reshape(E, -1).ravel()
+        lamf = recover_lambda(bp_, x[:E].astype(gd_.dtype), gd_)
         # face-padded -> stacked FToLstarts layout
         lam = np.zeros(int(prob.FToLstarts[-1]))
         lamf = np.asarray(lamf, dtype=np.float64)
@@ -626,11 +666,51 @@ def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
             lam[s0:s1] = lamf[f, :s1 - s0]
         e_en, e_tau, e_rel = _mms_errors(prob, EToDomain, u, lam, delta,
                                          FTods, conn)
-        out[method].update(mms_energy_err=e_en, mms_traction_err=e_tau,
-                           mms_rel_maxerr=e_rel)
         if verbose:
-            print(f"  [{method}] MMS energy err {e_en:.4e}, traction "
-                  f"err {e_tau:.4e}, rel max err {e_rel:.3e}")
+            print(f"  [{tag}] MMS energy err {e_en:.4e}, traction "
+                  f"err {e_tau:.4e}, rel max err {e_rel:.3e}", flush=True)
+        return dict(mms_energy_err=e_en, mms_traction_err=e_tau,
+                    mms_rel_maxerr=e_rel)
+
+    # MMS verification: reuse the timed solves' final device fields —
+    # no extra solve/compile.
+    for method in methods:
+        out[method].update(_mms_from_x(out[method].pop("_x"), bp, gd,
+                                       method))
+
+    if refine_sweeps:
+        from hybridsbp_tpu.tpu.refine import make_refined_solver
+        t0 = time.time()
+        bp64 = build_blocked(prob, dtype=jnp.float64,
+                             assemble_on_device=True,
+                             assemble_chunk=assemble_chunk,
+                             with_fastdiag=False)
+        float(jnp.sum(bp64.coefs_flat[0, 0]))   # sync
+        t_bp64 = time.time() - t0
+        _mem("f64 residual operator")
+        if verbose:
+            print(f"f64 residual operator (chunked on-device assembly, "
+                  f"{assemble_chunk} blocks/chunk): {t_bp64:.1f}s",
+                  flush=True)
+        refine = make_refined_solver(
+            bp, bp64, trace_inv, inner_tol=refine_inner_tol,
+            inner_maxiter=refine_inner_maxiter, inner_iters=inner_iters,
+            stencil=stencil)
+        t0 = time.time()
+        x64, rels = refine(gb64, gd64, sweeps=refine_sweeps,
+                           verbose=verbose)
+        t_ref_cold = time.time() - t0
+        t0 = time.time()
+        x64, rels = refine(gb64, gd64, sweeps=refine_sweeps)
+        t_ref = time.time() - t0
+        if verbose:
+            print(f"refined solve: true rel residual {rels[-1]:.3e} in "
+                  f"{len(rels)} sweeps, {t_ref:.2f}s warm "
+                  f"({t_ref_cold:.1f}s incl. compile)", flush=True)
+        out["refined"] = dict(rel_residuals=rels, t_warm_s=t_ref,
+                              t_first_s=t_ref_cold, t_bp64_s=t_bp64)
+        out["refined"].update(_mms_from_x(x64, bp64, gd64, "refined"))
+
     out["setup"] = {"t_light_host_s": t_light, "t_blocked_s": t_bp,
                     "t_banded_device_s": t_binv, "nvol": nvol}
     return out
@@ -746,6 +826,12 @@ if __name__ == "__main__":
     ap.add_argument("--probe-iters", type=int, default=24,
                     help="fastdiag-CG count per probe column in the "
                          "on-device banded B~ assembly")
+    ap.add_argument("--refine-sweeps", type=int, default=0,
+                    help="with --device-only: mixed-precision "
+                         "refinement sweeps (f32 two-level corrections "
+                         "+ chunk-assembled f64 on-device residuals) — "
+                         "breaks the f32 kappa*eps attainable-accuracy "
+                         "floor at 4.2M DOF; 4 reaches ~1e-9")
     ap.add_argument("--flagship-cache-build", action="store_true",
                     help="one-time build of the flagship (p=6 N=136) "
                          "device-problem cache (~20-35 min host)")
@@ -756,7 +842,8 @@ if __name__ == "__main__":
     if a.device_only:
         run_device_only(p=a.p, N=a.N0, tol=a.tol,
                         inner_iters=a.inner_iters,
-                        probe_iters=a.probe_iters, stencil=a.stencil)
+                        probe_iters=a.probe_iters, stencil=a.stencil,
+                        refine_sweeps=a.refine_sweeps)
         raise SystemExit(0)
     if a.flagship_cache_build:
         build_flagship_cache(p=a.p, N=a.N0 if a.N0 != 17 else 136)

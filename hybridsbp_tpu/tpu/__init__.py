@@ -30,5 +30,6 @@ from .multiblock import (  # noqa: F401
 )
 from .refine import (  # noqa: F401
     iterative_refinement,
+    make_refined_solver,
     refined_displacement_solve,
 )

@@ -110,7 +110,12 @@ class BlockedHybrid(NamedTuple):
 
     @property
     def grid_shape(self):
-        return self.coefs.shape[2:]
+        # from JH (always per-block (E, Nsp, Nrp)): ``coefs`` may be
+        # None in the flat-only memory mode (with_flat_layout
+        # drop_planes=True — the plane stack is ~1.5x the flat one at
+        # 128-unaligned shapes and is dead weight when every apply
+        # routes through the flat layout)
+        return self.JH.shape[1:]
 
     @property
     def nblocks(self):
@@ -130,6 +135,12 @@ class BlockedHybrid(NamedTuple):
             return t[:, ::-1]
         nf = self.perm_face.shape[0]
         return t[np.arange(nf)[:, None], self.perm_face]
+
+
+def _bp_dtype(bp: "BlockedHybrid"):
+    """Working dtype of the operator (coefs may be None in the
+    flat-only memory mode)."""
+    return (bp.coefs if bp.coefs is not None else bp.coefs_flat).dtype
 
 
 def bp_arrays(bp: "BlockedHybrid"):
@@ -156,8 +167,33 @@ def bp_with(bp: "BlockedHybrid", arrs) -> "BlockedHybrid":
                        coefs_flat=arrs.get("coefs_flat"))
 
 
+def _auto_echunk(E, nplanes, Nsp, Nrp, itemsize, shared):
+    """lax.map chunk size for the flat apply ('auto' policy).
+
+    Bound the STAGED chunk (XLA materializes each lax.map body's
+    coefficient slice in scratch memory — the r4 HLO reads show it in
+    memory space 1): at the flagship shape 8 blocks = 80 MB and fits;
+    at N=272 8 blocks = 317 MB and the program faults the device
+    (scoped-memory overflow).  Scale the chunk so the staged slice
+    stays ~<= 96 MB, capped at the measured-optimal 8."""
+    if E >= 16 and not shared and jax.default_backend() not in ("cpu",):
+        bpb = nplanes * Nsp * Nrp * itemsize
+        return max(1, min(8, int(96e6 // max(bpb, 1))))
+    return None
+
+
+def _pad_flat_chunks(coefs_flat, E, echunk):
+    """Zero-pad the flat stack's block axis to a chunk multiple (padding
+    blocks cost <= one chunk of extra work, sliced off the result)."""
+    pad = (-E) % echunk if echunk else 0
+    if pad:
+        coefs_flat = jax.jit(lambda c: jnp.concatenate(
+            [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)]))(coefs_flat)
+    return coefs_flat
+
+
 def with_flat_layout(bp: "BlockedHybrid", echunk="auto",
-                     sym=False) -> "BlockedHybrid":
+                     sym=False, drop_planes=False) -> "BlockedHybrid":
     """Attach the 1D raveled-diagonal coefficient layout (exact; see
     stencil.flatten_dia).  The flat stack avoids the (8, 128) tile
     padding of the 2D planes — at the flagship 137x137 block shape the
@@ -178,14 +214,22 @@ def with_flat_layout(bp: "BlockedHybrid", echunk="auto",
     ``sym``: store only the o >= 0 linear diagonals and let the apply
     supply the o < 0 side from operator symmetry
     (stencil.flatten_dia_sym) — HALVES the coefficient stream at
-    identical VPU cost."""
+    identical VPU cost.
+
+    ``drop_planes``: release the 2D plane stack (``coefs=None``) once
+    the flat stack exists — the flat-ONLY memory mode.  At
+    128-unaligned shapes the padded planes are ~1.5x the flat stack
+    (N=272: 3.2 GB vs 2.2 GB), and with fastdiag present no default
+    code path reads them; the 'compact'/'unrolled' stencils and
+    with_coef_dtype become unavailable on the result."""
     from .stencil import flatten_dia, flatten_dia_sym
 
     Nsp, Nrp = bp.grid_shape
     E = bp.coefs.shape[0]
     if echunk == "auto":
-        echunk = 8 if (E >= 16 and not bp.shared
-                       and jax.default_backend() not in ("cpu",)) else None
+        echunk = _auto_echunk(E, len(bp.offsets), Nsp, Nrp,
+                              jnp.dtype(bp.coefs.dtype).itemsize,
+                              bp.shared)
     if bp.shared:
         # a shared stack has a broadcast block axis of extent 1 —
         # chunking it would zero-pad the broadcast (and the shared
@@ -196,13 +240,14 @@ def with_flat_layout(bp: "BlockedHybrid", echunk="auto",
     coefs_flat = jax.jit(
         lambda c: flatten(c, bp.offsets, Nrp)[0])(bp.coefs)
     offs = tuple(o for o in all_offs if o >= 0) if sym else tuple(all_offs)
-    if echunk:
-        pad = (-E) % echunk
-        if pad:
-            coefs_flat = jax.jit(lambda c: jnp.concatenate(
-                [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)]))(coefs_flat)
-    return bp._replace(coefs_flat=coefs_flat, offsets_flat=offs,
-                       flat_chunk=echunk or None, flat_sym=bool(sym))
+    coefs_flat = _pad_flat_chunks(coefs_flat, E, echunk)
+    bp = bp._replace(coefs_flat=coefs_flat, offsets_flat=offs,
+                      flat_chunk=echunk or None, flat_sym=bool(sym))
+    if drop_planes:
+        assert bp.fd is not None, \
+            "drop_planes needs fastdiag (the Jacobi fallback reads coefs)"
+        bp = bp._replace(coefs=None)
+    return bp
 
 
 def _face_layer_sets(p, Nr, Ns):
@@ -219,7 +264,8 @@ _ASSEMBLY_DATA_CACHE = {}
 def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                   L=None, share_ops="auto",
                   coef_dtype=None, assemble_on_device=False,
-                  flat="auto", flat_sym=False) -> BlockedHybrid:
+                  flat="auto", flat_sym=False,
+                  assemble_chunk=None) -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
     Requires a uniform block shape (rectangular Nr != Ns allowed);
@@ -247,6 +293,16 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     stream; see :func:`stencil.flatten_dia_sym`).  ``flat_sym=True``
     also forces the symmetric flat layout on (an explicit request
     overrides the auto shape gate, which only weighs tile padding).
+
+    ``assemble_chunk``: with ``assemble_on_device``, assemble + flatten
+    this many blocks at a time and store ONLY the flat stack
+    (``coefs=None`` — the flat-only memory mode of
+    ``with_flat_layout(drop_planes=True)``).  The full padded plane
+    stack is never materialized: at p=6 N=272 in f64 that transient is
+    ~6.4 GB on top of the 4.4 GB flat stack, vs < 1 GB per 8-block
+    chunk.  This is how the f64 residual operator for
+    :func:`hybridsbp_tpu.tpu.refine.make_refined_solver` fits at
+    beyond-reference problem sizes.
     """
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
@@ -309,14 +365,43 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
             shared = True
         if shared:
             crr, css, crs, masks = (a[:1] for a in (crr, css, crs, masks))
-        assemble = jax.jit(jax.vmap(
-            lambda a, b, c, m: assemble_planes(data, a, b, c, m)))
-        coefs = assemble(jnp.asarray(crr, dtype=dtype),
-                         jnp.asarray(css, dtype=dtype),
-                         jnp.asarray(crs, dtype=dtype),
-                         jnp.asarray(masks, dtype=dtype))
+        chunk_flat = None
+        if assemble_chunk and not shared:
+            # chunked assemble + flatten: each jitted call assembles
+            # `assemble_chunk` blocks' padded planes (the only plane
+            # transient) and immediately flattens them; the full plane
+            # stack never exists on device
+            assert not flat_sym and flat != "sym", \
+                "assemble_chunk supports the plain flat layout only"
+            assert flat is not False, \
+                "assemble_chunk stores only the flat layout (flat-only)"
+            from .stencil import flatten_dia
+            chunk_fn = jax.jit(lambda a, b, c, m: flatten_dia(
+                jax.vmap(lambda x, y, z, w: assemble_planes(
+                    data, x, y, z, w))(a, b, c, m),
+                tuple(all_offs), Nrp)[0])
+            pieces = []
+            for e0 in range(0, E, int(assemble_chunk)):
+                sl = slice(e0, min(e0 + int(assemble_chunk), E))
+                piece = chunk_fn(jnp.asarray(crr[sl], dtype=dtype),
+                                 jnp.asarray(css[sl], dtype=dtype),
+                                 jnp.asarray(crs[sl], dtype=dtype),
+                                 jnp.asarray(masks[sl], dtype=dtype))
+                piece.block_until_ready()   # bound the in-flight work
+                pieces.append(piece)
+            chunk_flat = (pieces[0] if len(pieces) == 1 else jax.jit(
+                lambda ps: jnp.concatenate(ps, axis=0))(pieces))
+            coefs = None
+        else:
+            assemble = jax.jit(jax.vmap(
+                lambda a, b, c, m: assemble_planes(data, a, b, c, m)))
+            coefs = assemble(jnp.asarray(crr, dtype=dtype),
+                             jnp.asarray(css, dtype=dtype),
+                             jnp.asarray(crs, dtype=dtype),
+                             jnp.asarray(masks, dtype=dtype))
     else:
         # --- stacked DIA operators (union of offsets across blocks)
+        chunk_flat = None
         dias = [to_dia(lops[e].M, Nrp, Nsp, dtype=dtype) for e in range(E)]
         all_offs = sorted({o for d in dias for o in d.offsets})
         noff = len(all_offs)
@@ -411,7 +496,8 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                         for name in FastDiag._fields))
 
     bp = BlockedHybrid(
-        coefs=jnp.asarray(coefs, dtype=coef_dtype or dtype),
+        coefs=(None if coefs is None
+               else jnp.asarray(coefs, dtype=coef_dtype or dtype)),
         offsets=tuple(all_offs),
         faces=FaceOps(Tb=tuple(Tb), offs=tuple(offs_all),
                       layers=layer_sets),
@@ -420,6 +506,14 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         EToF=np.asarray(prob.EToF),
         flip=flip, interior=interior, JH=jnp.asarray(JH, dtype=dtype),
         fd=fd, perm_lf=perm_lf, perm_face=perm_face, shared=shared)
+    if chunk_flat is not None:
+        # flat-only: attach the chunk-assembled flat stack directly
+        offs_flat = tuple(sorted({ds * Nrp + dr for ds, dr in all_offs}))
+        echunk = _auto_echunk(E, noff, Nsp, Nrp,
+                              jnp.dtype(dtype).itemsize, shared)
+        return bp._replace(
+            coefs_flat=_pad_flat_chunks(chunk_flat, E, echunk),
+            offsets_flat=offs_flat, flat_chunk=echunk, flat_sym=False)
     if flat == "auto":
         # an explicit flat_sym request forces the layout (the auto gate
         # only weighs tile-padding waste, not the symmetric halving)
@@ -696,7 +790,7 @@ def build_woodbury(bp: BlockedHybrid, prob, dtype=None):
     matmul.
     """
     return trace_inv_from_B((bp.Dinv.shape), prob,
-                            dtype or bp.coefs.dtype)
+                            dtype or _bp_dtype(bp))
 
 
 def trace_inv_from_B(dinv_shape, prob, dtype) -> TraceInv:
@@ -796,7 +890,7 @@ def build_woodbury_banded(bp: BlockedHybrid, prob, dtype=None,
     (the preconditioner becomes variable — pair with flexible outers,
     which every caller in this package already uses).
     """
-    return banded_from_B(bp.Dinv.shape, prob, dtype or bp.coefs.dtype,
+    return banded_from_B(bp.Dinv.shape, prob, dtype or _bp_dtype(bp),
                          iters)
 
 
@@ -894,7 +988,7 @@ def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
     from .cg import cg_fixed
     from .fastdiag import fastdiag_apply
 
-    dtype = dtype or bp.coefs.dtype
+    dtype = dtype or _bp_dtype(bp)
     nfaces_pad, L = bp.Dinv.shape
     faceids, comp, nbr, K, mask, lens, slot = _trace_face_graph(
         prob.FToLstarts, prob.FToB, prob.EToF, nfaces_pad, L)
@@ -946,7 +1040,7 @@ def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
     # arrays serialize into the HLO as literals — HTTP 413 lesson)
     arrs = bp_arrays(bp)
 
-    def _probe(arrs_):
+    def _probe(arrs_, ks):
         bpl = bp_with(bp, arrs_)
         fd_apply = lambda r: jax.vmap(fastdiag_apply)(bpl.fd, r)
 
@@ -973,11 +1067,24 @@ def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
                 probe_iters, precond=fd_apply))(v4)
             return jax.vmap(lambda z: block_traces(bpl, z))(z4)
 
-        # (L, 4lf2, E, 4lf1, L_row) -> (E, lf1, lf2, row, col=k)
-        P = jax.lax.map(probe_k, jnp.arange(L), batch_size=k_chunk)
+        # (kb, 4lf2, E, 4lf1, L_row) -> (E, lf1, lf2, row, col)
+        P = jax.lax.map(probe_k, ks, batch_size=k_chunk)
         return P.transpose(2, 3, 1, 4, 0)
 
-    Pm = jax.jit(_probe)(arrs)
+    # bounded device calls: ONE lax.map over all L columns is a
+    # multi-minute single execution at large N, which the tunneled
+    # worker kills (UNAVAILABLE ~ the run_chunked lesson: keep device
+    # launches modest).  Probe in host-level column batches and
+    # concatenate on device.
+    probe = jax.jit(_probe)
+    cols = max(k_chunk * 4, 16)
+    pieces = []
+    for k0 in range(0, L, cols):
+        ks = jnp.arange(k0, min(k0 + cols, L))
+        pieces.append(probe(arrs, ks))
+        pieces[-1].block_until_ready()
+    Pm = (pieces[0] if len(pieces) == 1
+          else jax.jit(lambda ps: jnp.concatenate(ps, axis=4))(pieces))
 
     def _assemble(Pm_, Dinv, ce_, cl1_, cl2_, ridx_, cidx_, ca_, ckk_,
                   faceids_, kk_self_, mask_):

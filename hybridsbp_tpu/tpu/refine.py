@@ -9,6 +9,7 @@ well-preconditioned SPD systems of this framework.
 """
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 
@@ -30,6 +31,87 @@ def iterative_refinement(solve32: Callable, matvec64: Callable, b64,
         r = b64 - matvec64(x)
         norms.append(jnp.sqrt(jnp.sum(r * r)))
     return x, norms
+
+
+def make_refined_solver(bp32, bp64, trace_inv, *, inner_tol=2e-3,
+                        inner_maxiter=60, inner_iters=8, stencil="auto"):
+    """Device-only mixed-precision solver for problem sizes whose f32
+    attainable-accuracy floor sits far above serving tolerance.
+
+    At ~4.2M DOF (p=6 N=272 — one level past the reference ladder's
+    finest, square_circle.jl:207-210) the f32 coupled solve stalls at a
+    relative residual of ~1.5e-3 regardless of preconditioner quality:
+    that is the kappa(A)*eps_f32 attainable-accuracy floor (kappa ~ N^2
+    per block), the same reason both the unpreconditioned-trace and the
+    banded-Woodbury runs bottom out at the SAME level.  Classic
+    iterative refinement breaks the floor: each sweep does one f32
+    two-level (banded-Woodbury FCG) solve for a correction and ONE f64
+    residual against a separately f64-assembled operator, contracting
+    the true residual by ~max(inner resnorm, kappa * |dA32|/|A|) per
+    sweep — 3-4 sweeps reach ~1e-9, the accuracy class of the host f64
+    direct path (itself floor-limited at ~1.4e-10, RESULTS.md p=6
+    ladder), with no host factorization anywhere.
+
+    ``bp32``: the f32 operator (flat layout) + ``trace_inv`` (banded,
+    see :func:`multiblock.banded_from_device`); ``bp64``: the f64
+    residual operator — build with
+    ``build_blocked(prob, dtype=jnp.float64, assemble_on_device=True,
+    assemble_chunk=8, with_fastdiag=False)`` (flat-only; the padded
+    f64 plane transient never materializes).
+
+    Returns ``refine(gb64, gd64, sweeps=4, tol=1e-9, verbose=False)``
+    -> ``(x64, rel_residuals)`` — one jitted sweep program (inner
+    while_loop solve + f64 apply, operator arrays as jit arguments per
+    the HTTP-413 lesson), so each sweep costs one device round trip.
+    """
+    from .multiblock import (bp_arrays, bp_with, displacement_matvec,
+                             displacement_rhs, make_jit_solver)
+
+    sj = make_jit_solver(bp32, method="displacements",
+                         trace_inv=trace_inv, tol=inner_tol,
+                         maxiter=inner_maxiter, inner_iters=inner_iters,
+                         stencil=stencil)
+    nfaces, L = bp32.Dinv.shape
+    zero_gd = jnp.zeros((nfaces, L), dtype=jnp.float32)
+
+    # (x64, r64) -> (x64', r64', |r'|): one f32 inner solve on the
+    # current residual + one f64 true residual
+    @jax.jit
+    def _sweep(a, a64, b64, x64, r64):
+        res = sj.fn(a, r64.astype(jnp.float32), zero_gd)
+        x64 = x64 + res.x.astype(jnp.float64)
+        r = b64 - displacement_matvec(bp_with(bp64, a64), x64,
+                                      stencil=stencil)
+        return x64, r, jnp.sqrt(jnp.sum(r * r)), res.iters
+
+    @jax.jit
+    def _rhs(a64, g64, gd64):
+        b = displacement_rhs(bp_with(bp64, a64), g64, gd64)
+        return b, jnp.sqrt(jnp.sum(b * b))
+
+    arrs64 = bp_arrays(bp64)
+
+    def refine(gb64, gd64, sweeps=4, tol=1e-9, verbose=False):
+        b64, bn = _rhs(arrs64, jnp.asarray(gb64, jnp.float64),
+                       jnp.asarray(gd64, jnp.float64))
+        bn = float(bn)
+        x = jnp.zeros_like(b64)
+        r = b64
+        rels = []
+        for s in range(sweeps):
+            x, r, rn, it = _sweep(sj.arrs, arrs64, b64, x, r)
+            rels.append(float(rn) / bn)
+            if verbose:
+                print(f"  refine sweep {s + 1}: true rel residual "
+                      f"{rels[-1]:.3e} ({int(it)} inner FCG iters)",
+                      flush=True)
+            if rels[-1] < tol:
+                break
+        return x, rels
+
+    refine.solver32 = sj
+    refine.arrs64 = arrs64
+    return refine
 
 
 def refined_displacement_solve(bp, g, gdelta_faces, *, sweeps=3,

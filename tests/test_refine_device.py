@@ -1,0 +1,128 @@
+"""Gates for the device-only mixed-precision refinement path
+(VERDICT r3 next #2): chunked flat-only on-device assembly parity and
+the refined solver breaking the f32 attainable-accuracy floor.
+
+Reference context: the reference's ladder stops at N=136
+(/root/reference/square_circle.jl:207-210) because its host direct
+path must factorize; the device-only N=272 configuration has no host
+factorization anywhere, so its accuracy limit is the f32 floor — which
+make_refined_solver removes with f64 on-device residuals.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridsbp_tpu import BC_DIRICHLET, BC_LOCKED_INTERFACE
+from hybridsbp_tpu.hybrid import build_problem
+from hybridsbp_tpu.tpu import build_blocked, displacement_matvec
+from hybridsbp_tpu.tpu.multiblock import (blocked_rhs_from_host,
+                                          build_woodbury_banded)
+from hybridsbp_tpu.tpu.refine import make_refined_solver
+
+# distorted quads: crs != 0, per-block metrics differ (not shared)
+VERTS = np.array([[-1.0, 0.0, 1.0, -1.1, 0.2, 0.9],
+                  [0.0, -0.15, 0.1, 1.0, 1.3, 0.8]])
+ETOV = np.array([[0, 1], [1, 2], [3, 4], [4, 5]])
+ETOF = np.array([[0, 1], [1, 4], [2, 5], [3, 6]])
+
+
+def _ftob():
+    FToB = np.full(7, BC_DIRICHLET, dtype=np.int64)
+    FToB[1] = BC_LOCKED_INTERFACE
+    return FToB
+
+
+def _curved_prob(p=4, N=16):
+    Narr = np.full(2, N)
+    prob, _ = build_problem(p, VERTS, ETOV, ETOF, _ftob(), Narr, Narr)
+    return prob
+
+
+def test_assemble_chunk_matches_full():
+    """Chunked assemble+flatten == one-shot assemble then flatten
+    (same einsums per block, so bit-identical), flat-only storage."""
+    prob = _curved_prob(p=4, N=14)
+    full = build_blocked(prob, dtype=jnp.float64, assemble_on_device=True,
+                         flat=True)
+    chunked = build_blocked(prob, dtype=jnp.float64,
+                            assemble_on_device=True, assemble_chunk=1,
+                            with_fastdiag=False)
+    assert chunked.coefs is None            # flat-only memory mode
+    assert chunked.offsets_flat == full.offsets_flat
+    np.testing.assert_array_equal(np.asarray(chunked.coefs_flat),
+                                  np.asarray(full.coefs_flat))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((2,) + tuple(full.grid_shape)))
+    got = displacement_matvec(chunked, u)
+    want = displacement_matvec(full, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_refined_solver_reaches_f64_accuracy():
+    """f32 two-level solve + chunk-assembled f64 residuals reaches the
+    host f64 direct solution far below the f32 operator's own accuracy
+    (~kappa*eps_f32); the per-sweep contraction is what breaks the
+    floor at scales where no host oracle exists."""
+    prob = _curved_prob(p=4, N=16)
+    rng = np.random.default_rng(11)
+    nvol = int(prob.vstarts[-1])
+    g = rng.standard_normal(nvol)
+    gdelta = rng.standard_normal(int(prob.FToLstarts[-1]))
+
+    bp32 = build_blocked(prob, dtype=jnp.float32, flat=True)
+    trace_inv = build_woodbury_banded(bp32, prob, iters=64)
+    bp64 = build_blocked(prob, dtype=jnp.float64, assemble_on_device=True,
+                         assemble_chunk=1, with_fastdiag=False)
+    gb64, gd64 = blocked_rhs_from_host(prob, g, gdelta)
+
+    refine = make_refined_solver(bp32, bp64, trace_inv,
+                                 inner_tol=1e-5, inner_maxiter=120)
+    x64, rels = refine(gb64, gd64, sweeps=4, tol=1e-11)
+    assert rels[-1] < 1e-11, rels
+    # monotone contraction sweep over sweep
+    assert all(b < a for a, b in zip(rels, rels[1:])), rels
+
+    u_host, _ = prob.solve(g, gdelta, method="displacements")
+    u_dev = np.asarray(x64, dtype=np.float64).reshape(-1)
+    rel = (np.abs(u_dev - u_host).max()
+           / max(np.abs(u_host).max(), 1e-300))
+    # far below the ~1e-6-ish f32 operator accuracy at this size
+    assert rel < 1e-9, rel
+
+
+def test_refined_solver_beats_f32_only():
+    """The first sweep IS the plain f32 solve; later sweeps must gain
+    orders of magnitude on the f64 true residual."""
+    prob = _curved_prob(p=4, N=16)
+    rng = np.random.default_rng(12)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gdelta = rng.standard_normal(int(prob.FToLstarts[-1]))
+
+    bp32 = build_blocked(prob, dtype=jnp.float32, flat=True)
+    trace_inv = build_woodbury_banded(bp32, prob, iters=64)
+    bp64 = build_blocked(prob, dtype=jnp.float64, assemble_on_device=True,
+                         assemble_chunk=2, with_fastdiag=False)
+    gb64, gd64 = blocked_rhs_from_host(prob, g, gdelta)
+
+    refine = make_refined_solver(bp32, bp64, trace_inv,
+                                 inner_tol=1e-5, inner_maxiter=120)
+    _, rels = refine(gb64, gd64, sweeps=3)
+    assert rels[-1] < 1e-3 * rels[0], rels
+
+
+@pytest.mark.parametrize("chunk", [1, 3])
+def test_assemble_chunk_pad_and_apply(chunk):
+    """Chunk sizes that do not divide E still produce a correct
+    operator (the lax.map echunk padding is sliced off the result)."""
+    prob = _curved_prob(p=2, N=12)
+    full = build_blocked(prob, dtype=jnp.float64, assemble_on_device=True,
+                         flat=True)
+    chunked = build_blocked(prob, dtype=jnp.float64,
+                            assemble_on_device=True, assemble_chunk=chunk,
+                            with_fastdiag=False)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((2,) + tuple(full.grid_shape)))
+    np.testing.assert_allclose(
+        np.asarray(displacement_matvec(chunked, u)),
+        np.asarray(displacement_matvec(full, u)), rtol=1e-13, atol=1e-13)
