@@ -101,14 +101,21 @@ def build_fastdiag(lop, dtype=jnp.float64) -> FastDiag:
                     s_inv=jnp.asarray(s_inv, dtype=dtype))
 
 
-def fastdiag_apply(fd: FastDiag, b):
-    """P^{-1} b for a (..., Nsp, Nrp) field (vmappable over blocks)."""
+def fastdiag_apply(fd: FastDiag, b, precision=None):
+    """P^{-1} b for a (..., Nsp, Nrp) field (vmappable over blocks).
+
+    ``precision``: forwarded to the four eigenvector matmuls.  On TPU
+    the default lowers f32 matmuls to bf16 MXU passes — fine for the
+    preconditioner role (flexible outers), but accuracy-critical
+    consumers (the banded_from_device B̃ probe, whose plain inner CG
+    stagnates at the bf16-nonlinearity floor) must pass
+    ``jax.lax.Precision.HIGHEST``."""
     t = b * fd.s_inv
-    t = jnp.einsum("js,...sr->...jr", fd.Qs.T, t)
-    t = jnp.einsum("...jr,ri->...ji", t, fd.Qr)
+    t = jnp.einsum("js,...sr->...jr", fd.Qs.T, t, precision=precision)
+    t = jnp.einsum("...jr,ri->...ji", t, fd.Qr, precision=precision)
     denom = fd.lam_s[:, None] + fd.lam_r[None, :]
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     t = t / denom
-    t = jnp.einsum("js,...sr->...jr", fd.Qs, t)
-    t = jnp.einsum("...jr,ri->...ji", t, fd.Qr.T)
+    t = jnp.einsum("js,...sr->...jr", fd.Qs, t, precision=precision)
+    t = jnp.einsum("...jr,ri->...ji", t, fd.Qr.T, precision=precision)
     return t * fd.s_inv

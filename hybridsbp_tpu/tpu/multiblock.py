@@ -640,17 +640,19 @@ def banded_trace_1f(Tb_lf, offs_lf, sub):
     return t
 
 
-def banded_scatter_1f(Tb_lf, offs_lf, w):
+def banded_scatter_1f(Tb_lf, offs_lf, w, precision=None):
     """One face's adjoint: volume-layer values from a trace.
 
     w: (E, A) trace values; returns (E, nlay, A) with out[l,a] =
-    sum_b Tb[l,b,a] * w[a-off_b] (the banded form of F w)."""
+    sum_b Tb[l,b,a] * w[a-off_b] (the banded form of F w).
+    ``precision`` guards the tiny nband contraction against the TPU
+    f32->bf16 MXU lowering where exactness matters (the B̃ probe)."""
     E, A = w.shape
     P = max(max(abs(o) for o in offs_lf), 1)
     padw = jnp.pad(w, ((0, 0), (P, P)))
     wst = jnp.stack([jax.lax.slice(padw, (0, P - off), (E, P - off + A))
                      for off in offs_lf], axis=1)          # (E, nband, A)
-    return jnp.einsum("elba,eba->ela", Tb_lf, wst)
+    return jnp.einsum("elba,eba->ela", Tb_lf, wst, precision=precision)
 
 
 def dense_face_tensor(faces: FaceOps, lf: int, L: int):
@@ -984,6 +986,15 @@ def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
     factors is fine (:func:`hybridsbp_tpu.hybrid.build_problem_light`),
     which unlocks problem sizes the host pipeline cannot reach (the
     reference stops at N=136, square_circle.jl:207-210).
+
+    ``probe_iters=0`` probes with ONE exact fastdiag solve instead of
+    CG (B̃ = trace Schur complement of the *separable* surrogate
+    M_sep).  Measured NEGATIVE (tools/probe_banded_accuracy.py, CPU
+    f32, N=17/34/68): the fastdiag fit error is amplified ~10× by the
+    B = D − F M̃⁻¹ Fᵀ cancellation, giving rel block errors of 10-19
+    and 200-iter outer stalls, while probe_iters=24 CG probing stays
+    at ~3e-6 rel error / 3-iter outers at every tested N.  Kept only
+    as a diagnostic mode; always probe with CG.
     """
     from .cg import cg_fixed
     from .fastdiag import fastdiag_apply
@@ -1042,7 +1053,14 @@ def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
 
     def _probe(arrs_, ks):
         bpl = bp_with(bp, arrs_)
-        fd_apply = lambda r: jax.vmap(fastdiag_apply)(bpl.fd, r)
+        # HIGHEST: the probe's plain (non-flexible) inner CG stagnates
+        # at the bf16-MXU nonlinearity floor under the TPU default f32
+        # lowering, and the B = D - F M̃⁻¹ Fᵀ cancellation (~10x)
+        # amplifies whatever the inner leaves behind — the same trap as
+        # assemble_device's einsums, rediscovered here at N>=136.
+        hp = jax.lax.Precision.HIGHEST
+        fd_apply = lambda r: jax.vmap(
+            lambda f, x: fastdiag_apply(f, x, precision=hp))(bpl.fd, r)
 
         def probe_k(k):
             vs = []
@@ -1053,7 +1071,8 @@ def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
                 w = jnp.zeros((E, A), dtype=dtype) \
                     .at[:, jnp.minimum(k, A - 1)].set(val)
                 vals = banded_scatter_1f(Tb.astype(dtype),
-                                         bpl.faces.offs[lf2], w)
+                                         bpl.faces.offs[lf2], w,
+                                         precision=hp)
                 v = jnp.zeros((E, Nsp, Nrp), dtype=dtype)
                 layers = list(bpl.faces.layers[lf2])
                 if lf2 < 2:
@@ -1062,9 +1081,12 @@ def banded_from_device(bp: BlockedHybrid, prob, dtype=None, iters=32,
                     v = v.at[:, layers, :].add(vals)
                 vs.append(v)
             v4 = jnp.stack(vs)                       # (4, E, Nsp, Nrp)
-            z4 = jax.vmap(lambda b: cg_fixed(
-                lambda u: _dia_apply_batched(bpl, u, stencil), b,
-                probe_iters, precond=fd_apply))(v4)
+            if probe_iters == 0:
+                z4 = jax.vmap(fd_apply)(v4)          # exact M_sep⁻¹
+            else:
+                z4 = jax.vmap(lambda b: cg_fixed(
+                    lambda u: _dia_apply_batched(bpl, u, stencil), b,
+                    probe_iters, precond=fd_apply))(v4)
             return jax.vmap(lambda z: block_traces(bpl, z))(z4)
 
         # (kb, 4lf2, E, 4lf1, L_row) -> (E, lf1, lf2, row, col)
