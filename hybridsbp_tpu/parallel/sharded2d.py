@@ -32,6 +32,11 @@ from ..tpu.multiblock import (BlockedHybrid, dense_face_tensor,
 from .sharded import pad_blocks
 from .spatial import halo_exchange_s
 
+# face-coupling einsums are tiny contractions that XLA:TPU would
+# otherwise rewrite into bf16-MXU dots (~1e-3 f32 face error — see
+# multiblock.banded_trace_1f); pin them to full f32 precision
+_HP = jax.lax.Precision.HIGHEST
+
 
 def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
                            block_axis="block", space_axis="space",
@@ -128,14 +133,16 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         for lf in (0, 1):
             lay = list(layers[lf])                     # r-layers, full
             sub = u_loc[:, :, lay].transpose(0, 2, 1)  # (E, nlay, S_loc)
-            outs.append(jnp.einsum("elak,ela->ek", T_we[lf], sub))
+            outs.append(jnp.einsum("elak,ela->ek", T_we[lf], sub,
+                                    precision=_HP))
         for i, lf in enumerate((2, 3)):
             acc = jnp.zeros(u_loc.shape[:1] + (L,), dtype=u_loc.dtype)
             for li, l_global in enumerate(layers[lf]):
                 owned = (l_global >= off) & (l_global < off + S_loc)
                 idx = jnp.clip(l_global - off, 0, S_loc - 1)
                 row = u_loc[:, idx, :] * owned          # (E, Nrp)
-                acc = acc + jnp.einsum("eak,ea->ek", T_sn[i][:, li], row)
+                acc = acc + jnp.einsum("eak,ea->ek", T_sn[i][:, li], row,
+                                       precision=_HP)
             outs.append(acc)
         t = jnp.stack(outs, axis=1)
         return jax.lax.psum(t, space_axis)
@@ -147,7 +154,8 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
         for lf in (0, 1):
             wf = w[etof_loc[:, lf], :]
             wf = jnp.where(flip_loc[:, lf][:, None], bpp._rev_lf(wf, lf), wf)
-            vals = jnp.einsum("elak,ek->ela", T_we[lf], wf)  # (E,nlay,S_loc)
+            vals = jnp.einsum("elak,ek->ela", T_we[lf], wf,
+                              precision=_HP)       # (E,nlay,S_loc)
             lay = list(layers[lf])
             out = out.at[:, :, lay].add(vals.transpose(0, 2, 1))
         for i, lf in enumerate((2, 3)):
@@ -156,7 +164,8 @@ def make_sharded_solver_2d(bp: BlockedHybrid, mesh: Mesh, *, maxiter=5000,
             for li, l_global in enumerate(layers[lf]):
                 owned = (l_global >= off) & (l_global < off + S_loc)
                 idx = jnp.clip(l_global - off, 0, S_loc - 1)
-                vals = jnp.einsum("eak,ek->ea", T_sn[i][:, li], wf) * owned
+                vals = jnp.einsum("eak,ek->ea", T_sn[i][:, li], wf,
+                                  precision=_HP) * owned
                 out = out.at[:, idx, :].add(vals)
         return out
 

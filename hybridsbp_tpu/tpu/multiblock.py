@@ -623,13 +623,25 @@ def _dia_apply_batched(bp: BlockedHybrid, u, stencil="auto"):
     return _apply(bp.coefs, bp.offsets, u, use_pallas=use_pallas)
 
 
-def banded_trace_1f(Tb_lf, offs_lf, sub):
+def banded_trace_1f(Tb_lf, offs_lf, sub,
+                    precision=jax.lax.Precision.HIGHEST):
     """One face's trace from its gathered volume layers.
 
     Tb_lf: (E, nlay, nband, A); sub: (E, nlay, A) volume values on the
     face's layers; returns (E, A) with t[k] = sum_{l,b}
-    Tb[l,b,k+off_b] * sub[l,k+off_b] (the banded form of F^T u)."""
-    ps = jnp.sum(Tb_lf * sub[:, :, None, :], axis=1)       # (E, nband, A)
+    Tb[l,b,k+off_b] * sub[l,k+off_b] (the banded form of F^T u).
+
+    The nlay contraction defaults to Precision.HIGHEST: XLA:TPU
+    pattern-matches the multiply + axis-reduce into a dot_general and
+    lowers f32 operands to bf16 MXU passes — measured 1.3e-3 relative
+    trace error (vs 5e-7 for the identical f32 code on CPU,
+    tools/probe_banded_localize.py), which the B̃ = D − F M̃⁻¹ Fᵀ
+    cancellation amplified to a 3e-2 block error in the device-probed
+    trace preconditioner and which perturbs every coupled matvec's
+    face values on the f32 solve path.  The contraction length is only
+    nlay (≤ p/2+1), so there is no meaningful MXU saving to trade."""
+    ps = jnp.einsum("elba,ela->eba", Tb_lf, sub,
+                    precision=precision)                   # (E, nband, A)
     A = ps.shape[-1]
     P = max(max(abs(o) for o in offs_lf), 1)
     pad = jnp.pad(ps, ((0, 0), (0, 0), (P, P)))
@@ -640,13 +652,17 @@ def banded_trace_1f(Tb_lf, offs_lf, sub):
     return t
 
 
-def banded_scatter_1f(Tb_lf, offs_lf, w, precision=None):
+def banded_scatter_1f(Tb_lf, offs_lf, w,
+                      precision=jax.lax.Precision.HIGHEST):
     """One face's adjoint: volume-layer values from a trace.
 
     w: (E, A) trace values; returns (E, nlay, A) with out[l,a] =
     sum_b Tb[l,b,a] * w[a-off_b] (the banded form of F w).
-    ``precision`` guards the tiny nband contraction against the TPU
-    f32->bf16 MXU lowering where exactness matters (the B̃ probe)."""
+    ``precision`` defaults to HIGHEST for the same reason as
+    :func:`banded_trace_1f`: the tiny nband contraction otherwise
+    lowers f32 to bf16 MXU passes on TPU, perturbing the face-coupling
+    term of every matvec at ~1e-3 — a pure accuracy loss with no
+    meaningful MXU saving at nband ≤ 2p+1."""
     E, A = w.shape
     P = max(max(abs(o) for o in offs_lf), 1)
     padw = jnp.pad(w, ((0, 0), (P, P)))

@@ -853,3 +853,26 @@ def test_flat_layout_chunked_matches():
                                rtol=1e-13, atol=1e-13)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y0),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_face_band_contractions_pinned_to_highest_precision():
+    """banded_trace_1f / banded_scatter_1f must carry HIGHEST precision.
+
+    On TPU, XLA rewrites the tiny band contractions into dot_generals
+    and lowers f32 to bf16 MXU passes: measured 1.3e-3 relative trace
+    error (vs 5e-7 for the identical code on CPU), which the
+    B̃ = D − F M̃⁻¹ Fᵀ cancellation amplified to a 3e-2 block error in
+    the device-probed trace preconditioner (18-iter outer FCG at N=34
+    instead of 3) and which perturbs every coupled matvec's face values
+    on the f32 path (tools/probe_banded_localize.py, round 4)."""
+    prob = _two_block(p=6)
+    bp = build_blocked(prob, dtype=jnp.float32)
+    u = jnp.ones((2,) + tuple(bp.grid_shape), dtype=jnp.float32)
+    jaxpr = jax.make_jaxpr(lambda v: displacement_matvec(bp, v))(u)
+    hp = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+    dots = [e for e in jaxpr.jaxpr.eqns
+            if e.primitive.name == "dot_general"]
+    assert dots, "expected face-coupling dot_generals in the matvec jaxpr"
+    bad = [str(e.params["precision"]) for e in dots
+           if e.params.get("precision") != hp]
+    assert not bad, f"{len(bad)} face contraction(s) without HIGHEST"
