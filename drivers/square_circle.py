@@ -317,28 +317,45 @@ def _timed_device_solves(bp, trace_inv, gb, gd, u_host, *, nvol, methods,
         # running k back-to-back solves inside ONE program and
         # two-point-fitting removes them (shared harness:
         # utils.profiling.chained_time — median-of-5 per the repo
-        # timing policy, serialized chain links)
+        # timing policy, serialized chain links).  Chain length is
+        # budgeted by the warm per-call wall: the tunneled worker
+        # KILLS multi-minute single launches (a k2=3 chain of N=272
+        # trace solves crashed it — UNAVAILABLE, r4), and at
+        # multi-second solves one RTT is <2% anyway, so past ~20 s
+        # per chain the fit stops paying for its risk.
         t_chain = None
-        try:
-            from hybridsbp_tpu.utils.profiling import chained_time
-            sj2 = solve.sj
-            t_chain = chained_time(
-                lambda g_, a_, gd_: sj2.fn(a_, g_, gd_).x,
-                (gb, sj2.arrs, gd))
-        except Exception as e:               # noqa: BLE001
-            if verbose:
-                print(f"  chained timing unavailable: "
-                      f"{type(e).__name__}: {str(e)[:120]}")
+        if t_warm <= 8.0:
+            try:
+                from hybridsbp_tpu.utils.profiling import chained_time
+                sj2 = solve.sj
+                k2 = int(max(2, min(3, 20.0 // max(t_warm, 1e-3))))
+                t_chain = chained_time(
+                    lambda g_, a_, gd_: sj2.fn(a_, g_, gd_).x,
+                    (gb, sj2.arrs, gd), k2=k2)
+            except Exception as e:               # noqa: BLE001
+                if verbose:
+                    print(f"  chained timing unavailable: "
+                          f"{type(e).__name__}: {str(e)[:120]}")
+        elif verbose:
+            print(f"  chained timing skipped (warm {t_warm:.1f}s/solve: "
+                  "chain would exceed the tunneled worker's launch "
+                  "budget; per-call wall carries ~1 RTT = <2% here)")
 
+        # fetch results to HOST eagerly: if a later launch crashes the
+        # tunneled worker, every live device buffer dies with it — an
+        # already-completed method's solution must not be lost (r4:
+        # the N=272 trace-chain crash voided the displacements MMS)
+        x_host = np.asarray(res.x[:nblocks])
+        iters, conv, resnorm = (int(res.iters), bool(res.converged),
+                                float(res.resnorm))
         rel = None
         if u_host is not None:
-            err = np.abs(np.asarray(res.x[:nblocks]).ravel()
+            err = np.abs(x_host.ravel().astype(np.float64)
                          - u_host).max()
             rel = float(err / np.abs(u_host).max())
         if verbose:
             print(f"device solve [{method}] ({jax.default_backend()}): "
-                  f"{int(res.iters)} outer FCG iters, converged="
-                  f"{bool(res.converged)}")
+                  f"{iters} outer FCG iters, converged={conv}")
             print(f"  first call {t_first:.2f}s (incl. compile), "
                   f"warm {t_warm * 1e3:.0f} ms/solve "
                   + (f"(host direct: {t_host * 1e3:.0f} ms)"
@@ -348,15 +365,15 @@ def _timed_device_solves(bp, trace_inv, gb, gd, u_host, *, nvol, methods,
                       f"ms/solve (per-call wall carries one tunnel RTT)")
             if rel is not None:
                 print(f"  max err vs host f64: {err:.3e} (rel {rel:.3e})")
-        out[method] = {"nvol": nvol, "iters": int(res.iters),
-                       "converged": bool(res.converged),
-                       "resnorm": float(res.resnorm),
+        out[method] = {"nvol": nvol, "iters": iters,
+                       "converged": conv,
+                       "resnorm": resnorm,
                        "t_warm_s": t_warm, "t_warm_min_s": t_warm_min,
                        "t_chained_s": t_chain,
                        "t_first_s": t_first,
                        "t_host_s": t_host, "rel_err": rel,
-                       "_x": res.x}      # device fields (for callers
-    return out                           # that verify further)
+                       "_x": x_host}     # host-fetched fields (for
+    return out                           # callers that verify further)
 
 
 FLAGSHIP_CACHE = os.path.join(os.path.dirname(__file__), "..",
@@ -832,6 +849,11 @@ if __name__ == "__main__":
                          "+ chunk-assembled f64 on-device residuals) — "
                          "breaks the f32 kappa*eps attainable-accuracy "
                          "floor at 4.2M DOF; 4 reaches ~1e-9")
+    ap.add_argument("--methods", default="displacements,trace",
+                    help="with --device-only: comma-separated method "
+                         "list — lets a phase re-run in a fresh "
+                         "process after a tunneled-worker crash "
+                         "(UNAVAILABLE kills every device buffer)")
     ap.add_argument("--flagship-cache-build", action="store_true",
                     help="one-time build of the flagship (p=6 N=136) "
                          "device-problem cache (~20-35 min host)")
@@ -843,7 +865,9 @@ if __name__ == "__main__":
         run_device_only(p=a.p, N=a.N0, tol=a.tol,
                         inner_iters=a.inner_iters,
                         probe_iters=a.probe_iters, stencil=a.stencil,
-                        refine_sweeps=a.refine_sweeps)
+                        refine_sweeps=a.refine_sweeps,
+                        methods=tuple(m for m in a.methods.split(",")
+                                      if m))
         raise SystemExit(0)
     if a.flagship_cache_build:
         build_flagship_cache(p=a.p, N=a.N0 if a.N0 != 17 else 136)

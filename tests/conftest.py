@@ -23,3 +23,30 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# ---- second-tier "heavy" tests (VERDICT r3 #10) -------------------------
+# The default gate (`python -m pytest tests/ -q`) had drifted to ~17 min;
+# the slowest tests whose code paths keep cheaper default coverage (or a
+# driver-checked dryrun leg) carry @pytest.mark.heavy and run under
+# HYBRIDSBP_HEAVY_TESTS=1 — and always under the HYBRIDSBP_SLOW_TESTS=1
+# full-cycle gate, which supersets the heavy tier.
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: second-tier expensive test (set HYBRIDSBP_HEAVY_TESTS=1 "
+        "or HYBRIDSBP_SLOW_TESTS=1 to run)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if (os.environ.get("HYBRIDSBP_HEAVY_TESTS") == "1"
+            or os.environ.get("HYBRIDSBP_SLOW_TESTS") == "1"):
+        return
+    skip = pytest.mark.skip(
+        reason="heavy tier (set HYBRIDSBP_HEAVY_TESTS=1)")
+    for it in items:
+        if "heavy" in it.keywords:
+            it.add_marker(skip)

@@ -35,6 +35,7 @@ def test_forward_matches_host_at_background():
     np.testing.assert_allclose(pred, want, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.heavy
 def test_adjoint_gradient_matches_finite_differences():
     """jax.grad through (on-device assembly -> implicit-CG solve ->
     station misfit) matches central finite differences in random
@@ -184,6 +185,7 @@ def test_slip_forward_adjoint_identity():
         f"adjoint identity violated: {lhs} vs {rhs}"
 
 
+@pytest.mark.heavy
 def test_slip_uq_exact_gauss_newton():
     """Dense-Jacobian exact Gauss-Newton + linear-Gaussian posterior:
     J reproduces the forward, noiseless recovery beats CGNE (measured
@@ -214,6 +216,7 @@ def test_slip_uq_exact_gauss_newton():
     assert 0.4 < np.diag(resol).mean() < 1.0
 
 
+@pytest.mark.heavy
 def test_slip_inversion_args_form():
     """The 413-safe arrays-as-arguments form (forward_with/arrs — the
     accelerator deployment path, CLAUDE.md closure-constant rule)
@@ -241,6 +244,7 @@ def test_slip_inversion_args_form():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.heavy
 def test_slip_inversion_f32_refined():
     """Mixed-precision inversion (f32 inner CGNE + f64 outer
     refinement — the accelerator deployment dtype): at a
@@ -277,6 +281,7 @@ def test_slip_inversion_f32_refined():
     assert err < 2e-2, f"f32-refined vs dense oracle: {err}"
 
 
+@pytest.mark.heavy
 def test_slip_inversion_sharded_mesh():
     """make_slip_inversion(mesh=...) — the multi-chip inversion path:
     the block-sharded implicit forward (custom_linear_solve over the
@@ -452,6 +457,7 @@ def test_mb_material_gradient_fd():
             (i, fd, float(g[i]))
 
 
+@pytest.mark.heavy
 def test_mb_material_recovery_and_sharded_parity():
     """End-to-end: recover a 4-block material contrast through the
     coupled solve; and the mesh= (virtual 8-device, block-sharded)

@@ -56,6 +56,7 @@ def test_rectangular_blocks_device_solve(Nr, Ns):
     assert bp.Dinv.shape[1] == max(Nr, Ns) + 1
 
 
+@pytest.mark.heavy
 def test_two_bucket_mixed_shapes():
     """Mixed per-block (Nr, Ns) via shape bucketing: two blocks with
     different Nr (conforming shared vertical face, equal Ns) solved by

@@ -38,6 +38,7 @@ def _curved_prob(p=4, N=16):
     return prob
 
 
+@pytest.mark.heavy
 def test_assemble_chunk_matches_full():
     """Chunked assemble+flatten == one-shot assemble then flatten
     (same einsums per block, so bit-identical), flat-only storage."""

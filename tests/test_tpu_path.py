@@ -605,6 +605,7 @@ def test_shared_operator_representation():
         build_blocked(prob_asym, share_ops=True)
 
 
+@pytest.mark.heavy
 def test_bf16_coef_storage_and_refined_solve():
     """coef_dtype=bfloat16 halves the coefficient stream: the matvec
     upcasts on-chip (output stays in field precision, error ~bf16 eps),
@@ -772,7 +773,8 @@ def test_blocked_solve_symmetric_flat_matches_host():
                                rtol=1e-6, atol=1e-8)
 
 
-@pytest.mark.parametrize("p", [2, 6])
+@pytest.mark.parametrize(
+    "p", [2, pytest.param(6, marks=pytest.mark.heavy)])
 def test_symmetric_flat_layout_matches_sparse(p):
     """Symmetric flat layout (flatten_dia_sym/dia_apply_flat_sym):
     storing only the o >= 0 diagonals (operator symmetry supplies the
