@@ -599,11 +599,13 @@ def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
     how the floor was diagnosed); f32 corrections + chunk-assembled
     f64 on-device residuals break it, reaching ~1e-9 in 3-4 sweeps.
 
-    ``trace_inner_tol='auto'``: the trace method's inner block solves
-    get a floor-aware tolerance max(tol*0.2, 3e-4) — the default
-    tol*0.2 = 2e-7 is unreachable in f32 at this scale, so every inner
-    solve would burn inner_maxiter iterations without helping the
-    (also floor-limited) outer.
+    ``trace_inner_tol='auto'`` resolves to the framework default
+    (tol*0.2).  A floor-aware loosening to max(tol*0.2, 3e-4) was
+    tried while the bf16 face-contraction bug made everything look
+    floor-limited — measured FAILURE at N=272 post-fix: inner solves
+    at 3e-4 make every outer B application a *different* operator,
+    and the flexible outer goes nowhere (200 iters, MMS rel err 1.0),
+    while tol*0.2 converges.  Pass an explicit float to experiment.
     """
     import jax
     import jax.numpy as jnp
@@ -663,7 +665,7 @@ def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
         print(f"on-device banded B~ probing {t_binv:.1f}s", flush=True)
 
     if trace_inner_tol == "auto":
-        trace_inner_tol = max(tol * 0.2, 3e-4)
+        trace_inner_tol = None          # framework default: tol*0.2
     out = _timed_device_solves(
         bp, trace_inv, gb, gd, None, nvol=nvol, methods=methods,
         tol=tol, inner_iters=inner_iters, repeats=repeats,
@@ -849,6 +851,10 @@ if __name__ == "__main__":
                          "+ chunk-assembled f64 on-device residuals) — "
                          "breaks the f32 kappa*eps attainable-accuracy "
                          "floor at 4.2M DOF; 4 reaches ~1e-9")
+    ap.add_argument("--trace-inner-tol", default="auto",
+                    help="with --device-only: inner block-solve "
+                         "tolerance for the trace method ('auto' = "
+                         "framework default tol*0.2, or a float)")
     ap.add_argument("--methods", default="displacements,trace",
                     help="with --device-only: comma-separated method "
                          "list — lets a phase re-run in a fresh "
@@ -867,7 +873,10 @@ if __name__ == "__main__":
                         probe_iters=a.probe_iters, stencil=a.stencil,
                         refine_sweeps=a.refine_sweeps,
                         methods=tuple(m for m in a.methods.split(",")
-                                      if m))
+                                      if m),
+                        trace_inner_tol=(a.trace_inner_tol
+                                         if a.trace_inner_tol == "auto"
+                                         else float(a.trace_inner_tol)))
         raise SystemExit(0)
     if a.flagship_cache_build:
         build_flagship_cache(p=a.p, N=a.N0 if a.N0 != 17 else 136)
