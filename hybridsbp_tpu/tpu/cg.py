@@ -18,6 +18,11 @@ class CGResult(NamedTuple):
     iters: jnp.ndarray
     resnorm: jnp.ndarray        # final |r| / |b|
     converged: jnp.ndarray
+    # stagnation guard tripped (see cg(stall_iters=...)): the solve made
+    # no meaningful residual progress over a window of iterations —
+    # distinct from running to maxiter ("diverged"/floored).  False when
+    # the guard is off.
+    stalled: jnp.ndarray = False
 
 
 def _dot(a, b):
@@ -37,7 +42,8 @@ def _axpy(alpha, x, y):
 
 
 def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
-       precond: Optional[Callable] = None, flexible=False) -> CGResult:
+       precond: Optional[Callable] = None, flexible=False,
+       stall_iters=None, stall_factor=0.9) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
     ``matvec(x)`` and ``precond(r)`` operate on arrays of b's shape (any
@@ -49,6 +55,18 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
     which tolerates a *variable* preconditioner — required when the
     preconditioner is itself an inexact inner iteration (e.g. the
     batched block solves inside the device trace-Schur solve).
+
+    ``stall_iters=k``: stagnation guard (VERDICT r4 next #3) — bail out
+    once the residual norm has not improved below ``stall_factor`` × its
+    best value for ``k`` consecutive iterations, reporting
+    ``stalled=True`` (distinct from running to ``maxiter``).  Motivated
+    by the N=272 trace-method failure mode: at ~36 s per outer
+    iteration, 200 futile iterations burned ~2 h before reporting;
+    a stalled preconditioned outer (broken preconditioner, f32
+    attainable-accuracy floor below ``tol``) shows NO window progress
+    and trips this in minutes.  Off (None) by default — long
+    lightly-preconditioned solves have legitimate plateaus; the
+    well-preconditioned serving paths (``make_jit_solver``) enable it.
     """
     M = precond if precond is not None else (lambda r: r)
     x0 = (jax.tree_util.tree_map(jnp.zeros_like, b) if x0 is None else x0)
@@ -58,14 +76,18 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
     r0 = _axpy(-1.0, matvec(x0), b)
     z0 = M(r0)
     gamma0 = jnp.real(_dot(r0, z0))
+    rn0 = jnp.sqrt(jnp.real(_dot(r0, r0)))
 
     def cond(st):
-        x, r, r_old, z, p, gamma, k = st
+        x, r, r_old, z, p, gamma, k, best_rn, best_k = st
         rn = jnp.sqrt(jnp.real(_dot(r, r)))
-        return (rn > tol * bnorm) & (k < maxiter)
+        go = (rn > tol * bnorm) & (k < maxiter)
+        if stall_iters is not None:
+            go = go & (k - best_k < stall_iters)
+        return go
 
     def body(st):
-        x, r, r_old, z, p, gamma, k = st
+        x, r, r_old, z, p, gamma, k, best_rn, best_k = st
         Ap = matvec(p)
         # guarded divisions: under vmap, lanes that already converged
         # keep iterating until the whole batch is done, and their
@@ -83,12 +105,22 @@ def cg(matvec: Callable, b, x0=None, *, tol=1e-10, maxiter=500,
             num = gamma_new
         beta = num / jnp.where(gamma == 0, 1.0, gamma)
         p = _axpy(beta, p, z)
-        return (x, r_new, r, z, p, gamma_new, k + 1)
+        if stall_iters is not None:
+            rn = jnp.sqrt(jnp.real(_dot(r_new, r_new)))
+            improved = rn < stall_factor * best_rn
+            best_rn = jnp.where(improved, rn, best_rn)
+            best_k = jnp.where(improved, k + 1, best_k)
+        return (x, r_new, r, z, p, gamma_new, k + 1, best_rn, best_k)
 
-    st = (x0, r0, r0, z0, z0, gamma0, jnp.asarray(0))
-    x, r, r_old, z, p, gamma, k = jax.lax.while_loop(cond, body, st)
+    st = (x0, r0, r0, z0, z0, gamma0, jnp.asarray(0), rn0, jnp.asarray(0))
+    x, r, r_old, z, p, gamma, k, best_rn, best_k = jax.lax.while_loop(
+        cond, body, st)
     rn = jnp.sqrt(jnp.real(_dot(r, r))) / bnorm
-    return CGResult(x=x, iters=k, resnorm=rn, converged=rn <= tol)
+    converged = rn <= tol
+    stalled = ((k - best_k >= stall_iters) & ~converged
+               if stall_iters is not None else jnp.asarray(False))
+    return CGResult(x=x, iters=k, resnorm=rn, converged=converged,
+                    stalled=stalled)
 
 
 def cg_fixed(matvec: Callable, b, iters: int, x0=None,

@@ -1268,7 +1268,8 @@ def trace_matvec(bp: BlockedHybrid, lam, minv):
 
 def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
                 maxiter=500, inner_tol=1e-11, inner_maxiter=400,
-                stencil="auto", Binv_pad=None):
+                stencil="auto", Binv_pad=None, stall_iters=None,
+                stall_factor=0.9):
     """Device-side hybrid trace (Schur) solve — the reference's *default*
     method (square_circle.jl:374-388) run TPU-native:
 
@@ -1298,7 +1299,8 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
         precond = lambda r: apply_traceinv(Binv_pad, r)
     b = jnp.where(mask, gdelta_faces, 0.0) - _fbar_raw(bp, minv(g))
     res = cg(lambda lam: trace_matvec(bp, lam, minv), b,
-             tol=tol, maxiter=maxiter, flexible=True, precond=precond)
+             tol=tol, maxiter=maxiter, flexible=True, precond=precond,
+             stall_iters=stall_iters, stall_factor=stall_factor)
     u = minv(g - face_scatter(bp, res.x, 0, E))
     return u, res.x, res
 
@@ -1306,7 +1308,8 @@ def solve_trace(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
 def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                     trace_inv=None, tol=1e-6, maxiter=200,
                     inner_iters=8, inner_iters2=None, stencil="auto",
-                    precond_coef_dtype=None, trace_inner_tol=None):
+                    precond_coef_dtype=None, trace_inner_tol=None,
+                    stall_iters="auto", stall_factor=0.9):
     """One-compile serving solver: returns ``solve(g, gdelta_faces)``
     — a single jitted program for the whole hybrid solve.
 
@@ -1334,9 +1337,21 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
     outer (200 iters, no convergence) despite converging on small
     problems.  Left as an explicit opt-in for well-conditioned cases;
     do not enable by default.
-    """
+
+    ``stall_iters``: outer-FCG stagnation guard (VERDICT r4 next #3).
+    'auto' enables a 10-iteration window when ``trace_inv`` is present
+    (healthy two-level-preconditioned outers converge in <= ~15
+    iterations, so 10 windowed iterations with < 10% progress means the
+    preconditioner is broken or ``tol`` sits below the attainable f32
+    floor — bail in minutes instead of burning maxiter × 36 s at
+    N=272); None/0 disables; an int sets the window.  The result's
+    ``stalled`` flag distinguishes the bail from plain
+    non-convergence."""
     if method not in ("displacements", "trace"):
         raise ValueError(f"unknown method {method!r}")
+    if stall_iters == "auto":
+        stall_iters = 10 if trace_inv is not None else None
+    stall_iters = stall_iters or None
     arrs = bp_arrays(bp)
     if trace_inv is not None:
         arrs["Binv"] = traceinv_arrays(trace_inv)
@@ -1356,7 +1371,8 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
                 inner_tol=(tol * 0.2 if trace_inner_tol is None
                            else trace_inner_tol),
                 inner_maxiter=200,
-                stencil=stencil, Binv_pad=ti2)
+                stencil=stencil, Binv_pad=ti2,
+                stall_iters=stall_iters, stall_factor=stall_factor)
             return res._replace(x=u)
         if ti2 is not None:
             bp_pre = bp2
@@ -1377,7 +1393,9 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
             precond, flexible = "auto", False
         return solve_displacements(bp2, g, gdelta_faces, tol=tol,
                                    maxiter=maxiter, precond=precond,
-                                   flexible=flexible, stencil=stencil)
+                                   flexible=flexible, stencil=stencil,
+                                   stall_iters=stall_iters,
+                                   stall_factor=stall_factor)
 
     solve_jit = jax.jit(solve_fn)
 
@@ -1394,7 +1412,8 @@ def make_jit_solver(bp: BlockedHybrid, *, method="displacements",
 
 def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
                         maxiter=2000, precond="auto", stencil="auto",
-                        flexible=False):
+                        flexible=False, stall_iters=None,
+                        stall_factor=0.9):
     """CG on the eliminated SPD system (batched).
 
     ``precond``: 'auto' (fastdiag when available), 'fastdiag', 'jacobi',
@@ -1402,11 +1421,13 @@ def solve_displacements(bp: BlockedHybrid, g, gdelta_faces, *, tol=1e-10,
     ``stencil``: kernel choice for the block matvec — 'auto', 'pallas',
     'unrolled', or 'compact' (see :func:`_dia_apply_batched`).
     ``flexible``: Polak–Ribière CG for variable preconditioners (e.g.
-    Woodbury with inner CG)."""
+    Woodbury with inner CG).  ``stall_iters``: stagnation guard window
+    (see :func:`hybridsbp_tpu.tpu.cg.cg`)."""
     M = _resolve_displacement_precond(bp, precond)
     b = displacement_rhs(bp, g, gdelta_faces)
     res = cg(lambda u: displacement_matvec(bp, u, stencil=stencil), b,
-             tol=tol, maxiter=maxiter, precond=M, flexible=flexible)
+             tol=tol, maxiter=maxiter, precond=M, flexible=flexible,
+             stall_iters=stall_iters, stall_factor=stall_factor)
     return res
 
 

@@ -62,6 +62,58 @@ def test_cg_matches_direct():
     np.testing.assert_allclose(np.asarray(res.x), want, rtol=1e-6, atol=1e-8)
 
 
+def test_cg_stall_guard_broken_preconditioner():
+    """VERDICT r4 next #3: a deliberately broken (rank-deficient)
+    preconditioner stalls the flexible outer — the guard must bail
+    after ~stall_iters windowed iterations and report ``stalled``
+    distinctly, instead of burning maxiter (the N=272 trace failure
+    burned 200 x 36 s before reporting)."""
+    rng = np.random.default_rng(7)
+    n = 64
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A = jnp.asarray(Q @ np.diag(np.linspace(1.0, 50.0, n)) @ Q.T)
+    b = jnp.asarray(rng.standard_normal(n))
+    # rank-1 "preconditioner": confines every correction to e0 — once
+    # that component of the residual is gone, z = gamma = 0 and the
+    # iteration makes no further progress (guarded divisions keep it
+    # inert, exactly the stalled shape)
+    mask = jnp.zeros(n).at[0].set(1.0)
+    res = cg(lambda x: A @ x, b, tol=1e-10, maxiter=500, flexible=True,
+             precond=lambda r: r * mask, stall_iters=10)
+    assert bool(res.stalled)
+    assert not bool(res.converged)
+    assert int(res.iters) <= 30, f"guard should bail early: {res.iters}"
+
+
+def test_cg_stall_guard_trips_at_f32_floor():
+    """tol below the f32 attainable-accuracy floor: the residual
+    plateaus at ~kappa*eps_f32 and the guard must trip instead of
+    running to maxiter (the N=272 diagnosis shape)."""
+    rng = np.random.default_rng(8)
+    n = 96
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0].astype(np.float32)
+    d = np.logspace(0, 6, n).astype(np.float32)
+    A = jnp.asarray(Q @ np.diag(d) @ Q.T, dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+    res = cg(lambda x: A @ x, b, tol=1e-12, maxiter=5000,
+             stall_iters=25)
+    assert not bool(res.converged)
+    assert bool(res.stalled)
+    assert int(res.iters) < 5000
+
+
+def test_cg_stall_guard_inert_on_healthy_solve():
+    """A healthy converging solve must not trip the guard."""
+    rng = np.random.default_rng(9)
+    n = 80
+    M = rng.standard_normal((n, n))
+    A = jnp.asarray(np.eye(n) + 0.1 * (M @ M.T) / n)
+    b = jnp.asarray(rng.standard_normal(n))
+    res = cg(lambda x: A @ x, b, tol=1e-10, maxiter=200, stall_iters=10)
+    assert bool(res.converged)
+    assert not bool(res.stalled)
+
+
 def _two_block(p=2, N=12):
     Narr = np.full(2, N)
     prob, conn = build_problem(p, VERTS, ETOV, ETOF, _ftob(), Narr, Narr)
