@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--ensemble-spread", type=float, default=0.08)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-steps", type=int, default=100_000)
+    ap.add_argument("--rtol", type=float, default=1e-3,
+                    help="integrator relative tolerance (1e-4 for "
+                         "converged event series; 1e-3 default)")
     ap.add_argument("--Dc", type=float, default=None,
                     help="rate-and-state Dc (m); 0.008 = canonical "
                          "SEAS BP1-QD (~78-yr recurrence through the "
@@ -71,6 +74,7 @@ def main():
         RSa_batch = perturb_rsa(mp.RSa, M, a.ensemble_spread, a.seed)
         t0 = time.time()
         sols = mb.run_ensemble(mp, RSa_batch, sim_years=a.years,
+                               rtol=a.rtol,
                                max_steps=a.max_steps, newton_dtype=ndt)
         ok = np.asarray(sols.stats.success)
         wall = time.time() - t0
@@ -86,16 +90,20 @@ def main():
     # closures would recompile the whole while_loop each time
     fns = mb.make_cycle_fns(mp, newton_dtype=ndt)
     t0 = time.time()
-    sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps, _fns=fns)
+    sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps,
+                 rtol=a.rtol, _fns=fns)
     wall = time.time() - t0
     nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
     print(f"integrated {float(sol.t_final) / YEAR_SECONDS:.1f} years in "
           f"{wall:.1f}s: {nacc} accepted / {nrej} rejected")
     for _ in range(a.repeat):
         t0 = time.time()
-        sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps, _fns=fns)
+        sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps,
+                     rtol=a.rtol, _fns=fns)
         float(sol.t_final)            # scalar fetch = sync
-        print(f"  warm re-run: {time.time() - t0:.2f}s")
+        wall = time.time() - t0
+        print(f"  warm re-run: {wall:.2f}s "
+              f"({a.years / wall:.0f} sim-years/s)")
 
     ts = np.asarray(sol.ts)
     valid = np.isfinite(ts)

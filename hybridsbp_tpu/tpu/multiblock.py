@@ -261,11 +261,48 @@ def _face_layer_sets(p, Nr, Ns):
 _ASSEMBLY_DATA_CACHE = {}
 
 
+def assemble_flat_chunked(data, crr, css, crs, masks, *, dtype, Nrp,
+                          chunk=8):
+    """Chunked on-device assemble + flatten: assemble ``chunk`` blocks'
+    padded DIA planes at a time and immediately flatten them to the 1D
+    raveled-diagonal layout, so the full padded plane stack never
+    materializes (at p=6 N=272 in f64 that transient is ~6.4 GB on top
+    of the 4.4 GB flat stack, vs < 1 GB per 8-block chunk).
+
+    Returns ``(coefs_flat, offsets_flat)`` — the inputs to a flat-only
+    :class:`BlockedHybrid` (shared by :func:`build_blocked`'s
+    ``assemble_chunk`` path and the device-problem-cache loaders, which
+    re-assemble operators from cached metric planes without a host
+    problem object)."""
+    from .assemble_device import assemble_planes
+    from .stencil import flatten_dia
+
+    all_offs = tuple(data.offsets)
+    offs_flat = tuple(sorted({ds * Nrp + dr for ds, dr in all_offs}))
+    chunk_fn = jax.jit(lambda a, b, c, m: flatten_dia(
+        jax.vmap(lambda x, y, z, w: assemble_planes(
+            data, x, y, z, w))(a, b, c, m),
+        all_offs, Nrp)[0])
+    E = crr.shape[0]
+    pieces = []
+    for e0 in range(0, E, int(chunk)):
+        sl = slice(e0, min(e0 + int(chunk), E))
+        piece = chunk_fn(jnp.asarray(crr[sl], dtype=dtype),
+                         jnp.asarray(css[sl], dtype=dtype),
+                         jnp.asarray(crs[sl], dtype=dtype),
+                         jnp.asarray(masks[sl], dtype=dtype))
+        piece.block_until_ready()   # bound the in-flight work
+        pieces.append(piece)
+    flat = (pieces[0] if len(pieces) == 1 else jax.jit(
+        lambda ps: jnp.concatenate(ps, axis=0))(pieces))
+    return flat, offs_flat
+
+
 def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                   L=None, share_ops="auto",
                   coef_dtype=None, assemble_on_device=False,
                   flat="auto", flat_sym=False,
-                  assemble_chunk=None) -> BlockedHybrid:
+                  assemble_chunk=None, defer_assembly=False) -> BlockedHybrid:
     """Extract the device-form problem from a host HybridProblem.
 
     Requires a uniform block shape (rectangular Nr != Ns allowed);
@@ -303,10 +340,20 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
     chunk.  This is how the f64 residual operator for
     :func:`hybridsbp_tpu.tpu.refine.make_refined_solver` fits at
     beyond-reference problem sizes.
+
+    ``defer_assembly``: with ``assemble_on_device``, skip the
+    coefficient assembly entirely and return the operator TEMPLATE
+    (``coefs=None`` — face tensors, fastdiag, Dinv, static metadata).
+    For device-problem caches (VERDICT r4 next #2): the template plus
+    the ~L² metric planes is all a later process needs to re-assemble
+    the operator on-device (:func:`assemble_flat_chunked`), so the
+    cache builder never pays (or stores) a coefficient stack.
     """
     from .fastdiag import FastDiag, build_fastdiag
     from .stencil import to_dia
 
+    assert not defer_assembly or assemble_on_device, \
+        "defer_assembly is an assemble_on_device template mode"
     dtype = jax.dtypes.canonicalize_dtype(dtype)  # f64 -> f32 when x64 off
 
     lops = prob.lops
@@ -366,7 +413,10 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         if shared:
             crr, css, crs, masks = (a[:1] for a in (crr, css, crs, masks))
         chunk_flat = None
-        if assemble_chunk and not shared:
+        if defer_assembly:
+            coefs = None
+            flat = False
+        elif assemble_chunk and not shared:
             # chunked assemble + flatten: each jitted call assembles
             # `assemble_chunk` blocks' padded planes (the only plane
             # transient) and immediately flattens them; the full plane
@@ -375,22 +425,9 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                 "assemble_chunk supports the plain flat layout only"
             assert flat is not False, \
                 "assemble_chunk stores only the flat layout (flat-only)"
-            from .stencil import flatten_dia
-            chunk_fn = jax.jit(lambda a, b, c, m: flatten_dia(
-                jax.vmap(lambda x, y, z, w: assemble_planes(
-                    data, x, y, z, w))(a, b, c, m),
-                tuple(all_offs), Nrp)[0])
-            pieces = []
-            for e0 in range(0, E, int(assemble_chunk)):
-                sl = slice(e0, min(e0 + int(assemble_chunk), E))
-                piece = chunk_fn(jnp.asarray(crr[sl], dtype=dtype),
-                                 jnp.asarray(css[sl], dtype=dtype),
-                                 jnp.asarray(crs[sl], dtype=dtype),
-                                 jnp.asarray(masks[sl], dtype=dtype))
-                piece.block_until_ready()   # bound the in-flight work
-                pieces.append(piece)
-            chunk_flat = (pieces[0] if len(pieces) == 1 else jax.jit(
-                lambda ps: jnp.concatenate(ps, axis=0))(pieces))
+            chunk_flat, _ = assemble_flat_chunked(
+                data, crr, css, crs, masks, dtype=dtype, Nrp=Nrp,
+                chunk=int(assemble_chunk))
             coefs = None
         else:
             assemble = jax.jit(jax.vmap(

@@ -114,6 +114,70 @@ def make_refined_solver(bp32, bp64, trace_inv, *, inner_tol=2e-3,
     return refine
 
 
+def make_fixed_refined(bp, trace_inv, *, coef_dtype=jnp.bfloat16,
+                       sweeps=3, inner_tol=1e-3, inner_maxiter=40,
+                       inner_iters=8, stencil="auto"):
+    """ONE-program refined serving solve whose inner FCG matvecs stream
+    ``coef_dtype`` (bf16) coefficients — the realization of the r4
+    whole-chunk-upcast kernel win (683.5 vs 1100.6 us/apply at the
+    flagship shape) in an end-to-end solve (VERDICT r4 next #4).
+
+    Unlike :func:`make_refined_solver` (host-looped f64 sweeps for the
+    device-only accuracy path), this builds a FIXED-sweep-count jitted
+    program in the operator's own working dtype: each sweep is one
+    Woodbury-two-level FCG solve on the ``coef_dtype``-perturbed
+    system (operator AND preconditioner consistently narrowed — the r3
+    ``precond_coef_dtype`` negative was the *mismatched* case: bf16
+    preconditioner sweeps against an exact f32 outer) followed by one
+    full-precision residual.  The refinement wrapper absorbs the ~3e-3
+    bf16 operator perturbation, so the final error matches the plain
+    f32 solve's.
+
+    Returns ``solve(g, gdelta_faces) -> (x, rel_residual)`` with
+    ``.fn``/``.arrs`` exposed for chained (RTT-free) timing, like
+    :func:`multiblock.make_jit_solver`.
+    """
+    from .multiblock import (bp_arrays, bp_with, displacement_matvec,
+                             displacement_rhs, make_jit_solver,
+                             with_coef_dtype)
+
+    bp_lo = with_coef_dtype(bp, coef_dtype)
+    sj = make_jit_solver(bp_lo, method="displacements",
+                         trace_inv=trace_inv, tol=inner_tol,
+                         maxiter=inner_maxiter, inner_iters=inner_iters,
+                         stencil=stencil, stall_iters=None)
+    nfaces, L = bp.Dinv.shape
+    zero_gd = jnp.zeros((nfaces, L), dtype=_f(bp))
+
+    def solve_fn(a_lo, a_hi, g, gdelta_faces):
+        bp_hi = bp_with(bp, a_hi)
+        b = displacement_rhs(bp_hi, g, gdelta_faces)
+        bn = jnp.sqrt(jnp.sum(b * b))
+        x = jnp.zeros_like(b)
+        r = b
+        for _ in range(sweeps):
+            res = sj.fn(a_lo, r, zero_gd)
+            x = x + res.x
+            r = b - displacement_matvec(bp_hi, x, stencil=stencil)
+        rn = jnp.sqrt(jnp.sum(r * r)) / jnp.where(bn == 0, 1.0, bn)
+        return x, rn
+
+    solve_jit = jax.jit(solve_fn)
+    arrs = {"lo": sj.arrs, "hi": bp_arrays(bp)}
+
+    def solve(g, gdelta_faces):
+        return solve_jit(arrs["lo"], arrs["hi"], g, gdelta_faces)
+
+    solve.fn = solve_fn
+    solve.arrs = arrs
+    return solve
+
+
+def _f(bp):
+    from .multiblock import _bp_dtype
+    return _bp_dtype(bp)
+
+
 def refined_displacement_solve(bp, g, gdelta_faces, *, sweeps=3,
                                coef_dtype=jnp.bfloat16, inner_tol=1e-4,
                                inner_maxiter=300, tol=None, stencil="auto",

@@ -185,10 +185,16 @@ def test_multiblock_canonical_seas_recurrence():
     ev, coseis, maxlv = merged_events(sol, YEAR_SECONDS)
     assert len(ev) == 7, f"events {np.round(ev, 1)}"
     recs = np.diff(ev)[1:]
-    assert np.all(np.abs(recs - 78.4) < 2.0), \
+    # tight pin at the measured band (VERDICT r4 next #6): N=16 and
+    # N=32 agree to ~0.1 yr around 78.4, so a +-0.5 yr gate catches a
+    # physics regression well below the old +-2.0 tolerance (which
+    # would have passed a 1.5-yr drift = 15x the discretization error)
+    assert np.all(np.abs(recs - 78.4) < 0.5), \
         f"late recurrence {np.round(recs, 2)}"
-    assert abs(np.mean(recs) - 78.1) < 2.0       # single-block canonical
-    assert np.all(np.abs(np.asarray(coseis[2:]) - 2.478) < 0.05)
+    # secondary, looser cross-discretization consistency check vs the
+    # single-block canonical 78.1 yr (different domain geometry)
+    assert abs(np.mean(recs) - 78.1) < 2.0
+    assert np.all(np.abs(np.asarray(coseis[2:]) - 2.478) < 0.01)
     assert abs(maxlv - 0.65) < 0.3
 
 

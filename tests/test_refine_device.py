@@ -112,6 +112,48 @@ def test_refined_solver_beats_f32_only():
     assert rels[-1] < 1e-3 * rels[0], rels
 
 
+def test_fixed_refined_bf16_matches_f32_solve():
+    """make_fixed_refined (VERDICT r4 next #4): the one-program
+    bf16-inner refined solve reaches the plain f32 Woodbury solve's
+    solution quality — the bf16 operator perturbation (~3e-3) must be
+    fully absorbed by the full-precision residual sweeps."""
+    from hybridsbp_tpu.tpu.multiblock import make_jit_solver
+    from hybridsbp_tpu.tpu.refine import make_fixed_refined
+
+    prob = _curved_prob(p=4, N=16)
+    rng = np.random.default_rng(13)
+    g = rng.standard_normal(int(prob.vstarts[-1]))
+    gdelta = rng.standard_normal(int(prob.FToLstarts[-1]))
+
+    bp32 = build_blocked(prob, dtype=jnp.float32, flat=True)
+    trace_inv = build_woodbury_banded(bp32, prob, iters=64)
+    gb, gd = blocked_rhs_from_host(prob, g, gdelta)
+    gb, gd = gb.astype(jnp.float32), gd.astype(jnp.float32)
+
+    u_host, _ = prob.solve(g, gdelta, method="displacements")
+    umax = np.abs(u_host).max()
+
+    sj = make_jit_solver(bp32, trace_inv=trace_inv, tol=1e-6,
+                         maxiter=100)
+    res32 = sj(gb, gd)
+    rel32 = (np.abs(np.asarray(res32.x, dtype=np.float64).ravel()
+                    - u_host).max() / umax)
+
+    # measured contraction ~0.15-0.17 per sweep (bf16-perturbation
+    # limited — inner_tol below 1e-3 buys nothing; see the r5 probe in
+    # RESULTS.md): 5 sweeps reach the f32 solve's accuracy class
+    solve = make_fixed_refined(bp32, trace_inv, sweeps=5,
+                               inner_tol=1e-3, inner_maxiter=40)
+    x, rn = solve(gb, gd)
+    rel = (np.abs(np.asarray(x, dtype=np.float64).ravel()
+                  - u_host).max() / umax)
+    assert float(rn) < 1e-5, float(rn)
+    # the bf16 operator's raw ~3e-3 perturbation is absorbed: the
+    # refined solution lands ~2 orders below it, within a small factor
+    # of the plain f32 solve
+    assert rel < 1e-4, (rel, rel32)
+
+
 @pytest.mark.parametrize("chunk", [1, 3])
 def test_assemble_chunk_pad_and_apply(chunk):
     """Chunk sizes that do not divide E still produce a correct

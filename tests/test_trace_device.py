@@ -206,3 +206,39 @@ def test_device_only_square_circle():
         assert d["iters"] <= 10, (m, d["iters"])
         assert d["mms_rel_maxerr"] < 1e-3, (m, d["mms_rel_maxerr"])
         assert d["mms_traction_err"] < 5e-3, (m, d["mms_traction_err"])
+
+
+@pytest.mark.heavy
+def test_device_only_cached_matches_direct(tmp_path):
+    """The cached device-only pipeline (VERDICT r4 next #2:
+    build_device_only_cache + run_device_only_cached — operator
+    templates + cached metrics/MMS data, chunk-assembled flat operator,
+    banded B̃ appended to the cache by the first run) reproduces the
+    direct run_device_only MMS errors exactly for both methods and the
+    refined solve, and the second invocation reuses the probed B̃."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "drivers"))
+    import square_circle as sc
+
+    p, N = 2, 12
+    path = str(tmp_path / "do.cache")
+    sc.build_device_only_cache(p=p, N=N, path=path, verbose=False)
+    kw = dict(tol=1e-8, methods=("displacements", "trace"),
+              refine_sweeps=3, repeats=1, verbose=False)
+    out_c = sc.run_device_only_cached(path=path, p=p, N=N, **kw)
+    out_d = sc.run_device_only(p=p, N=N, **kw)
+    for m in ("displacements", "trace", "refined"):
+        for k in ("mms_energy_err", "mms_traction_err",
+                  "mms_rel_maxerr"):
+            a, b = out_c[m][k], out_d[m][k]
+            assert abs(a - b) <= 1e-6 * max(abs(a), abs(b)) + 1e-12, \
+                (m, k, a, b)
+    # the first cached run appended the probed B~; a reload skips
+    # the probing phase entirely
+    out_c2 = sc.run_device_only_cached(path=path, p=p, N=N, tol=1e-8,
+                                       methods=("displacements",),
+                                       repeats=1, verbose=False)
+    assert out_c2["setup"]["t_banded_device_s"] < 5.0
+    assert out_c2["displacements"]["converged"]
