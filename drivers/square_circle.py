@@ -916,7 +916,6 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
     import jax.numpy as jnp
 
     from hybridsbp_tpu.tpu.multiblock import (_auto_echunk,
-                                              _pad_flat_chunks,
                                               assemble_flat_chunked,
                                               banded_from_device,
                                               recover_lambda)
@@ -946,12 +945,13 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
     data = payload["assembly_data"]
     tmpl32 = payload["template32"]
     Nsp, Nrp = tmpl32.grid_shape
-    flat32, offs_flat = assemble_flat_chunked(
-        data, ai["crr"], ai["css"], ai["crs"], ai["masks"],
-        dtype=jnp.float32, Nrp=Nrp, chunk=assemble_chunk)
     echunk = _auto_echunk(E, len(tmpl32.offsets), Nsp, Nrp, 4,
                           tmpl32.shared)
-    bp = tmpl32._replace(coefs_flat=_pad_flat_chunks(flat32, E, echunk),
+    flat32, offs_flat = assemble_flat_chunked(
+        data, ai["crr"], ai["css"], ai["crs"], ai["masks"],
+        dtype=jnp.float32, Nrp=Nrp, chunk=assemble_chunk,
+        E_pad=E + ((-E) % echunk if echunk else 0))
+    bp = tmpl32._replace(coefs_flat=flat32,
                          offsets_flat=offs_flat, flat_chunk=echunk,
                          flat_sym=False)
     float(jnp.sum(bp.coefs_flat[0, 0]))     # sync the on-device assembly
@@ -1033,13 +1033,14 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
         from hybridsbp_tpu.tpu.refine import make_refined_solver
         tmpl64 = payload["template64"]
         t0 = time.time()
-        flat64, offs_flat64 = assemble_flat_chunked(
-            data, ai["crr"], ai["css"], ai["crs"], ai["masks"],
-            dtype=jnp.float64, Nrp=Nrp, chunk=assemble_chunk)
         echunk64 = _auto_echunk(E, len(tmpl64.offsets), Nsp, Nrp, 8,
                                 tmpl64.shared)
+        flat64, offs_flat64 = assemble_flat_chunked(
+            data, ai["crr"], ai["css"], ai["crs"], ai["masks"],
+            dtype=jnp.float64, Nrp=Nrp, chunk=assemble_chunk,
+            E_pad=E + ((-E) % echunk64 if echunk64 else 0))
         bp64 = tmpl64._replace(
-            coefs_flat=_pad_flat_chunks(flat64, E, echunk64),
+            coefs_flat=flat64,
             offsets_flat=offs_flat64, flat_chunk=echunk64,
             flat_sym=False)
         float(jnp.sum(bp64.coefs_flat[0, 0]))   # sync

@@ -262,12 +262,22 @@ _ASSEMBLY_DATA_CACHE = {}
 
 
 def assemble_flat_chunked(data, crr, css, crs, masks, *, dtype, Nrp,
-                          chunk=8):
+                          chunk=8, E_pad=None):
     """Chunked on-device assemble + flatten: assemble ``chunk`` blocks'
     padded DIA planes at a time and immediately flatten them to the 1D
     raveled-diagonal layout, so the full padded plane stack never
     materializes (at p=6 N=272 in f64 that transient is ~6.4 GB on top
     of the 4.4 GB flat stack, vs < 1 GB per 8-block chunk).
+
+    Chunks are written into ONE preallocated stack with donated
+    ``dynamic_update_slice`` calls — peak memory is the final stack +
+    one chunk.  (The first r5 implementation collected pieces and
+    concatenated: at N=272 f64 that is 4.4 GB of pieces + a 4.4 GB
+    result + another copy in the chunk-padding concat, and the refine
+    run OOMed on chip with the f32 operator resident.)
+
+    ``E_pad``: preallocate this many block rows (>= E; extra rows stay
+    zero) — lets callers fold the lax.map echunk padding in for free.
 
     Returns ``(coefs_flat, offsets_flat)`` — the inputs to a flat-only
     :class:`BlockedHybrid` (shared by :func:`build_blocked`'s
@@ -284,17 +294,22 @@ def assemble_flat_chunked(data, crr, css, crs, masks, *, dtype, Nrp,
             data, x, y, z, w))(a, b, c, m),
         all_offs, Nrp)[0])
     E = crr.shape[0]
-    pieces = []
+    E_out = int(E_pad) if E_pad else E
+    assert E_out >= E
+    Nvol = int(np.prod(crr.shape[1:]))
+    flat = jnp.zeros((E_out, len(offs_flat), Nvol), dtype=dtype)
+    write = jax.jit(
+        lambda full, piece, e0: jax.lax.dynamic_update_slice(
+            full, piece, (e0, 0, 0)),
+        donate_argnums=0)
     for e0 in range(0, E, int(chunk)):
         sl = slice(e0, min(e0 + int(chunk), E))
         piece = chunk_fn(jnp.asarray(crr[sl], dtype=dtype),
                          jnp.asarray(css[sl], dtype=dtype),
                          jnp.asarray(crs[sl], dtype=dtype),
                          jnp.asarray(masks[sl], dtype=dtype))
-        piece.block_until_ready()   # bound the in-flight work
-        pieces.append(piece)
-    flat = (pieces[0] if len(pieces) == 1 else jax.jit(
-        lambda ps: jnp.concatenate(ps, axis=0))(pieces))
+        flat = write(flat, piece, e0)
+        flat.block_until_ready()   # bound the in-flight work
     return flat, offs_flat
 
 
@@ -425,9 +440,13 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
                 "assemble_chunk supports the plain flat layout only"
             assert flat is not False, \
                 "assemble_chunk stores only the flat layout (flat-only)"
+            chunk_echunk = _auto_echunk(E, noff, Nsp, Nrp,
+                                        jnp.dtype(dtype).itemsize,
+                                        shared)
             chunk_flat, _ = assemble_flat_chunked(
                 data, crr, css, crs, masks, dtype=dtype, Nrp=Nrp,
-                chunk=int(assemble_chunk))
+                chunk=int(assemble_chunk),
+                E_pad=E + ((-E) % chunk_echunk if chunk_echunk else 0))
             coefs = None
         else:
             assemble = jax.jit(jax.vmap(
@@ -545,12 +564,11 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         fd=fd, perm_lf=perm_lf, perm_face=perm_face, shared=shared)
     if chunk_flat is not None:
         # flat-only: attach the chunk-assembled flat stack directly
+        # (already echunk-padded by assemble_flat_chunked's E_pad)
         offs_flat = tuple(sorted({ds * Nrp + dr for ds, dr in all_offs}))
-        echunk = _auto_echunk(E, noff, Nsp, Nrp,
-                              jnp.dtype(dtype).itemsize, shared)
         return bp._replace(
-            coefs_flat=_pad_flat_chunks(chunk_flat, E, echunk),
-            offsets_flat=offs_flat, flat_chunk=echunk, flat_sym=False)
+            coefs_flat=chunk_flat, offsets_flat=offs_flat,
+            flat_chunk=chunk_echunk, flat_sym=False)
     if flat == "auto":
         # an explicit flat_sym request forces the layout (the auto gate
         # only weighs tile-padding waste, not the symmetric halving)
