@@ -35,8 +35,9 @@ def _probe_backend():
     subprocess with a timeout; fall back to CPU only after retrying with
     backoff over a bounded ~22-min window (VERDICT r2 weak #1: a single
     transient tunnel hiccup must not zero a round's on-chip record).  A
-    cold first contact through the tunnel measured up to 214 s (r3), so
-    each attempt gets 300 s; backoff 30/60/90/120 s (capped)."""
+    cold first contact through the tunnel measured up to 214 s (r3)
+    and ~230-300 s (r5), so each attempt gets 420 s; backoff
+    30/60/90/120 s (capped)."""
     if os.environ.get("HYBRIDSBP_PLATFORM"):
         return
     # time-bounded, not attempt-bounded: a wedged worker can fail FAST
@@ -53,7 +54,7 @@ def _probe_backend():
                  "import os; os.environ['HYBRIDSBP_X64']='0';"
                  "import jax, jax.numpy as jnp;"
                  "print(float(jnp.sum(jnp.ones(8))))"],
-                timeout=300, check=True, capture_output=True)
+                timeout=420, check=True, capture_output=True)
             print(f"# TPU probe ok on attempt {attempt} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr)
             return
@@ -391,6 +392,49 @@ def bench_bp1_sub():
         "bp1_sim_years": 1000}))
 
 
+def bench_bp1mb_sub():
+    """Canonical multiblock BP1-QD cycle warm on chip (VERDICT r4 next
+    #7): the externally validated physics path — 194-block BP1_v1 mesh,
+    canonical Dc=0.008, fault response Kff coupled through the hybrid
+    trace solve (late recurrence 78.4 yr vs published ~78, RESULTS.md
+    round 4) — in the f32 serving mode (compensated pure-f32 friction
+    Newton; full-fidelity f64 capture: tools/capture_bp1mb_onchip.py).
+    Ref: /root/reference/seas/BP1/BP1.jl:159-161 (the reference's
+    host-side cycle loop over its CHOLMOD backsolves)."""
+    from hybridsbp_tpu.seas import bp1_multiblock as mbm
+    from hybridsbp_tpu.seas.bp1 import YEAR_SECONDS, BP1Params
+    from hybridsbp_tpu.seas.events import merged_events
+
+    years, rtol = 700.0, 1e-4
+    par = BP1Params(N=16, RSDc=0.008)
+    mp = mbm.setup(par=par, N=16, dtype=jnp.float32)
+    fns = mbm.make_cycle_fns(mp, newton_dtype=jnp.float32)
+    kw = dict(sim_years=years, rtol=rtol, max_steps=400_000, _fns=fns)
+    sol = mbm.run(mp, **kw)                   # compile
+    float(sol.t_final)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol = mbm.run(mp, **kw)
+        float(sol.t_final)                    # scalar fetch = real sync
+        ts.append(time.perf_counter() - t0)
+    wall = float(np.median(ts))
+    steps = int(sol.stats.naccept) + int(sol.stats.nreject)
+    ev, _, _ = merged_events(sol, YEAR_SECONDS)
+    # the full-fidelity config (f64 state + f64 Newton, warm 8.1 s,
+    # canonical 78.5-yr recurrence reproduced on chip) lives in
+    # tools/capture_bp1mb_onchip.py --dtype float64 — too heavy for
+    # the bench budget (device init + emulated-f64 compile ~6 min)
+    print(json.dumps({
+        "bp1mb_cycle_s": round(wall, 3),
+        "bp1mb_steps": steps,
+        "bp1mb_ms_per_step": round(wall * 1e3 / max(steps, 1), 4),
+        "bp1mb_sim_years": years,
+        "bp1mb_sim_years_per_s": round(years / wall, 1),
+        "bp1mb_events": len(ev),
+        "bp1mb_fault_dofs": int(mp.n_fault)}))
+
+
 def bench_inversion_sub():
     """Differentiable-inversion unit cost (beyond-reference layer,
     DESIGN.md §8): one ``value_and_grad`` of the station misfit through
@@ -645,6 +689,15 @@ def main():
     sub = _run_sub("bp1", timeout=1500)
     if sub:
         detail.update(sub)
+    # canonical multiblock cycle (f32 serving mode; setup ~8 s, f32
+    # Newton compile ~20 s, warm ~1.7 s/700 yr measured r5); skipped on
+    # the CPU fallback (the 194-block host setup + 14k-step f64-island
+    # integration is minutes there)
+    if backend != "cpu":
+        _log("sub-bench: canonical multiblock bp1 cycle")
+        sub = _run_sub("bp1_multiblock", timeout=900)
+        if sub:
+            detail.update(sub)
     # reference-scale hybrid (267k DOF): host assembly ~2 min + device
     # setup + 2 jit compiles; affordable on TPU, skipped on the CPU
     # fallback (the f64 host direct + 2 f32 iterative solves at 267k
@@ -682,6 +735,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
         {"hybrid": bench_hybrid_sub, "bp1": bench_bp1_sub,
+         "bp1_multiblock": bench_bp1mb_sub,
          "hybrid_ref": bench_hybrid_ref_sub,
          "hybrid_flagship": bench_hybrid_flagship_sub,
          "inversion": bench_inversion_sub}[sys.argv[2]]()
