@@ -409,7 +409,11 @@ def bench_bp1mb_sub():
     par = BP1Params(N=16, RSDc=0.008)
     mp = mbm.setup(par=par, N=16, dtype=jnp.float32)
     fns = mbm.make_cycle_fns(mp, newton_dtype=jnp.float32)
-    kw = dict(sim_years=years, rtol=rtol, max_steps=400_000, _fns=fns)
+    # compensated: the Neumaier state low word restores canonical
+    # event fidelity at f32 speed for free (r5: warm 1.65 s both ways;
+    # plain-f32 drifts late events 20-28 yr) — the serving config
+    kw = dict(sim_years=years, rtol=rtol, max_steps=400_000, _fns=fns,
+              compensated=True)
     sol = mbm.run(mp, **kw)                   # compile
     float(sol.t_final)
     ts = []
@@ -432,6 +436,7 @@ def bench_bp1mb_sub():
         "bp1mb_sim_years": years,
         "bp1mb_sim_years_per_s": round(years / wall, 1),
         "bp1mb_events": len(ev),
+        "bp1mb_compensated": True,
         "bp1mb_fault_dofs": int(mp.n_fault)}))
 
 

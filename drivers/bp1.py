@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--Wf", type=float, default=None,
                     help="imposed-creep depth (km): nodes deeper slide "
                          "at exactly Vp (canonical SEAS loading)")
+    ap.add_argument("--compensated", action="store_true",
+                    help="carry the Neumaier state low word (f32 "
+                         "serving mode's event-fidelity fix, free on "
+                         "chip — docs/DESIGN.md §5)")
     a = ap.parse_args()
 
     import jax.numpy as jnp
@@ -140,7 +144,7 @@ def main():
         prob, hist, stats = bp1.run_chunked(
             par, prob=prob, chunk_steps=a.chunk_steps, progress=True,
             save_every=a.save_every, checkpoint_path=a.ckpt,
-            save_profiles=profiles)
+            save_profiles=profiles, compensated=a.compensated)
         wall = time.time() - t0
         nacc, nrej = stats["naccept"], stats["nreject"]
         print(f"integrated {stats['t_final'] / bp1.YEAR_SECONDS:.1f} years "
@@ -151,7 +155,8 @@ def main():
         saved = hist
     else:
         prob, sol = bp1.run(par, prob=prob, max_steps=a.max_steps,
-                            save_every=a.save_every, save_profiles=profiles)
+                            save_every=a.save_every, save_profiles=profiles,
+                            compensated=a.compensated)
         wall = time.time() - t0
         nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
         print(f"integrated {float(sol.t_final) / bp1.YEAR_SECONDS:.1f} years "

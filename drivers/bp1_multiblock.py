@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-3,
                     help="integrator relative tolerance (1e-4 for "
                          "converged event series; 1e-3 default)")
+    ap.add_argument("--compensated", action="store_true",
+                    help="carry the Neumaier state low word (f32 "
+                         "serving mode's event-fidelity fix, free on "
+                         "chip — docs/DESIGN.md §5)")
     ap.add_argument("--Dc", type=float, default=None,
                     help="rate-and-state Dc (m); 0.008 = canonical "
                          "SEAS BP1-QD (~78-yr recurrence through the "
@@ -91,7 +95,7 @@ def main():
     fns = mb.make_cycle_fns(mp, newton_dtype=ndt)
     t0 = time.time()
     sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps,
-                 rtol=a.rtol, _fns=fns)
+                 rtol=a.rtol, _fns=fns, compensated=a.compensated)
     wall = time.time() - t0
     nacc, nrej = int(sol.stats.naccept), int(sol.stats.nreject)
     print(f"integrated {float(sol.t_final) / YEAR_SECONDS:.1f} years in "
@@ -99,7 +103,7 @@ def main():
     for _ in range(a.repeat):
         t0 = time.time()
         sol = mb.run(mp, sim_years=a.years, max_steps=a.max_steps,
-                     rtol=a.rtol, _fns=fns)
+                     rtol=a.rtol, _fns=fns, compensated=a.compensated)
         float(sol.t_final)            # scalar fetch = sync
         wall = time.time() - t0
         print(f"  warm re-run: {wall:.2f}s "

@@ -60,6 +60,7 @@ class Tsit5Solution(NamedTuple):
     dt_final: jnp.ndarray = None   # controller step size (for resuming)
     meta: Any = None         # caller bookkeeping (e.g. station indices),
                              # attached post-solve via _replace
+    yc_final: jnp.ndarray = None   # compensated-mode low word (resume)
 
     @property
     def nsteps(self):
@@ -72,12 +73,14 @@ def _inf_norm_err(err, y0, y1, rtol, atol):
 
 
 @partial(jax.jit,
-         static_argnames=("rhs", "save_fn", "max_steps", "save_every"))
+         static_argnames=("rhs", "save_fn", "max_steps", "save_every",
+                          "compensated"))
 def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
                 rtol=1e-3, atol=1e-5, max_steps=200_000,
                 save_fn: Optional[Callable] = None, save_every: int = 1,
                 safety=0.9, min_factor=0.2, max_factor=10.0,
-                beta1=0.7 / 5, beta2=0.08):
+                beta1=0.7 / 5, beta2=0.08, compensated: bool = False,
+                yc0=None):
     """Integrate ``dy/dt = rhs(t, y, args)`` from t0 to t1 adaptively.
 
     ``rhs`` returns either ``dy`` or ``(dy, ok)`` where ``ok=False``
@@ -85,7 +88,19 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
     ``save_fn(t, y, args)`` (optional) maps each accepted state to a small
     pytree recorded every ``save_every``-th accepted step into
     preallocated buffers (NaN-padded past the end).
-    """
+
+    ``compensated=True`` carries a Neumaier low word ``yc`` for the
+    state so the ACCUMULATED trajectory keeps ~2x the state dtype's
+    mantissa across O(10^4) steps while every RHS/stage evaluation
+    stays in the state dtype: the effective state is ``y + yc``, each
+    stage adds ``yc`` into its increment, and the accepted update runs
+    the increment through an exact two-sum.  This is the f32 serving
+    mode's event-fidelity fix — measured r5 (BP1 canonical Dc=0.008,
+    ~14k steps / 700 yr): the plain-f32 state drifts individual late
+    recurrences by 20-28 yr, which is ACCUMULATION rounding (per-step
+    increments ~1e-4 of the state magnitude round their tails into a
+    random walk), not RHS quantization.  ``yc0`` resumes the low word
+    across chunked launches (see ``yc_final``)."""
     y0 = jnp.asarray(y0)
     # Time must carry more precision than the state: BP1 spans 3e10 s
     # with event steps of ~1e-2 s, so t/dt live in float64 whenever x64
@@ -122,24 +137,45 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
     k1_0, ok0 = eval_rhs(t0, y0)
     bufs, ts_buf = write(bufs, ts_buf, 0, t0, y0)
 
-    # carry: (t, y, dt, k1, err_prev, nacc, nrej, nfe, isave, bufs, ts_buf, alive)
+    if compensated:
+        yc_0 = (jnp.zeros_like(y0) if yc0 is None
+                else jnp.asarray(yc0, dtype=y0.dtype))
+    else:
+        yc_0 = jnp.zeros((), dtype=y0.dtype)   # dummy carry
+
+    # carry: (t, y, yc, dt, k1, err_prev, nacc, nrej, nfe, isave,
+    #         bufs, ts_buf, alive)
     def cond(c):
-        t, y, dt, k1, ep, nacc, nrej, nfe, isave, bufs, ts_buf, alive = c
+        (t, y, yc, dt, k1, ep, nacc, nrej, nfe, isave, bufs, ts_buf,
+         alive) = c
         return alive & (t < t1) & (nacc + nrej < max_steps)
 
     def body(c):
-        t, y, dt, k1, err_prev, nacc, nrej, nfe, isave, bufs, ts_buf, alive = c
+        (t, y, yc, dt, k1, err_prev, nacc, nrej, nfe, isave, bufs,
+         ts_buf, alive) = c
         dt = jnp.minimum(dt, t1 - t)
 
         dty = dt.astype(y.dtype)
         ks = [k1]
         ok_all = jnp.asarray(True)
         for i in range(1, 7):
-            yi = y + dty * sum(_A[i][j] * ks[j] for j in range(i))
+            inc = dty * sum(_A[i][j] * ks[j] for j in range(i))
+            # effective state is y + yc: fold the low word into each
+            # stage increment (the sum y + (inc + yc) rounds once)
+            yi = y + (inc + yc) if compensated else y + inc
             ki, oki = eval_rhs(t + _C[i] * dt, yi)
             ks.append(ki)
             ok_all = ok_all & oki
-        y1 = y + dty * sum(_B[j] * ks[j] for j in range(6))  # B[6] = 0
+        inc_b = dty * sum(_B[j] * ks[j] for j in range(6))   # B[6] = 0
+        if compensated:
+            # Neumaier two-sum: |y| >> |delta| here, so the dropped
+            # tail of delta is recovered exactly into the new low word
+            delta = inc_b + yc
+            y1 = y + delta
+            yc1 = (y - y1) + delta
+        else:
+            y1 = y + inc_b
+            yc1 = yc
         err = dty * sum(_BTILDE[j] * ks[j] for j in range(7))
         enorm = _inf_norm_err(err, y, y1, rtol, atol)
         enorm = jnp.where(ok_all & jnp.all(jnp.isfinite(y1)), enorm, jnp.inf)
@@ -157,6 +193,7 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
         t_new = jnp.where(accept, t + dt, t)
         y_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), y, y1)
+        yc_new = jnp.where(accept, yc1, yc)
         # FSAL: k7 is f(t+dt, y1)
         k1_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), k1, ks[6])
@@ -172,18 +209,19 @@ def solve_tsit5(rhs: Callable, y0, t0, t1, dt0, args=None, *,
             lambda b, tb: (b, tb),
             bufs, ts_buf)
         alive2 = alive & (dt_next > 1e-14 * jnp.maximum(jnp.abs(t1 - t0), 1.0))
-        return (t_new, y_new, dt_next, k1_new, err_prev_new,
+        return (t_new, y_new, yc_new, dt_next, k1_new, err_prev_new,
                 nacc2, nrej2, nfe + 6, isave2, bufs2, ts2, alive2)
 
-    init = (jnp.asarray(t0, dtype=tdtype), y0,
+    init = (jnp.asarray(t0, dtype=tdtype), y0, yc_0,
             jnp.asarray(dt0, dtype=tdtype), k1_0,
             jnp.asarray(1.0, dtype=tdtype),
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(1), jnp.asarray(0),
             bufs, ts_buf, ok0)
-    t, y, dt, k1, ep, nacc, nrej, nfe, isave, bufs, ts_buf, alive = \
-        jax.lax.while_loop(cond, body, init)
+    (t, y, yc, dt, k1, ep, nacc, nrej, nfe, isave, bufs, ts_buf,
+     alive) = jax.lax.while_loop(cond, body, init)
 
     stats = SolveStats(naccept=nacc, nreject=nrej, nfe=nfe,
                        success=(t >= t1))
     return Tsit5Solution(ts=ts_buf, save=bufs, y_final=y, t_final=t,
-                         stats=stats, dt_final=dt)
+                         stats=stats, dt_final=dt,
+                         yc_final=yc if compensated else None)

@@ -370,12 +370,14 @@ def make_solver_fns(prob: BP1Problem, stations=None, save_profiles=False,
 def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
         save_every=1, rtol=1e-3, atol=1e-5, prob: Optional[BP1Problem] = None,
         t0=0.0, y0=None, dt0=YEAR_SECONDS, save_profiles=False, _fns=None,
-        newton_dtype=None):
+        newton_dtype=None, compensated=False, yc0=None):
     """Full earthquake-cycle simulation.
 
     Returns (prob, solution) where solution.save holds per-step station
     histories: log10 max slip rate, slip/state/traction at station depths.
     Pass (t0, y0) from :func:`load_checkpoint` to resume a run.
+    ``compensated=True`` carries the Neumaier state low word (the f32
+    serving mode's event-fidelity fix — see :func:`..ode.solve_tsit5`).
     """
     if prob is None:
         prob = setup(par)
@@ -390,7 +392,8 @@ def run(par: BP1Params = BP1Params(), *, stations=None, max_steps=200_000,
     sol = solve_tsit5(rhs, y_init, t0,
                       par.sim_years * YEAR_SECONDS, dt0,
                       rtol=rtol, atol=atol, max_steps=max_steps,
-                      save_fn=save_fn, save_every=save_every)
+                      save_fn=save_fn, save_every=save_every,
+                      compensated=compensated, yc0=yc0)
     depths = getattr(save_fn, "station_depths", None)
     if depths is not None:
         sol = sol._replace(meta={"station_depths": depths})
@@ -480,12 +483,14 @@ def run_chunked(par: BP1Params = BP1Params(), *, chunk_steps=4000,
                           save_profiles=kw.get("save_profiles", False))
     t_end = par.sim_years * YEAR_SECONDS
     t, y, dt0 = 0.0, None, YEAR_SECONDS
-    ts_all, save_all = [], []
+    yc = None                      # compensated-mode low word, carried
+    ts_all, save_all = [], []      # across chunk launches
     nacc = nrej = 0
     t_prev = -1.0
     for chunk in range(max_chunks):
         prob, sol = run(par, prob=prob, max_steps=chunk_steps,
-                        t0=t, y0=y, dt0=dt0, _fns=fns, **kw)
+                        t0=t, y0=y, dt0=dt0, _fns=fns, yc0=yc, **kw)
+        yc = sol.yc_final
         dt0 = float(sol.dt_final)
         ts = np.asarray(sol.ts)
         valid = np.isfinite(ts)

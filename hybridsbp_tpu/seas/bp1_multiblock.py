@@ -337,7 +337,8 @@ def make_cycle_fns(mp: MultiBP1Problem, *, newton_dtype=None,
 
 def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
         max_steps=100_000, save_every=1, stations=None,
-        newton_dtype=None, t0=0.0, y0=None, dt0=None, _fns=None):
+        newton_dtype=None, t0=0.0, y0=None, dt0=None, _fns=None,
+        compensated=False, yc0=None):
     """Integrate the multiblock cycle.  ``stations``: fault-dof indices
     at which to record (delta, psi, tau, V) time series (default: the
     SEAS depths within the fault extent, :func:`default_stations`).
@@ -345,7 +346,9 @@ def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
     jnp.float32 = the pure-f32 TPU serving path).  ``t0``/``y0``/
     ``dt0`` resume an interrupted run (see :func:`run_chunked`).
     ``_fns``: a :func:`make_cycle_fns` result — pass it for repeated
-    calls so the compiled cycle is reused."""
+    calls so the compiled cycle is reused.  ``compensated=True``
+    carries the Neumaier state low word (the f32 serving mode's
+    event-fidelity fix — see :func:`..ode.solve_tsit5`)."""
     sim_years = sim_years or mp.par.sim_years
     fns = _fns if _fns is not None else make_cycle_fns(
         mp, newton_dtype=newton_dtype, stations=stations)
@@ -355,7 +358,8 @@ def run(mp: MultiBP1Problem, *, sim_years=None, rtol=1e-3, atol=1e-5,
     sol = solve_tsit5(fns.rhs, y0, t0,
                       sim_years * YEAR_SECONDS, dt0 or YEAR_SECONDS,
                       rtol=rtol, atol=atol, max_steps=max_steps,
-                      save_fn=fns.save_fn, save_every=save_every)
+                      save_fn=fns.save_fn, save_every=save_every,
+                      compensated=compensated, yc0=yc0)
     # record which stations the histories were sampled at, so the
     # station writer labels columns by the depths actually recorded
     # (ADVICE r1: counts alone can coincidentally match)
@@ -383,12 +387,14 @@ def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
         stations=kw.pop("stations", None))
     t_end = sim_years * YEAR_SECONDS
     t, y, dt0 = 0.0, None, YEAR_SECONDS
-    ts_all, save_all = [], []
+    yc = None                      # compensated-mode low word, carried
+    ts_all, save_all = [], []      # across chunk launches
     nacc = nrej = 0
     t_prev = -1.0
     for chunk in range(max_chunks):
         sol = run(mp, sim_years=sim_years, max_steps=chunk_steps,
-                  t0=t, y0=y, dt0=dt0, _fns=fns, **kw)
+                  t0=t, y0=y, dt0=dt0, _fns=fns, yc0=yc, **kw)
+        yc = sol.yc_final
         dt0 = float(sol.dt_final)
         ts = np.asarray(sol.ts)
         valid = np.isfinite(ts)

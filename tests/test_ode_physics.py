@@ -30,6 +30,45 @@ def test_tsit5_oscillator_and_saving():
     np.testing.assert_allclose(saved[valid], np.cos(ts[valid]), atol=1e-6)
 
 
+def test_tsit5_compensated_f32_accumulation():
+    """compensated=True carries a Neumaier low word: 1e4 forced unit
+    steps of +1e-3 onto an f32 state growing to 10 accumulate ~4e-4 of
+    rounding plainly but stay at the representation floor (~2 ulps)
+    compensated.  Also guards that XLA does not algebraically simplify
+    the two-sum away.  Measured: plain 4.1e-4, compensated 1.9e-6."""
+    rhs = lambda t, y, a: jnp.full_like(y, 1e-3)  # noqa: E731
+    y0 = jnp.zeros(4, dtype=jnp.float32)
+    kw = dict(rtol=1e-3, atol=1e30, max_steps=20_000, max_factor=1.0)
+    plain = solve_tsit5(rhs, y0, 0.0, 1e4, 1.0, **kw)
+    comp = solve_tsit5(rhs, y0, 0.0, 1e4, 1.0, compensated=True, **kw)
+    assert int(plain.stats.naccept) == int(comp.stats.naccept) == 10_000
+    err_plain = float(jnp.abs(plain.y_final[0] - 10.0))
+    err_comp = float(jnp.abs(comp.y_final[0] - 10.0))
+    assert err_plain > 1e-4          # the drift the mode exists to fix
+    assert err_comp < 1e-5
+    assert err_comp < err_plain / 20
+    # the low word is returned for chunked resume and is genuinely small
+    assert comp.yc_final is not None
+    assert float(jnp.max(jnp.abs(comp.yc_final))) < 1e-5
+    assert plain.yc_final is None
+
+
+def test_tsit5_compensated_resume_matches_single_launch():
+    """run_chunked-style resume: splitting the integration and carrying
+    (y, yc) across the boundary reproduces the single-launch
+    compensated result exactly (the low word must survive chunking)."""
+    rhs = lambda t, y, a: jnp.full_like(y, 1e-3)  # noqa: E731
+    y0 = jnp.zeros(2, dtype=jnp.float32)
+    kw = dict(rtol=1e-3, atol=1e30, max_factor=1.0, compensated=True)
+    one = solve_tsit5(rhs, y0, 0.0, 1e4, 1.0, max_steps=20_000, **kw)
+    first = solve_tsit5(rhs, y0, 0.0, 1e4, 1.0, max_steps=5_000, **kw)
+    second = solve_tsit5(rhs, first.y_final, float(first.t_final), 1e4,
+                         float(first.dt_final), max_steps=20_000,
+                         yc0=first.yc_final, **kw)
+    np.testing.assert_array_equal(np.asarray(one.y_final),
+                                  np.asarray(second.y_final))
+
+
 def test_tsit5_nan_rejection():
     """RHS produces NaN past y=1 (sqrt); the controller must reject and
     shrink rather than poisoning the solution (the BP1 protocol)."""

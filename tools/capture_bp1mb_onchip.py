@@ -41,6 +41,9 @@ def main():
                          "canonical series, emulated f64 on TPU)")
     ap.add_argument("--newton", default="both",
                     choices=["both", "float32", "float64"])
+    ap.add_argument("--compensated", action="store_true",
+                    help="carry the Neumaier state low word (the f32 "
+                         "serving mode's event-fidelity fix)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "artifacts",
         "bp1mb_onchip_r5.json"))
@@ -65,6 +68,7 @@ def main():
 
     out = {"backend": backend, "N": a.N, "Dc": 0.008,
            "sim_years": a.years, "rtol": a.rtol, "state_dtype": a.dtype,
+           "compensated": bool(a.compensated),
            "n_fault": int(mp.n_fault), "setup_s": round(setup_s, 1)}
 
     configs = [("newton_f64", jnp.float64), ("newton_f32", jnp.float32)]
@@ -77,14 +81,16 @@ def main():
         fns = mb.make_cycle_fns(mp, newton_dtype=ndt)
         t0 = time.time()
         sol = mb.run(mp, sim_years=a.years, rtol=a.rtol,
-                     max_steps=a.max_steps, _fns=fns)
+                     max_steps=a.max_steps, _fns=fns,
+                     compensated=a.compensated)
         float(sol.t_final)                   # scalar fetch = real sync
         cold_s = time.time() - t0
         walls = []
         for _ in range(a.repeat):
             t0 = time.time()
             sol = mb.run(mp, sim_years=a.years, rtol=a.rtol,
-                         max_steps=a.max_steps, _fns=fns)
+                         max_steps=a.max_steps, _fns=fns,
+                         compensated=a.compensated)
             float(sol.t_final)
             walls.append(time.time() - t0)
         warm = float(np.median(walls))
