@@ -687,11 +687,11 @@ def main():
     # breadth metrics (BASELINE.md north stars #2/#3), each in a
     # bounded subprocess so a wedged worker can't break the contract
     _log("sub-bench: hybrid solve")
-    sub = _run_sub("hybrid", timeout=900)
+    sub = _run_sub("hybrid", timeout=1500)
     if sub:
         detail.update(sub)
     _log("sub-bench: bp1 cycle")
-    sub = _run_sub("bp1", timeout=1500)
+    sub = _run_sub("bp1", timeout=1800)
     if sub:
         detail.update(sub)
     # canonical multiblock cycle (f32 serving mode; setup ~8 s, f32
@@ -700,7 +700,7 @@ def main():
     # integration is minutes there)
     if backend != "cpu":
         _log("sub-bench: canonical multiblock bp1 cycle")
-        sub = _run_sub("bp1_multiblock", timeout=900)
+        sub = _run_sub("bp1_multiblock", timeout=1500)
         if sub:
             detail.update(sub)
     # reference-scale hybrid (267k DOF): host assembly ~2 min + device
@@ -723,7 +723,7 @@ def main():
     # differentiable-inversion unit (forward + adjoint pair through the
     # coupled flower solve); cheap enough to run on the CPU fallback
     _log("sub-bench: inversion forward/adjoint pair")
-    sub = _run_sub("inversion", timeout=900)
+    sub = _run_sub("inversion", timeout=1500)
     if sub:
         detail.update(sub)
     _log("done")

@@ -900,7 +900,8 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
                            stencil="auto", refine_sweeps=0,
                            refine_inner_tol=2e-3,
                            refine_inner_maxiter=60, assemble_chunk=8,
-                           trace_inner_tol="auto", save_probed=True):
+                           trace_inner_tol="auto", save_probed=True,
+                           refine_sym=False):
     """Device-only solve from the prebuilt cache (VERDICT r4 next #2):
     same semantics as :func:`run_device_only` — no host direct pipeline
     anywhere — but the host-side setup is a cache LOAD (seconds) instead
@@ -1035,14 +1036,20 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
         t0 = time.time()
         echunk64 = _auto_echunk(E, len(tmpl64.offsets), Nsp, Nrp, 8,
                                 tmpl64.shared)
+        # refine_sym: assemble the f64 residual operator in the
+        # SYMMETRIC flat layout (only o >= 0 diagonals) — halves its
+        # HBM footprint so it coexists with the f32 operator at sizes
+        # where both full stacks would exceed HBM (p=6 N=384: 8.8 GB
+        # full vs 4.4 GB sym next to the 4.4 GB f32 stack)
         flat64, offs_flat64 = assemble_flat_chunked(
             data, ai["crr"], ai["css"], ai["crs"], ai["masks"],
             dtype=jnp.float64, Nrp=Nrp, chunk=assemble_chunk,
+            sym=refine_sym,
             E_pad=E + ((-E) % echunk64 if echunk64 else 0))
         bp64 = tmpl64._replace(
             coefs_flat=flat64,
             offsets_flat=offs_flat64, flat_chunk=echunk64,
-            flat_sym=False)
+            flat_sym=bool(refine_sym))
         float(jnp.sum(bp64.coefs_flat[0, 0]))   # sync
         t_bp64 = time.time() - t0
         _mem("f64 residual operator")
@@ -1192,6 +1199,12 @@ if __name__ == "__main__":
                          "+ chunk-assembled f64 on-device residuals) — "
                          "breaks the f32 kappa*eps attainable-accuracy "
                          "floor at 4.2M DOF; 4 reaches ~1e-9")
+    ap.add_argument("--refine-sym", action="store_true",
+                    help="with --refine-sweeps: assemble the f64 "
+                         "residual operator in the SYMMETRIC flat "
+                         "layout (halves its HBM footprint; the "
+                         "capacity mode for N=384, where full f64 + "
+                         "f32 stacks together exceed HBM)")
     ap.add_argument("--trace-inner-tol", default="auto",
                     help="with --device-only: inner block-solve "
                          "tolerance for the trace method ('auto' = "
@@ -1230,7 +1243,7 @@ if __name__ == "__main__":
             path=a.cache_path, p=a.p, N=a.N0 if a.N0 != 17 else 272,
             tol=a.tol, inner_iters=a.inner_iters, repeats=a.repeats,
             probe_iters=a.probe_iters, stencil=a.stencil,
-            refine_sweeps=a.refine_sweeps,
+            refine_sweeps=a.refine_sweeps, refine_sym=a.refine_sym,
             methods=tuple(m for m in a.methods.split(",") if m),
             trace_inner_tol=(a.trace_inner_tol
                              if a.trace_inner_tol == "auto"

@@ -412,7 +412,8 @@ def perturb_rsa(base, M, spread=0.08, seed=0):
 
 def run_ensemble(prob: BP1Problem, RSa_batch, *, tau_z0_batch=None,
                  sim_years=None, rtol=1e-3, atol=1e-5, max_steps=50_000,
-                 save_every=1, stations=None, _fns=None):
+                 save_every=1, stations=None, _fns=None,
+                 compensated=False):
     """Vmapped ensemble of earthquake cycles over friction-parameter sets.
 
     All M members share the precomputed reduced elliptic operator K (the
@@ -457,7 +458,8 @@ def run_ensemble(prob: BP1Problem, RSa_batch, *, tau_z0_batch=None,
                            YEAR_SECONDS, args={"RSa": RSa_m,
                                                "tau_z0": tz0_m},
                            rtol=rtol, atol=atol, max_steps=max_steps,
-                           save_fn=save_fn, save_every=save_every)
+                           save_fn=save_fn, save_every=save_every,
+                           compensated=compensated)
 
     sols = jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
     depths = getattr(save_fn, "station_depths", None)

@@ -438,7 +438,7 @@ def run_chunked(mp: MultiBP1Problem, *, chunk_steps=4000, max_chunks=200,
 def run_ensemble(mp: MultiBP1Problem, RSa_batch, *, tau_z0_batch=None,
                  sim_years=None, rtol=1e-3, atol=1e-5, max_steps=50_000,
                  save_every=1, stations=None, newton_dtype=None,
-                 _fns=None):
+                 _fns=None, compensated=False):
     """Vmapped ensemble of multiblock fault-network cycles over
     friction-parameter sets (the multiblock counterpart of
     :func:`..bp1.run_ensemble`).
@@ -478,7 +478,8 @@ def run_ensemble(mp: MultiBP1Problem, RSa_batch, *, tau_z0_batch=None,
                            sim_years * YEAR_SECONDS, YEAR_SECONDS,
                            args={"RSa": a_m, "tau_z0": tz_m},
                            rtol=rtol, atol=atol, max_steps=max_steps,
-                           save_fn=fns.save_fn, save_every=save_every)
+                           save_fn=fns.save_fn, save_every=save_every,
+                           compensated=compensated)
 
     sols = jax.vmap(solve_one)(y0, RSa_batch, tau_z0_batch)
     return sols._replace(meta={"stations": fns.stations,

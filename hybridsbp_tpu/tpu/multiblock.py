@@ -262,7 +262,7 @@ _ASSEMBLY_DATA_CACHE = {}
 
 
 def assemble_flat_chunked(data, crr, css, crs, masks, *, dtype, Nrp,
-                          chunk=8, E_pad=None):
+                          chunk=8, E_pad=None, sym=False):
     """Chunked on-device assemble + flatten: assemble ``chunk`` blocks'
     padded DIA planes at a time and immediately flatten them to the 1D
     raveled-diagonal layout, so the full padded plane stack never
@@ -279,17 +279,27 @@ def assemble_flat_chunked(data, crr, css, crs, masks, *, dtype, Nrp,
     ``E_pad``: preallocate this many block rows (>= E; extra rows stay
     zero) — lets callers fold the lax.map echunk padding in for free.
 
+    ``sym=True`` flattens each chunk to the SYMMETRIC layout
+    (:func:`stencil.flatten_dia_sym`, only o >= 0 linear diagonals) —
+    halves the stack's memory AND the apply's coefficient stream, the
+    capacity mode that lets the f64 residual operator of the refined
+    solve coexist with the f32 operator at sizes where both full
+    stacks would exceed HBM (p=6 N=384: 8.8 GB f64 full vs 4.4 sym).
+
     Returns ``(coefs_flat, offsets_flat)`` — the inputs to a flat-only
     :class:`BlockedHybrid` (shared by :func:`build_blocked`'s
     ``assemble_chunk`` path and the device-problem-cache loaders, which
     re-assemble operators from cached metric planes without a host
     problem object)."""
     from .assemble_device import assemble_planes
-    from .stencil import flatten_dia
+    from .stencil import flatten_dia, flatten_dia_sym
 
     all_offs = tuple(data.offsets)
+    flatten = flatten_dia_sym if sym else flatten_dia
     offs_flat = tuple(sorted({ds * Nrp + dr for ds, dr in all_offs}))
-    chunk_fn = jax.jit(lambda a, b, c, m: flatten_dia(
+    if sym:
+        offs_flat = tuple(o for o in offs_flat if o >= 0)
+    chunk_fn = jax.jit(lambda a, b, c, m: flatten(
         jax.vmap(lambda x, y, z, w: assemble_planes(
             data, x, y, z, w))(a, b, c, m),
         all_offs, Nrp)[0])
@@ -436,16 +446,15 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
             # `assemble_chunk` blocks' padded planes (the only plane
             # transient) and immediately flattens them; the full plane
             # stack never exists on device
-            assert not flat_sym and flat != "sym", \
-                "assemble_chunk supports the plain flat layout only"
             assert flat is not False, \
                 "assemble_chunk stores only the flat layout (flat-only)"
+            chunk_sym = bool(flat_sym) or flat == "sym"
             chunk_echunk = _auto_echunk(E, noff, Nsp, Nrp,
                                         jnp.dtype(dtype).itemsize,
                                         shared)
             chunk_flat, _ = assemble_flat_chunked(
                 data, crr, css, crs, masks, dtype=dtype, Nrp=Nrp,
-                chunk=int(assemble_chunk),
+                chunk=int(assemble_chunk), sym=chunk_sym,
                 E_pad=E + ((-E) % chunk_echunk if chunk_echunk else 0))
             coefs = None
         else:
@@ -566,9 +575,11 @@ def build_blocked(prob, dtype=jnp.float64, with_fastdiag=True,
         # flat-only: attach the chunk-assembled flat stack directly
         # (already echunk-padded by assemble_flat_chunked's E_pad)
         offs_flat = tuple(sorted({ds * Nrp + dr for ds, dr in all_offs}))
+        if chunk_sym:
+            offs_flat = tuple(o for o in offs_flat if o >= 0)
         return bp._replace(
             coefs_flat=chunk_flat, offsets_flat=offs_flat,
-            flat_chunk=chunk_echunk, flat_sym=False)
+            flat_chunk=chunk_echunk, flat_sym=chunk_sym)
     if flat == "auto":
         # an explicit flat_sym request forces the layout (the auto gate
         # only weighs tile-padding waste, not the symmetric halving)

@@ -60,6 +60,41 @@ def test_assemble_chunk_matches_full():
                                rtol=1e-13, atol=1e-13)
 
 
+def test_assemble_chunk_sym_matches_full():
+    """Chunked assemble+flatten in the SYMMETRIC layout (the capacity
+    mode for the f64 residual operator at sizes where the full flat
+    stack would not fit next to the f32 operator): matches a one-shot
+    sym flatten and applies identically to the full-layout operator up
+    to the sym averaging (exact symmetrization; the assembled operator
+    is symmetric to ~1e-16 so the apply agrees to roundoff)."""
+    from hybridsbp_tpu.tpu.multiblock import with_flat_layout
+
+    prob = _curved_prob(p=4, N=14)
+    plain = build_blocked(prob, dtype=jnp.float64,
+                          assemble_on_device=True, flat=False)
+    full_sym = with_flat_layout(plain, sym=True)
+    chunked = build_blocked(prob, dtype=jnp.float64,
+                            assemble_on_device=True, assemble_chunk=1,
+                            flat_sym=True, with_fastdiag=False)
+    assert chunked.coefs is None            # flat-only memory mode
+    assert chunked.flat_sym
+    assert chunked.offsets_flat == full_sym.offsets_flat
+    assert all(o >= 0 for o in chunked.offsets_flat)
+    E = chunked.coefs_flat.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(chunked.coefs_flat),
+        np.asarray(full_sym.coefs_flat[:E]))
+    # half the stream vs the full layout
+    noff_full = len(plain.offsets)
+    assert len(chunked.offsets_flat) == (noff_full + 1) // 2
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((2,) + tuple(plain.grid_shape)))
+    got = displacement_matvec(chunked, u)
+    want = displacement_matvec(plain, u, stencil="unrolled")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_refined_solver_reaches_f64_accuracy():
     """f32 two-level solve + chunk-assembled f64 residuals reaches the
     host f64 direct solution far below the f32 operator's own accuracy

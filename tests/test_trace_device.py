@@ -242,3 +242,15 @@ def test_device_only_cached_matches_direct(tmp_path):
                                        repeats=1, verbose=False)
     assert out_c2["setup"]["t_banded_device_s"] < 5.0
     assert out_c2["displacements"]["converged"]
+    # refine_sym: the f64 residual operator chunk-assembled in the
+    # SYMMETRIC flat layout (half the footprint — the N=384 capacity
+    # mode) refines to the same accuracy class (the sym averaging is
+    # an exact symmetrization, ~1e-16 operator perturbation)
+    out_s = sc.run_device_only_cached(path=path, p=p, N=N, tol=1e-8,
+                                      methods=("displacements",),
+                                      refine_sweeps=3, refine_sym=True,
+                                      repeats=1, verbose=False)
+    for k in ("mms_energy_err", "mms_traction_err", "mms_rel_maxerr"):
+        a, b = out_s["refined"][k], out_c["refined"][k]
+        assert abs(a - b) <= 1e-3 * max(abs(a), abs(b)) + 1e-12, \
+            (k, a, b)
