@@ -1193,6 +1193,18 @@ if __name__ == "__main__":
     ap.add_argument("--probe-iters", type=int, default=24,
                     help="fastdiag-CG count per probe column in the "
                          "on-device banded B~ assembly")
+    ap.add_argument("--assemble-chunk", type=int, default=8,
+                    help="blocks per chunked on-device assembly step "
+                         "(the per-chunk padded plane transient is "
+                         "~chunk * noff * Nsp * Nrp * itemsize; lower "
+                         "at large N in f64 to bound the peak)")
+    ap.add_argument("--k-chunk", type=int, default=8,
+                    help="probe columns batched per device step in the "
+                         "banded B~ probing: the probe transient is "
+                         "~k_chunk * 4 * E field-size buffers * ~5 CG "
+                         "live vectors, so LOWER this at large N "
+                         "(measured: k_chunk=8 OOMs at p=6 N=384 with "
+                         "the 4.7 GB f32 operator resident; 4 fits)")
     ap.add_argument("--refine-sweeps", type=int, default=0,
                     help="with --device-only: mixed-precision "
                          "refinement sweeps (f32 two-level corrections "
@@ -1242,7 +1254,8 @@ if __name__ == "__main__":
         run_device_only_cached(
             path=a.cache_path, p=a.p, N=a.N0 if a.N0 != 17 else 272,
             tol=a.tol, inner_iters=a.inner_iters, repeats=a.repeats,
-            probe_iters=a.probe_iters, stencil=a.stencil,
+            probe_iters=a.probe_iters, k_chunk=a.k_chunk,
+            stencil=a.stencil, assemble_chunk=a.assemble_chunk,
             refine_sweeps=a.refine_sweeps, refine_sym=a.refine_sym,
             methods=tuple(m for m in a.methods.split(",") if m),
             trace_inner_tol=(a.trace_inner_tol
@@ -1252,7 +1265,8 @@ if __name__ == "__main__":
     if a.device_only:
         run_device_only(p=a.p, N=a.N0, tol=a.tol,
                         inner_iters=a.inner_iters,
-                        probe_iters=a.probe_iters, stencil=a.stencil,
+                        probe_iters=a.probe_iters, k_chunk=a.k_chunk,
+                        stencil=a.stencil,
                         refine_sweeps=a.refine_sweeps,
                         methods=tuple(m for m in a.methods.split(",")
                                       if m),
