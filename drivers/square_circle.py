@@ -752,7 +752,7 @@ def run_device_only(p=6, N=272, tol=1e-6, inner_iters=8, repeats=3,
         refine = make_refined_solver(
             bp, bp64, trace_inv, inner_tol=refine_inner_tol,
             inner_maxiter=refine_inner_maxiter, inner_iters=inner_iters,
-            stencil=stencil)
+            stencil=stencil, fused=not refine_split)
         t0 = time.time()
         x64, rels = refine(gb64, gd64, sweeps=refine_sweeps,
                            verbose=verbose)
@@ -901,7 +901,7 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
                            refine_inner_tol=2e-3,
                            refine_inner_maxiter=60, assemble_chunk=8,
                            trace_inner_tol="auto", save_probed=True,
-                           refine_sym=False):
+                           refine_sym=False, refine_split=False):
     """Device-only solve from the prebuilt cache (VERDICT r4 next #2):
     same semantics as :func:`run_device_only` — no host direct pipeline
     anywhere — but the host-side setup is a cache LOAD (seconds) instead
@@ -946,6 +946,44 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
     data = payload["assembly_data"]
     tmpl32 = payload["template32"]
     Nsp, Nrp = tmpl32.grid_shape
+
+    def _build_f64():
+        tmpl64 = payload["template64"]
+        t64 = time.time()
+        echunk64 = _auto_echunk(E, len(tmpl64.offsets), Nsp, Nrp, 8,
+                                tmpl64.shared)
+        # refine_sym: assemble the f64 residual operator in the
+        # SYMMETRIC flat layout (only o >= 0 diagonals) — halves its
+        # HBM footprint so it coexists with the f32 operator at sizes
+        # where both full stacks would exceed HBM (p=6 N=384: 8.8 GB
+        # full vs 4.4 GB sym next to the 4.4 GB f32 stack)
+        flat64, offs_flat64 = assemble_flat_chunked(
+            data, ai["crr"], ai["css"], ai["crs"], ai["masks"],
+            dtype=jnp.float64, Nrp=Nrp, chunk=assemble_chunk,
+            sym=refine_sym, verbose=verbose,
+            E_pad=E + ((-E) % echunk64 if echunk64 else 0))
+        b = tmpl64._replace(
+            coefs_flat=flat64,
+            offsets_flat=offs_flat64, flat_chunk=echunk64,
+            flat_sym=bool(refine_sym))
+        float(jnp.sum(b.coefs_flat[0, 0]))      # sync
+        dt64 = time.time() - t64
+        _mem("f64 residual operator")
+        if verbose:
+            print(f"f64 residual operator (chunked on-device assembly, "
+                  f"{assemble_chunk} blocks/chunk): {dt64:.1f}s",
+                  flush=True)
+        return b, dt64
+
+    bp64 = t_bp64 = None
+    if refine_sweeps and not methods:
+        # no baseline solves wanted: build the f64 operator FIRST, so
+        # its big allocation lands while only the cache-loaded
+        # metadata is resident (the f32-first order put the worker
+        # within ~MB of exhaustion right after the f64 assembly at
+        # p=6 N=384 — r5f/r5g logs — with ~5 GB of worker-side
+        # overhead beyond the live arrays)
+        bp64, t_bp64 = _build_f64()
     echunk = _auto_echunk(E, len(tmpl32.offsets), Nsp, Nrp, 4,
                           tmpl32.shared)
     flat32, offs_flat = assemble_flat_chunked(
@@ -1032,35 +1070,12 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
 
     if refine_sweeps:
         from hybridsbp_tpu.tpu.refine import make_refined_solver
-        tmpl64 = payload["template64"]
-        t0 = time.time()
-        echunk64 = _auto_echunk(E, len(tmpl64.offsets), Nsp, Nrp, 8,
-                                tmpl64.shared)
-        # refine_sym: assemble the f64 residual operator in the
-        # SYMMETRIC flat layout (only o >= 0 diagonals) — halves its
-        # HBM footprint so it coexists with the f32 operator at sizes
-        # where both full stacks would exceed HBM (p=6 N=384: 8.8 GB
-        # full vs 4.4 GB sym next to the 4.4 GB f32 stack)
-        flat64, offs_flat64 = assemble_flat_chunked(
-            data, ai["crr"], ai["css"], ai["crs"], ai["masks"],
-            dtype=jnp.float64, Nrp=Nrp, chunk=assemble_chunk,
-            sym=refine_sym,
-            E_pad=E + ((-E) % echunk64 if echunk64 else 0))
-        bp64 = tmpl64._replace(
-            coefs_flat=flat64,
-            offsets_flat=offs_flat64, flat_chunk=echunk64,
-            flat_sym=bool(refine_sym))
-        float(jnp.sum(bp64.coefs_flat[0, 0]))   # sync
-        t_bp64 = time.time() - t0
-        _mem("f64 residual operator")
-        if verbose:
-            print(f"f64 residual operator (chunked on-device assembly, "
-                  f"{assemble_chunk} blocks/chunk): {t_bp64:.1f}s",
-                  flush=True)
+        if bp64 is None:
+            bp64, t_bp64 = _build_f64()
         refine = make_refined_solver(
             bp, bp64, trace_inv, inner_tol=refine_inner_tol,
             inner_maxiter=refine_inner_maxiter, inner_iters=inner_iters,
-            stencil=stencil)
+            stencil=stencil, fused=not refine_split)
         t0 = time.time()
         x64, rels = refine(gb64, gd64, sweeps=refine_sweeps,
                            verbose=verbose)
@@ -1211,6 +1226,12 @@ if __name__ == "__main__":
                          "+ chunk-assembled f64 on-device residuals) — "
                          "breaks the f32 kappa*eps attainable-accuracy "
                          "floor at 4.2M DOF; 4 reaches ~1e-9")
+    ap.add_argument("--refine-split", action="store_true",
+                    help="with --refine-sweeps: compile the inner "
+                         "solve and the f64 residual as separate "
+                         "programs (the fused one-program sweep "
+                         "crashed the remote compile helper at p=6 "
+                         "N=384; costs one extra RTT per sweep)")
     ap.add_argument("--refine-sym", action="store_true",
                     help="with --refine-sweeps: assemble the f64 "
                          "residual operator in the SYMMETRIC flat "
@@ -1257,6 +1278,7 @@ if __name__ == "__main__":
             probe_iters=a.probe_iters, k_chunk=a.k_chunk,
             stencil=a.stencil, assemble_chunk=a.assemble_chunk,
             refine_sweeps=a.refine_sweeps, refine_sym=a.refine_sym,
+            refine_split=a.refine_split,
             methods=tuple(m for m in a.methods.split(",") if m),
             trace_inner_tol=(a.trace_inner_tol
                              if a.trace_inner_tol == "auto"

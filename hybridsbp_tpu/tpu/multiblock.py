@@ -262,7 +262,7 @@ _ASSEMBLY_DATA_CACHE = {}
 
 
 def assemble_flat_chunked(data, crr, css, crs, masks, *, dtype, Nrp,
-                          chunk=8, E_pad=None, sym=False):
+                          chunk=8, E_pad=None, sym=False, verbose=False):
     """Chunked on-device assemble + flatten: assemble ``chunk`` blocks'
     padded DIA planes at a time and immediately flatten them to the 1D
     raveled-diagonal layout, so the full padded plane stack never
@@ -320,6 +320,11 @@ def assemble_flat_chunked(data, crr, css, crs, masks, *, dtype, Nrp,
                          jnp.asarray(masks[sl], dtype=dtype))
         flat = write(flat, piece, e0)
         flat.block_until_ready()   # bound the in-flight work
+        if verbose:
+            from ..utils.profiling import device_mem_gb
+            gb, _src = device_mem_gb()
+            print(f"    assemble chunk e0={e0}: live "
+                  f"{gb if gb is None else round(gb, 2)} GB", flush=True)
     return flat, offs_flat
 
 

@@ -34,7 +34,8 @@ def iterative_refinement(solve32: Callable, matvec64: Callable, b64,
 
 
 def make_refined_solver(bp32, bp64, trace_inv, *, inner_tol=2e-3,
-                        inner_maxiter=60, inner_iters=8, stencil="auto"):
+                        inner_maxiter=60, inner_iters=8, stencil="auto",
+                        fused=True):
     """Device-only mixed-precision solver for problem sizes whose f32
     attainable-accuracy floor sits far above serving tolerance.
 
@@ -75,7 +76,14 @@ def make_refined_solver(bp32, bp64, trace_inv, *, inner_tol=2e-3,
     zero_gd = jnp.zeros((nfaces, L), dtype=jnp.float32)
 
     # (x64, r64) -> (x64', r64', |r'|): one f32 inner solve on the
-    # current residual + one f64 true residual
+    # current residual + one f64 true residual.  ``fused=False``
+    # compiles the two halves as separate programs: the inner-solver
+    # program is the SAME shape make_jit_solver already compiles (so
+    # it is known-good at the target scale) and the residual program
+    # is a single f64 apply — the one-program fused form crashed the
+    # remote compile helper (HTTP 500) at p=6 N=384 while both halves
+    # compile fine (r5h/r5j logs); costs one extra device round trip
+    # per sweep.
     @jax.jit
     def _sweep(a, a64, b64, x64, r64):
         res = sj.fn(a, r64.astype(jnp.float32), zero_gd)
@@ -83,6 +91,18 @@ def make_refined_solver(bp32, bp64, trace_inv, *, inner_tol=2e-3,
         r = b64 - displacement_matvec(bp_with(bp64, a64), x64,
                                       stencil=stencil)
         return x64, r, jnp.sqrt(jnp.sum(r * r)), res.iters
+
+    @jax.jit
+    def _update(a64, b64, x64, dx32):
+        x64 = x64 + dx32.astype(jnp.float64)
+        r = b64 - displacement_matvec(bp_with(bp64, a64), x64,
+                                      stencil=stencil)
+        return x64, r, jnp.sqrt(jnp.sum(r * r))
+
+    def _sweep_split(a, a64, b64, x64, r64):
+        res = sj.fn(a, r64.astype(jnp.float32), zero_gd)
+        x64, r, rn = _update(a64, b64, x64, res.x)
+        return x64, r, rn, res.iters
 
     @jax.jit
     def _rhs(a64, g64, gd64):
@@ -98,8 +118,9 @@ def make_refined_solver(bp32, bp64, trace_inv, *, inner_tol=2e-3,
         x = jnp.zeros_like(b64)
         r = b64
         rels = []
+        step = _sweep if fused else _sweep_split
         for s in range(sweeps):
-            x, r, rn, it = _sweep(sj.arrs, arrs64, b64, x, r)
+            x, r, rn, it = step(sj.arrs, arrs64, b64, x, r)
             rels.append(float(rn) / bn)
             if verbose:
                 print(f"  refine sweep {s + 1}: true rel residual "
