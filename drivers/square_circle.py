@@ -1072,6 +1072,12 @@ def run_device_only_cached(path=None, p=6, N=272, tol=1e-6,
         from hybridsbp_tpu.tpu.refine import make_refined_solver
         if bp64 is None:
             bp64, t_bp64 = _build_f64()
+        if refine_split:
+            # drop the assembly-phase executables before compiling the
+            # refine programs: the r5j sweep OOMed with only 9.7 GB of
+            # live arrays — the worker holds several GB beyond them,
+            # consistent with per-executable workspace retention
+            jax.clear_caches()
         refine = make_refined_solver(
             bp, bp64, trace_inv, inner_tol=refine_inner_tol,
             inner_maxiter=refine_inner_maxiter, inner_iters=inner_iters,
